@@ -1,0 +1,119 @@
+"""Shared projection math: lat/lon/ele <-> equirect pixel coordinates.
+
+One jittable implementation used by the renderer, the annotator, and picking.
+The reference carries this math twice -- on the GPU (vertex.glsl:112-156) and
+on the CPU (horizonator-lib.c:1055-1213, with the author's note "mostly lifted
+from vertex.glsl. Would be nice to consolidate") -- this module is that
+consolidation.
+
+Conventions (identical to the reference):
+
+- azimuth 0 = North, 90 deg = East; az = atan2(east, north);
+- tangent-plane flat-earth model: east  = dlon_rad * Rearth * cos(viewer_lat),
+  north = dlat_rad * Rearth (vertex.glsl:128-130, error analysis at
+  vertex.glsl:65-88: ~7.8 m at 10 km);
+- the azimuth window [az0, az1] maps to the full viewport width; az1 is
+  unwrapped to lie in (az0, az0 + 2*pi];
+- el_ndc = atan2(h, distance_ne) * aspect * az_ndc_per_rad, i.e. square
+  angular pixels (vertex.glsl:153);
+- pixel centers: x = (az_ndc+1)/2*W - 0.5 with x in (-0.5, W-0.5)
+  (horizonator-lib.c:1092-1094); y counts DOWN from the top row.
+
+Functions are pure jax.numpy, usable under jit/vmap and on numpy scalars.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+EARTH_RADIUS_M = 6371000.0   # vertex.glsl:30
+DEG = jnp.pi / 180.0
+
+
+def unwrap_near_rad(x, near):
+    """Unwrap angle x to lie within pi of ``near`` (vertex.glsl:34-38)."""
+    d = (x - near) / (2.0 * jnp.pi)
+    return (d - jnp.round(d)) * 2.0 * jnp.pi + near
+
+
+def az_window_rad(az_rad0, az_rad1):
+    """Normalize the azimuth window: az1 unwrapped to (az0, az0+2pi], plus the
+    center and the ndc scale (horizonator-lib.c:1075-1083)."""
+    az_rad1 = unwrap_near_rad(az_rad1 - az_rad0, jnp.pi) + az_rad0
+    az_center = (az_rad0 + az_rad1) / 2.0
+    az_ndc_per_rad = 2.0 / (az_rad1 - az_rad0)
+    return az_rad1, az_center, az_ndc_per_rad
+
+
+def x_from_az(az_rad, az_rad0, az_rad1, width):
+    """Map azimuth -> pixel x. Returns (x, az_ndc, az_ndc_per_rad); the caller
+    checks |az_ndc| <= 1 for visibility (horizonator-lib.c:1062-1095)."""
+    _, az_center, az_ndc_per_rad = az_window_rad(az_rad0, az_rad1)
+    az = unwrap_near_rad(az_rad, az_center)
+    az_ndc = (az - az_center) * az_ndc_per_rad
+    x = (az_ndc + 1.0) / 2.0 * width - 0.5
+    return x, az_ndc, az_ndc_per_rad
+
+
+def latlon_to_en(lat, lon, lat_viewer, cos_lat_viewer, lon_viewer):
+    """Tangent-plane east/north meters from the viewer (vertex.glsl:128-130)."""
+    east = (lon - lon_viewer) * DEG * EARTH_RADIUS_M * cos_lat_viewer
+    north = (lat - lat_viewer) * DEG * EARTH_RADIUS_M
+    return east, north
+
+
+def en_to_latlon(east, north, lat_viewer, cos_lat_viewer, lon_viewer):
+    """Inverse of latlon_to_en (horizonator-lib.c:1209-1210)."""
+    lon = lon_viewer + east / EARTH_RADIUS_M / DEG / cos_lat_viewer
+    lat = lat_viewer + north / EARTH_RADIUS_M / DEG
+    return lat, lon
+
+
+def project(lat_viewer, cos_lat_viewer, lon_viewer, ele_viewer,
+            lat, lon, ele, az_rad0, az_rad1, width, height):
+    """Project a world point into the panorama.
+
+    Returns (x, y, range_enh, visible) where ``visible`` is a bool mask for
+    |az_ndc|<=1 and |el_ndc|<=1 (the reference returns false instead,
+    horizonator-lib.c:1097-1155). range_enh is the 3D slant range in meters.
+    Fully vectorized: lat/lon/ele may be arrays.
+    """
+    east, north = latlon_to_en(lat, lon, lat_viewer, cos_lat_viewer, lon_viewer)
+    dist_sq_ne = east * east + north * north
+    x, az_ndc, az_ndc_per_rad = x_from_az(
+        jnp.arctan2(east, north), az_rad0, az_rad1, width)
+    h = ele - ele_viewer
+    distance_ne = jnp.sqrt(dist_sq_ne)
+    range_enh = jnp.sqrt(dist_sq_ne + h * h)
+    aspect = width / height
+    el_ndc = jnp.arctan2(h, distance_ne) * aspect * az_ndc_per_rad
+    y = (-el_ndc + 1.0) / 2.0 * height - 0.5
+    visible = (jnp.abs(az_ndc) <= 1.0) & (jnp.abs(el_ndc) <= 1.0)
+    return x, y, range_enh, visible
+
+
+def pixel_az_el_rad(x, y, az_deg0, az_deg1, width, height):
+    """Azimuth/elevation at the CENTER of pixel (x, y), y counted from the top
+    row (horizonator-lib.c:1181-1201). Degrees in, radians out."""
+    az_ndc = (x + 0.5) / width * 2.0 - 1.0
+    az = (az_ndc * (az_deg1 - az_deg0) / 2.0 + (az_deg1 + az_deg0) / 2.0) * DEG
+    el_ndc = 1.0 - (y + 0.5) / height * 2.0   # top row -> +1 side
+    aspect = width / height
+    el = el_ndc * (az_deg1 - az_deg0) / 2.0 / aspect * DEG
+    return az, el
+
+
+def unproject(x, y, range_enh, range_en,
+              lat_viewer, cos_lat_viewer, lon_viewer,
+              az_deg0, az_deg1, width, height):
+    """Pixel + range -> lat/lon (horizonator-lib.c:1157-1213).
+
+    Exactly one of range_enh (3D slant) / range_en (horizontal) should be > 0;
+    with both arrays given, range_en wins where positive, matching the
+    branchless vectorized form of the reference's either/or contract.
+    """
+    az, el = pixel_az_el_rad(x, y, az_deg0, az_deg1, width, height)
+    range_en = jnp.where(range_en > 0, range_en, jnp.cos(el) * range_enh)
+    east = range_en * jnp.sin(az)
+    north = range_en * jnp.cos(az)
+    return en_to_latlon(east, north, lat_viewer, cos_lat_viewer, lon_viewer)

@@ -1,0 +1,106 @@
+"""Projection math tests: unwrap semantics, project/unproject round trips.
+
+The reference never tests that its duplicated CPU/GPU projection math agrees
+with itself (SURVEY.md §4b); here the single implementation is property-tested.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from horizonator_tpu import geometry as G
+
+
+def test_unwrap_near_rad():
+    # vertex.glsl:34-38
+    # f32 math: tolerances at the float32 level
+    assert float(G.unwrap_near_rad(0.1, 0.0)) == pytest.approx(0.1, abs=1e-6)
+    assert float(G.unwrap_near_rad(0.1 + 2 * np.pi, 0.0)) == pytest.approx(0.1, abs=1e-5)
+    assert float(G.unwrap_near_rad(0.1 - 6 * np.pi, 0.0)) == pytest.approx(0.1, abs=1e-5)
+    assert float(G.unwrap_near_rad(-0.1, 2 * np.pi)) == pytest.approx(2 * np.pi - 0.1, abs=1e-5)
+
+
+def test_az_window_unwrap():
+    # az1 must unwrap to (az0, az0+2pi] (horizonator-lib.c:1075-1076)
+    az1, center, scale = G.az_window_rad(np.radians(170.0), np.radians(-170.0))
+    assert float(az1) == pytest.approx(np.radians(190.0))
+    assert float(center) == pytest.approx(np.radians(180.0))
+
+
+def test_x_from_az_center_and_edges():
+    az0, az1 = np.radians(-45.0), np.radians(45.0)
+    W = 800
+    x, ndc, scale = G.x_from_az(0.0, az0, az1, W)
+    assert float(ndc) == pytest.approx(0.0, abs=1e-6)
+    assert float(x) == pytest.approx(W / 2 - 0.5)
+    x0, ndc0, _ = G.x_from_az(az0, az0, az1, W)
+    assert float(x0) == pytest.approx(-0.5)       # left viewport edge
+    x1, ndc1, _ = G.x_from_az(az1, az0, az1, W)
+    assert float(x1) == pytest.approx(W - 0.5)    # right viewport edge
+
+
+def test_en_latlon_roundtrip(rng):
+    lat_v, lon_v = 34.2884, -117.7134
+    cos_lat = np.cos(np.radians(lat_v))
+    lats = lat_v + rng.uniform(-0.3, 0.3, 50)
+    lons = lon_v + rng.uniform(-0.3, 0.3, 50)
+    e, n = G.latlon_to_en(lats, lons, lat_v, cos_lat, lon_v)
+    lat2, lon2 = G.en_to_latlon(e, n, lat_v, cos_lat, lon_v)
+    np.testing.assert_allclose(np.asarray(lat2), lats, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(lon2), lons, atol=1e-9)
+
+
+def test_project_unproject_roundtrip(rng):
+    """unproject(project(p)) == p for visible points -- the property the
+    reference's duplicated math never verifies."""
+    lat_v, lon_v, ele_v = 34.2884, -117.7134, 1300.0
+    cos_lat = np.cos(np.radians(lat_v))
+    az0_deg, az1_deg = -40.0, 100.0
+    W, H = 1024, 512
+
+    n = 200
+    az = rng.uniform(np.radians(az0_deg) + 0.01, np.radians(az1_deg) - 0.01, n)
+    dist = rng.uniform(500.0, 30000.0, n)
+    ele = ele_v + dist * rng.uniform(-0.05, 0.05, n)   # small el angles
+
+    east = dist * np.sin(az)
+    north = dist * np.cos(az)
+    lat, lon = G.en_to_latlon(east, north, lat_v, cos_lat, lon_v)
+    lat, lon = np.asarray(lat), np.asarray(lon)
+
+    x, y, rng_enh, vis = G.project(lat_v, cos_lat, lon_v, ele_v,
+                                   lat, lon, ele,
+                                   np.radians(az0_deg), np.radians(az1_deg),
+                                   W, H)
+    x, y, rng_enh, vis = map(np.asarray, (x, y, rng_enh, vis))
+    assert vis.all()
+
+    lat2, lon2 = G.unproject(x, y, rng_enh, -np.ones(n),
+                             lat_v, cos_lat, lon_v, az0_deg, az1_deg, W, H)
+    lat2, lon2 = np.asarray(lat2), np.asarray(lon2)
+    # unproject uses the pixel-center angles of the CONTINUOUS x,y (no
+    # rounding here), so the round trip is tight up to the 0.5-px center
+    # convention; tolerance ~ one cell at 30 km
+    np.testing.assert_allclose(lat2, lat, atol=2e-3)
+    np.testing.assert_allclose(lon2, lon, atol=2e-3)
+
+
+def test_project_range_is_slant():
+    lat_v, lon_v = 0.0, 0.0
+    x, y, r, vis = G.project(lat_v, 1.0, lon_v, 0.0,
+                             0.0, 0.01, 100.0,
+                             np.radians(-45), np.radians(45), 100, 100)
+    east, north = G.latlon_to_en(0.0, 0.01, lat_v, 1.0, lon_v)
+    d = float(jnp.hypot(east, north))
+    assert float(r) == pytest.approx(np.hypot(d, 100.0), rel=1e-6)
+
+
+def test_pixel_az_el_grid_consistency():
+    """pixel_az_el_rad must invert x_from_az at pixel centers."""
+    az0, az1 = -40.0, 100.0
+    W, H = 1024, 512
+    for px in [0, 1, 511, 1023]:
+        az, el = G.pixel_az_el_rad(px, 0, az0, az1, W, H)
+        x, ndc, _ = G.x_from_az(float(az), np.radians(az0), np.radians(az1), W)
+        assert float(x) == pytest.approx(px, abs=1e-3)
