@@ -8,6 +8,8 @@ viewpoints and azimuth wedges.
 """
 
 from . import dem, geometry, render
+from .api import horizonator, ZNEAR_DEFAULT, ZFAR_DEFAULT
 
 __version__ = "0.1.0"
-__all__ = ["dem", "geometry", "render", "__version__"]
+__all__ = ["dem", "geometry", "render", "horizonator",
+           "ZNEAR_DEFAULT", "ZFAR_DEFAULT", "__version__"]

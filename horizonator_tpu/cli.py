@@ -1,0 +1,145 @@
+"""The ``standalone``-compatible CLI: one render to .png/.pdf/.svg.
+
+Mirrors the reference tool's flag surface and conventions exactly
+(standalone.c:115-169 usage, 171-323 parsing):
+
+- ``--width`` selects offscreen mode (required with ``--image``);
+- ``--height`` optional; a 20-degree FOV default otherwise (standalone.c:407-411);
+- positional LAT LON AZ_CENTER_DEG AZ_RADIUS_DEG; in image mode the azimuths
+  refer to pixel CENTERS and get the half-pixel viewport conversion
+  (standalone.c:400-404);
+- ``--znear/--zfar`` clip, ``--znear-color/--zfar-color`` ramp (defaulting to
+  the clip values, standalone.c:333-334);
+- ``.png`` -> plain render; ``.pdf``/``.svg`` -> annotated render.
+
+Usage: python -m horizonator_tpu.cli [options] LAT LON AZ_C AZ_R
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="horizonator-tpu",
+        description="Render a terrain panorama from SRTM data (TPU-native "
+                    "rebuild of dkogan/horizonator's `standalone` tool)")
+    p.add_argument("--width", type=int, default=0)
+    p.add_argument("--height", type=int, default=0)
+    p.add_argument("--cut-off-bottom-px", type=int, default=0, dest="cut_off_bottom_px")
+    p.add_argument("--image", type=str, default=None,
+                   help="output file: .png (render) or .pdf/.svg (annotated)")
+    p.add_argument("--dirdems", type=str, default=None)
+    p.add_argument("--dirtiles", type=str, default=None)
+    p.add_argument("--tiles", type=str, default=None, metavar="NAME=FMT")
+    p.add_argument("--texture", action="store_true")
+    p.add_argument("--SRTM1", action="store_true")
+    p.add_argument("--allow-tile-downloads", action="store_true",
+                   dest="allow_downloads")
+    p.add_argument("--znear", type=float, default=100.0)
+    p.add_argument("--zfar", type=float, default=40000.0)
+    p.add_argument("--znear-color", type=float, default=-1.0, dest="znear_color")
+    p.add_argument("--zfar-color", type=float, default=-1.0, dest="zfar_color")
+    p.add_argument("--pois", type=str, default=None,
+                   help="peak list for .pdf/.svg annotation: a JSON file of "
+                        "[{name, lat, lon, ele_m}] (replaces the reference's "
+                        "compiled-in socal-peaks.h)")
+    # TPU-native extras
+    p.add_argument("--nsteps", type=int, default=None,
+                   help="ray-march samples (default: auto from zfar)")
+    p.add_argument("--surface", choices=["bilinear", "triangulated"],
+                   default="bilinear")
+    p.add_argument("lat", type=float)
+    p.add_argument("lon", type=float)
+    p.add_argument("az_center_deg", type=float)
+    p.add_argument("az_radius_deg", type=float)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if not (-80.0 <= args.lat <= 80.0):
+        print("Got invalid latitude", file=sys.stderr)   # standalone.c:360-364
+        return 1
+    if not (-180.0 <= args.lon <= 180.0):
+        print("Got invalid longitude", file=sys.stderr)
+        return 1
+    if args.width > 0 and args.image is None:
+        print("--width makes sense only with --image", file=sys.stderr)
+        return 1
+    if args.width <= 0 and args.image is not None:
+        print("--width required if --image", file=sys.stderr)
+        return 1
+    if args.height > 0 and args.width <= 0:
+        print("--height makes sense only with --width", file=sys.stderr)
+        return 1
+    if args.image is None:
+        print("Interactive window mode is not implemented in this build; "
+              "pass --width and --image (see also horizonator_tpu.viewer)",
+              file=sys.stderr)
+        return 1
+
+    suffix = args.image.lower()[-4:]
+    if suffix not in (".png", ".pdf", ".svg"):
+        print("--image MUST be given a '.png' or '.pdf' or '.svg' filename",
+              file=sys.stderr)
+        return 1
+
+    tiles_name = tiles_url_fmt = None
+    if args.tiles is not None:
+        if "=" not in args.tiles:
+            print("Couldn't find '=' in --tiles", file=sys.stderr)
+            return 1
+        tiles_name, tiles_url_fmt = args.tiles.split("=", 1)
+
+    znear_color = args.znear_color if args.znear_color > 0 else args.znear
+    zfar_color = args.zfar_color if args.zfar_color > 0 else args.zfar
+
+    # pixel-center -> viewport-edge azimuths (standalone.c:400-404)
+    az_radius = args.az_radius_deg
+    az_per_pixel = 2.0 * az_radius / (args.width - 1)
+    az_radius += az_per_pixel / 2.0
+
+    height = args.height
+    if height <= 0:
+        # 20-deg default FOV (standalone.c:407-411)
+        fovy_deg = 20.0
+        height = int(round(args.width * fovy_deg / az_radius))
+
+    from .api import horizonator
+
+    h = horizonator(args.lat, args.lon, args.width, height,
+                    render_texture=args.texture, SRTM1=args.SRTM1,
+                    dir_dems=args.dirdems, dir_tiles=args.dirtiles,
+                    tiles_name=tiles_name, tiles_url_fmt=tiles_url_fmt,
+                    allow_downloads=args.allow_downloads,
+                    render_radius_m=args.zfar,     # standalone.c:437
+                    nsteps=args.nsteps, surface=args.surface)
+
+    image, ranges = h.render(args.az_center_deg - az_radius,
+                             args.az_center_deg + az_radius,
+                             znear=args.znear, zfar=args.zfar,
+                             znear_color=znear_color, zfar_color=zfar_color)
+
+    crop = args.cut_off_bottom_px
+    if suffix == ".png":
+        from PIL import Image
+        out = image[: image.shape[0] - crop, :, ::-1]   # BGR -> RGB
+        Image.fromarray(out).save(args.image)
+    else:
+        from .annotate import annotate, load_pois
+        pois = load_pois(args.pois) if args.pois else []
+        annotate(args.image, image, ranges,
+                 cut_off_bottom_px=crop, pois=pois,
+                 lat=h.viewer_lat, lon=h.viewer_lon,
+                 az_deg0=args.az_center_deg - az_radius,
+                 az_deg1=args.az_center_deg + az_radius,
+                 ele_m=h.viewer_z)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,129 @@
+"""Annotation subsystem tests: occlusion fuzz, label staggering, SVG/PDF
+emission."""
+
+import numpy as np
+import pytest
+
+from horizonator_tpu.annotate import (Poi, annotate, build_annotation_scene,
+                                      load_pois)
+from horizonator_tpu.annotate.layout import (FONT_HEIGHT, stagger_labels,
+                                             string_width)
+from horizonator_tpu.annotate.occlusion import project_and_occlusion_test
+
+
+def _flat_scene(w=280, h=140):
+    """A render where everything below the horizon row is terrain at a known
+    range."""
+    image = np.zeros((h, w, 3), np.uint8)
+    image[: h // 2] = (255, 0, 0)       # sky, BGR
+    ranges = np.full((h, w), -1.0, np.float32)
+    ranges[h // 2:] = 5000.0
+    return image, ranges
+
+
+def test_occlusion_accepts_matching_range():
+    _, ranges = _flat_scene()
+    h, w = ranges.shape
+    # A POI dead ahead at ~5 km, just below the horizon: el slightly negative.
+    # viewer at (0,0), az window -45..45, az=0 -> north
+    lat_poi = 5000.0 / 111194.9   # ~5 km north
+    keep, x, y = project_and_occlusion_test(
+        ranges, [lat_poi], [0.0], [0.0], 0.0, 0.0, 50.0, -45.0, 45.0, h)
+    assert keep[0]
+    assert abs(x[0] - (w / 2 - 0.5)) < 1.0
+
+    # Same POI but the rendered range disagrees by > FUZZ_RANGE -> dropped
+    ranges2 = np.where(ranges > 0, 9000.0, ranges).astype(np.float32)
+    keep2, _, _ = project_and_occlusion_test(
+        ranges2, [lat_poi], [0.0], [0.0], 0.0, 0.0, 50.0, -45.0, 45.0, h)
+    assert not keep2[0]
+
+
+def test_occlusion_distance_gates():
+    _, ranges = _flat_scene()
+    h, w = ranges.shape
+    # too close (< 500 m) and too far (> 100 km) both rejected
+    for dist, rng_val in [(300.0, 300.0), (150000.0, 150000.0)]:
+        lat_poi = dist / 111194.9
+        r = np.where(ranges > 0, rng_val, ranges).astype(np.float32)
+        keep, _, _ = project_and_occlusion_test(
+            r, [lat_poi], [0.0], [0.0], 0.0, 0.0, 10.0, -45.0, 45.0, h)
+        assert not keep[0]
+
+
+def test_stagger_labels():
+    pois = [Poi(f"P{i}", 0, 0, 0) for i in range(3)]
+    # two overlapping at x=10,12 and one far right
+    out = stagger_labels(pois, [10.0, 12.0, 200.0], [50.0, 50.0, 50.0], 140)
+    tops = {p.name: ytop for p, x, y, ytop in out}
+    assert tops["P0"] == 0.0
+    assert tops["P1"] == FONT_HEIGHT       # staggered down
+    assert tops["P2"] == 0.0               # new group, back to top
+
+
+def test_string_width_monotone():
+    assert string_width("Mount Baldy") > string_width("Mt B")
+    assert string_width("iii") < string_width("MMM")
+
+
+def test_scene_and_svg_pdf(tmp_path):
+    image, ranges = _flat_scene()
+    h, w = ranges.shape
+    lat_poi = 5000.0 / 111194.9
+    pois = [Poi("Testpeak", lat_poi, 0.0, 0.0)]
+    scene = build_annotation_scene(image, ranges, 0, pois,
+                                   0.0, 0.0, -45.0, 45.0, 50.0)
+    assert len(scene.link_rects) > 50          # grid over the terrain half
+    assert any(t.s == "Testpeak" for t in scene.texts)
+    assert any(t.s == "0deg" for t in scene.texts)   # bearing tick
+    assert any(t.s == "30deg" for t in scene.texts)
+    assert not any(t.s == "90deg" for t in scene.texts)  # outside window
+
+    svg_f = tmp_path / "out.svg"
+    annotate(str(svg_f), image, ranges, pois=pois, lat=0.0, lon=0.0,
+             az_deg0=-45.0, az_deg1=45.0, ele_m=50.0)
+    svg = svg_f.read_text()
+    assert svg.startswith("<svg") and "Testpeak" in svg and "caltopo" in svg
+
+    pdf_f = tmp_path / "out.pdf"
+    annotate(str(pdf_f), image, ranges, pois=pois, lat=0.0, lon=0.0,
+             az_deg0=-45.0, az_deg1=45.0, ele_m=50.0)
+    raw = pdf_f.read_bytes()
+    assert raw.startswith(b"%PDF-1.4")
+    assert raw.rstrip().endswith(b"%%EOF")
+    assert b"/Subtype /Link" in raw and b"caltopo" in raw
+    assert b"/Subtype /Image" in raw
+
+
+def test_pdf_parses_with_pypdf_or_structure(tmp_path):
+    """Validate the hand-written PDF's xref structure by re-reading offsets."""
+    image, ranges = _flat_scene()
+    pdf_f = tmp_path / "x.pdf"
+    annotate(str(pdf_f), image, ranges, pois=[], lat=0.0, lon=0.0,
+             az_deg0=-45.0, az_deg1=45.0, ele_m=50.0)
+    raw = pdf_f.read_bytes()
+    # xref offsets must point at "N 0 obj"
+    xref_at = int(raw.rsplit(b"startxref", 1)[1].split(b"%%EOF")[0].strip())
+    assert raw[xref_at:xref_at + 4] == b"xref"
+    lines = raw[xref_at:].split(b"\n")
+    nobj = int(lines[1].split()[1])
+    for i in range(1, nobj):
+        off = int(lines[2 + i].split()[0])
+        assert raw[off:].startswith(f"{i} 0 obj".encode())
+
+
+def test_cut_off_bottom(tmp_path):
+    image, ranges = _flat_scene()
+    scene = build_annotation_scene(image, ranges, 40, [], 0.0, 0.0,
+                                   -45.0, 45.0, 50.0)
+    assert scene.height == ranges.shape[0] - 40
+    assert scene.image_rgb.shape[0] == scene.height
+
+
+def test_load_pois(tmp_path):
+    f = tmp_path / "p.json"
+    f.write_text('[{"name":"A","lat":1,"lon":2,"ele_m":3},'
+                 '{"name":"B","lat":4,"lon":5,"ele":6}]')
+    pois = load_pois(str(f))
+    assert pois[0] == Poi("A", 1, 2, 3)
+    assert pois[1].ele_m == 6.0

@@ -1,0 +1,179 @@
+"""API tests: the reference-compatible horizonator class + CLI."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from horizonator_tpu import horizonator
+from horizonator_tpu.dem import hgt
+
+
+@pytest.fixture(scope="module")
+def dem_dir(tmp_path_factory):
+    """One synthetic tile with a couple of peaks."""
+    d = tmp_path_factory.mktemp("dems")
+    edge = hgt.SRTM3_EDGE
+    lat = 35.0 - np.arange(edge) / (edge - 1)
+    lon = -118.0 + np.arange(edge) / (edge - 1)
+    LA, LO = np.meshgrid(lat, lon, indexing="ij")
+    z = 200 + 0 * LA
+    for plat, plon, hgt_m, s in [(34.55, -117.45, 2200, 0.03),
+                                 (34.48, -117.38, 2800, 0.015)]:
+        z = z + hgt_m * np.exp(-((LA - plat) ** 2 + (LO - plon) ** 2) / (2 * s * s))
+    hgt.write_hgt(d / "N34W118.hgt", np.round(z).astype(np.int16))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def h(dem_dir):
+    return horizonator(34.40, -117.45, 400, 150,
+                       dir_dems=dem_dir, render_radius_m=25000.0, nsteps=1024)
+
+
+def test_ctor_and_str(h):
+    assert str(h) == "Looking out from 34.4000,-117.4500"
+    assert h.viewer_z > 200.0   # auto-z on the 200 m plain + 1
+
+
+def test_render_shapes_and_tuple_semantics(h):
+    image, ranges = h.render(-60, 60)
+    assert image.shape == (150, 400, 3) and image.dtype == np.uint8
+    assert ranges.shape == (150, 400) and ranges.dtype == np.float32
+    only_img = h.render(-60, 60, return_range=False)
+    assert isinstance(only_img, np.ndarray) and only_img.ndim == 3
+    only_rng = h.render(-60, 60, return_image=False)
+    assert only_rng.ndim == 2
+    nothing = h.render(-60, 60, return_image=False, return_range=False)
+    assert nothing == ()
+
+
+def test_render_sees_the_peaks(h):
+    image, ranges = h.render(-60, 60)
+    # some terrain visible, some sky
+    assert 0.05 < (ranges > 0).mean() < 0.95
+    # sky is blue in BGR
+    sky = ranges < 0
+    assert (image[sky][:, 0] == 255).all()
+
+
+def test_camera_move_changes_view(h):
+    _, r0 = h.render(-60, 60)
+    _, r1 = h.render(-60, 60, lat=34.55, lon=-117.45)   # on the peak
+    assert not np.array_equal(r0, r1)
+    assert h.viewer_lat == 34.55
+    # moving back restores
+    _, r2 = h.render(-60, 60, lat=34.40, lon=-117.45)
+    np.testing.assert_array_equal(r0, r2)
+
+
+def test_pixel_center_extents(h):
+    """az_extents_use_pixel_centers widens the window by half a pixel each
+    side (horizonator-pywrap.c:204-212): the centered render's first column
+    must look at exactly az_deg0."""
+    img_edge, _ = h.render(-30, 30)
+    img_ctr, _ = h.render(-30, 30, az_extents_use_pixel_centers=True)
+    assert not np.array_equal(img_edge, img_ctr)
+
+
+def test_explicit_elevation(h):
+    _, r_low = h.render(-60, 60, lat=34.40, lon=-117.45)
+    _, r_high = h.render(-60, 60, ele_m=3000.0)
+    assert h.viewer_z == 3000.0
+    # From 3000 m the nearby peaks no longer rise above the horizon: the
+    # highest terrain pixel sits lower in the image than at ground level.
+    top_low = np.nonzero((r_low > 0).any(axis=1))[0][0]
+    top_high = np.nonzero((r_high > 0).any(axis=1))[0][0]
+    assert top_high > top_low
+    h.render(-60, 60, lat=34.40, lon=-117.45)   # reset auto z
+
+
+def test_pick_roundtrip(h):
+    """pick() must return a lat/lon whose re-projection lands on the picked
+    pixel (the reference's pick-vs-project consistency, never tested there)."""
+    image, ranges = h.render(-60, 60)
+    ys, xs = np.nonzero(ranges > 0)
+    k = len(ys) // 2
+    x, y = int(xs[k]), int(ys[k])
+    out = h.pick(x, y)
+    assert out is not None
+    plat, plon = out
+    lat0, lon0, lat1, lon1 = h.mosaic.bounds_latlon_deg()
+    assert lat0 <= plat <= lat1 and lon0 <= plon <= lon1
+    # sky pick -> None
+    sy, sx = np.nonzero(ranges < 0)
+    assert h.pick(int(sx[0]), int(sy[0])) is None
+
+
+def test_horizon_profile_api(h):
+    az, tan_el = h.horizon(-60, 60, width=256)
+    assert az.shape == (256,) and tan_el.shape == (256,)
+    assert np.isfinite(tan_el).all()
+
+
+def test_default_radius_cells(dem_dir):
+    """Default render radius is 1000 cells (horizonator-pywrap.c:65)."""
+    hh = horizonator(34.40, -117.45, 64, 32, dir_dems=dem_dir, nsteps=256)
+    assert hh.mosaic.radius_cells == 1000
+
+
+def test_both_radii_error(dem_dir):
+    with pytest.raises(ValueError):
+        horizonator(34.4, -117.45, 64, 32, dir_dems=dem_dir,
+                    render_radius_cells=10, render_radius_m=1000.0)
+
+
+def test_cli_png(dem_dir, tmp_path):
+    out = tmp_path / "pano.png"
+    r = subprocess.run(
+        [sys.executable, "-m", "horizonator_tpu.cli",
+         "--width", "300", "--height", "100",
+         "--image", str(out), "--dirdems", dem_dir,
+         "--zfar", "25000", "--nsteps", "512",
+         "34.40", "-117.45", "0", "60"],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={"PATH": "/usr/bin:/bin", "HOME": "/root",
+             "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr
+    from PIL import Image
+    im = Image.open(out)
+    assert im.size == (300, 100)
+
+
+def test_cli_svg_annotated(dem_dir, tmp_path):
+    pois = [{"name": "Big Peak", "lat": 34.48, "lon": -117.38, "ele_m": 3000},
+            {"name": "Round Top", "lat": 34.55, "lon": -117.45, "ele_m": 2400}]
+    pf = tmp_path / "pois.json"
+    pf.write_text(json.dumps(pois))
+    out = tmp_path / "pano.svg"
+    r = subprocess.run(
+        [sys.executable, "-m", "horizonator_tpu.cli",
+         "--width", "400", "--height", "150",
+         "--image", str(out), "--dirdems", dem_dir, "--pois", str(pf),
+         "--zfar", "25000", "--nsteps", "512",
+         "34.40", "-117.45", "30", "40"],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={"PATH": "/usr/bin:/bin", "HOME": "/root",
+             "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr
+    svg = out.read_text()
+    assert "caltopo.com" in svg
+    assert "Big Peak" in svg
+    assert "deg</text>" in svg   # bearing ticks
+
+
+def test_cli_arg_validation(dem_dir):
+    env = {"PATH": "/usr/bin:/bin", "HOME": "/root", "JAX_PLATFORMS": "cpu"}
+    # --width without --image
+    r = subprocess.run([sys.executable, "-m", "horizonator_tpu.cli",
+                        "--width", "100", "34", "-117", "0", "45"],
+                       capture_output=True, text=True, cwd="/root/repo", env=env)
+    assert r.returncode == 1 and "--image" in r.stderr
+    # bad latitude
+    r = subprocess.run([sys.executable, "-m", "horizonator_tpu.cli",
+                        "--width", "10", "--image", "/tmp/x.png",
+                        "95", "-117", "0", "45"],
+                       capture_output=True, text=True, cwd="/root/repo", env=env)
+    assert r.returncode == 1 and "latitude" in r.stderr
