@@ -1,0 +1,116 @@
+"""Headline benchmark: panorama ms/viewpoint at 4096x1024 from a 3x3 SRTM3
+mosaic on one TPU chip (BASELINE.md north-star; target < 10 ms/viewpoint).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline = baseline_target_ms / measured_ms (>1 means faster than the
+10 ms target; the reference publishes no numbers of its own, BASELINE.md).
+
+Extra diagnostics go to stderr. Run with the default platform (real TPU).
+"""
+
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+BASELINE_TARGET_MS = 10.0
+WIDTH, HEIGHT = 4096, 1024
+NSTEPS = 1024          # ~0.65-cell spacing over the 40 km default clip range
+ZFAR = 40000.0
+CPD = 1200             # SRTM3
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_mosaic_dem(radius_cells=1700, seed=7):
+    """Synthetic 3x3-SRTM3-mosaic-sized DEM window: (2*1700)^2 cells spans
+    ~2.8 degrees, the size class of a 3x3 tile load."""
+    import jax.numpy as jnp
+    n = 2 * radius_cells
+    rng = np.random.default_rng(seed)
+    jj, ii = np.meshgrid(np.arange(n, dtype=np.float32),
+                         np.arange(n, dtype=np.float32), indexing="ij")
+    z = (600.0
+         + 500.0 * np.sin(ii / 223.0) * np.cos(jj / 181.0)
+         + 200.0 * np.sin(ii / 37.0 + 1.3) * np.cos(jj / 53.0)
+         + 30.0 * rng.standard_normal((n, n), dtype=np.float32))
+    return jnp.asarray(np.maximum(z, 0.0), jnp.float32)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from horizonator_tpu.render import RenderParams, render_panorama
+    from horizonator_tpu.render.raymarch import pack_dem_pairs
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    dem = jax.device_put(jax.jit(pack_dem_pairs)(make_mosaic_dem()), dev)
+    n = dem.shape[0]
+    f = jnp.float32
+    params = RenderParams(
+        viewer_cell_i=f(n / 2), viewer_cell_j=f(n / 2), viewer_z=f(900.0),
+        cos_viewer_lat=f(math.cos(math.radians(34.3))),
+        az_rad0=f(math.radians(-180.0)), az_rad1=f(math.radians(180.0)),
+        znear=f(100.0), zfar=f(ZFAR),
+        znear_color=f(100.0), zfar_color=f(ZFAR))
+
+    kw = dict(width=WIDTH, height=HEIGHT, nsteps=NSTEPS, cells_per_deg=CPD)
+
+    # NOTE on timing: under the axon dev tunnel, dispatch is asynchronous and
+    # block_until_ready alone under-reports; we force completion by reducing
+    # to a scalar on device and pulling it (the reduction itself is
+    # negligible). Large D2H transfers are avoided entirely (the tunnel is
+    # ~25 kB/s; real hosts move the 16 MB outputs over PCIe for free).
+    import functools
+
+    @jax.jit
+    def render_reduced(dem, p):
+        img, rng_ = render_panorama(dem, p, **kw)
+        return (jnp.sum(rng_) + jnp.sum(img[..., 2].astype(jnp.float32)),
+                (rng_ > 0).mean())
+
+    t0 = time.perf_counter()
+    s, vis = render_reduced(dem, params)
+    s.block_until_ready()
+    log(f"first call (compile + run): {time.perf_counter() - t0:.2f} s")
+    log(f"visible fraction: {float(vis):.3f}")
+
+    # RTT of a bare scalar pull, to subtract from per-iter timings
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(jnp.float32(1.0) + s * 0)
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+    log(f"scalar-pull RTT: {rtt * 1e3:.2f} ms")
+
+    # steady state: move the camera every call so nothing is trivially cached
+    iters = 20
+    times = []
+    for i in range(iters):
+        p = params._replace(viewer_cell_i=f(n / 2 + i),
+                            viewer_cell_j=f(n / 2 - i))
+        t0 = time.perf_counter()
+        s, _ = render_reduced(dem, p)
+        float(s)
+        times.append(time.perf_counter() - t0)
+    ms = 1e3 * max(1e-9, float(np.median(times)) - rtt)
+    log(f"per-viewpoint latency: median {ms:.3f} ms  "
+        f"min {1e3 * min(times):.3f}  max {1e3 * max(times):.3f}")
+
+    print(json.dumps({
+        "metric": "panorama_ms_per_viewpoint_4096x1024_3x3srtm3",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_TARGET_MS / ms, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

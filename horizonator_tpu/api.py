@@ -70,8 +70,12 @@ class horizonator:
             render_radius_m=render_radius_m,
             datadir=dir_dems, srtm1=SRTM1)
 
+        from .render.raymarch import pack_dem_pairs
         dem_f32 = self.mosaic.grid.astype(np.float32)
-        self._dem = jax.device_put(jnp.asarray(dem_f32), device)
+        # Pack elevation pairs once at init (halves the renderer's gather
+        # count); the packed plane is the device-resident scene.
+        self._dem = jax.device_put(pack_dem_pairs(jnp.asarray(dem_f32)),
+                                   device)
 
         self._atlas = None
         self._atlas_params = None

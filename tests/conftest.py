@@ -12,6 +12,14 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The axon sitecustomize pins JAX_PLATFORMS at interpreter start; the env var
+# alone doesn't stick. Force the platform through the config API too.
+import jax
+jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache across test runs/processes.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np
 import pytest
 

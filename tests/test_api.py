@@ -7,6 +7,10 @@ import sys
 import numpy as np
 import pytest
 
+_CLI_ENV = {"PATH": "/usr/bin:/bin", "HOME": "/root",
+            "JAX_PLATFORMS": "cpu",
+            "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_test_cache"}
+
 from horizonator_tpu import horizonator
 from horizonator_tpu.dem import hgt
 
@@ -134,8 +138,7 @@ def test_cli_png(dem_dir, tmp_path):
          "--zfar", "25000", "--nsteps", "512",
          "34.40", "-117.45", "0", "60"],
         capture_output=True, text=True, cwd="/root/repo",
-        env={"PATH": "/usr/bin:/bin", "HOME": "/root",
-             "JAX_PLATFORMS": "cpu"})
+        env=_CLI_ENV)
     assert r.returncode == 0, r.stderr
     from PIL import Image
     im = Image.open(out)
@@ -155,8 +158,7 @@ def test_cli_svg_annotated(dem_dir, tmp_path):
          "--zfar", "25000", "--nsteps", "512",
          "34.40", "-117.45", "30", "40"],
         capture_output=True, text=True, cwd="/root/repo",
-        env={"PATH": "/usr/bin:/bin", "HOME": "/root",
-             "JAX_PLATFORMS": "cpu"})
+        env=_CLI_ENV)
     assert r.returncode == 0, r.stderr
     svg = out.read_text()
     assert "caltopo.com" in svg
@@ -165,7 +167,7 @@ def test_cli_svg_annotated(dem_dir, tmp_path):
 
 
 def test_cli_arg_validation(dem_dir):
-    env = {"PATH": "/usr/bin:/bin", "HOME": "/root", "JAX_PLATFORMS": "cpu"}
+    env = _CLI_ENV
     # --width without --image
     r = subprocess.run([sys.executable, "-m", "horizonator_tpu.cli",
                         "--width", "100", "34", "-117", "0", "45"],

@@ -1,0 +1,97 @@
+"""Scale-out tests on the virtual 8-device CPU mesh: batch vmap, azimuth-wedge
+shard_map, fly-through path rendering. The sharded outputs must equal the
+single-device render exactly."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from horizonator_tpu.parallel import (horizon_batch, make_sharded_horizon,
+                                      make_sharded_renderer, render_batch,
+                                      render_path, stack_params)
+from horizonator_tpu.render import RenderParams, render_panorama
+
+CPD = 1200
+
+
+def make_dem(n=256):
+    jj, ii = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    z = 300 + 150 * np.sin(ii / 13.0) * np.cos(jj / 19.0)
+    return jnp.asarray(z, jnp.float32)
+
+
+def make_params(vi, vj, az0=-180.0, az1=180.0):
+    f = jnp.float32
+    return RenderParams(f(vi), f(vj), f(500.0), f(1.0),
+                        f(np.radians(az0)), f(np.radians(az1)),
+                        f(100.0), f(10000.0), f(100.0), f(10000.0))
+
+
+KW = dict(width=64, height=32, nsteps=256, cells_per_deg=CPD)
+
+
+def test_render_batch_matches_single():
+    dem = make_dem()
+    ps = [make_params(128.0, 128.0), make_params(100.0, 140.0),
+          make_params(150.0, 110.0)]
+    imgs, rngs = render_batch(dem, stack_params(ps), **KW)
+    assert imgs.shape == (3, 32, 64, 3)
+    for i, p in enumerate(ps):
+        img1, rng1 = render_panorama(dem, p, **KW)
+        np.testing.assert_array_equal(np.asarray(imgs[i]), np.asarray(img1))
+        np.testing.assert_array_equal(np.asarray(rngs[i]), np.asarray(rng1))
+
+
+@pytest.mark.parametrize("shape,names", [((4, 2), ("batch", "az")),
+                                         ((2, 4), ("batch", "az")),
+                                         ((1, 8), ("batch", "az"))])
+def test_sharded_renderer_matches_single(shape, names):
+    devs = np.array(jax.devices()[:shape[0] * shape[1]]).reshape(shape)
+    mesh = Mesh(devs, names)
+    dem = make_dem()
+    B = shape[0] * 2   # 2 viewpoints per batch shard
+    ps = [make_params(120.0 + i, 120.0 + 2 * i) for i in range(B)]
+    fn = make_sharded_renderer(mesh, **KW)
+    imgs, rngs = fn(dem, stack_params(ps))
+    assert imgs.shape == (B, 32, 64, 3)
+    for i, p in enumerate(ps):
+        img1, rng1 = render_panorama(dem, p, **KW)
+        # Wedge-local azimuth arithmetic is mathematically identical but
+        # reassociated in f32, so allow ULP-level noise (observed ~5e-3 m)
+        # and the corresponding occasional +-1 u8 rounding flip.
+        r_s, r_1 = np.asarray(rngs[i]), np.asarray(rng1)
+        vis_agree = (r_s > 0) == (r_1 > 0)
+        assert (~vis_agree).mean() < 0.002
+        np.testing.assert_allclose(r_s[vis_agree], r_1[vis_agree], atol=0.05)
+        di = np.abs(np.asarray(imgs[i], np.int32) - np.asarray(img1, np.int32))
+        assert di[vis_agree].max() <= 1
+
+
+def test_sharded_horizon_matches_batch():
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("batch", "az"))
+    dem = make_dem()
+    ps = stack_params([make_params(110.0 + 7 * i, 130.0) for i in range(4)])
+    fn = make_sharded_horizon(mesh, width=64, nsteps=256, cells_per_deg=CPD)
+    az_s, tan_s = fn(dem, ps)
+    az_b, tan_b = horizon_batch(dem, ps, width=64, nsteps=256,
+                                cells_per_deg=CPD)
+    np.testing.assert_allclose(np.asarray(az_s), np.asarray(az_b), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tan_s), np.asarray(tan_b), atol=1e-5)
+
+
+def test_render_path():
+    dem = make_dem()
+    frames = stack_params([make_params(100.0 + 5 * i, 128.0, -45, 45)
+                           for i in range(6)])
+    imgs, rngs = render_path(dem, frames, **KW)
+    assert imgs.shape == (6, 32, 64, 3)
+    # frames differ (the camera moves)
+    assert not np.array_equal(np.asarray(imgs[0]), np.asarray(imgs[-1]))
+    # and frame 0 equals the single render
+    img1, _ = render_panorama(
+        dem, jax.tree.map(lambda x: x[0], frames), **KW)
+    np.testing.assert_array_equal(np.asarray(imgs[0]), np.asarray(img1))
