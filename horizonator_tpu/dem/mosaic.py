@@ -172,6 +172,10 @@ def load_mosaic(viewer_lat: float, viewer_lon: float, *,
     grid = np.zeros((n, n), dtype=np.int16)
     missing: list[str] = []
 
+    from .. import _native
+    native = _native.get_lib()
+    edge = cpd + 1
+
     # Global cell range covered by the window, in cells from the SW corner of
     # the origin tile: [origin_cell, origin_cell + n).
     for tj in range(ndems[1]):
@@ -179,16 +183,27 @@ def load_mosaic(viewer_lat: float, viewer_lon: float, *,
             tile_lat = origin_dem[1] + tj
             tile_lon = origin_dem[0] + ti
             path = hgt.hgt_path(datadir, tile_lat, tile_lon)
+            if not path.exists():
+                missing.append(str(path))
+                if warn_missing:
+                    _msg("Warning: couldn't open DEM file '%s'. Assuming "
+                         "elevation=0 (sea surface?)", path)
+                continue
+            if native is not None:
+                # fused native pass: decode+flip+clamp+window-copy
+                rc = _native.blit_window(path, edge, grid,
+                                         ti * cpd - origin_cell[0],
+                                         tj * cpd - origin_cell[1])
+                if rc == 0 or rc == 1:   # 1: zero-size -> silent sea
+                    continue
+                if rc == 2:
+                    raise ValueError(
+                        f"The DEM file '{path}' has unexpected size. Is this "
+                        f"a {'1' if srtm1 else '3'}-arc-sec SRTM DEM?")
+                raise OSError(f"couldn't read DEM file '{path}' (rc={rc})")
             tile = hgt.read_hgt(path, srtm1)
             if tile is None:
-                if path.exists():
-                    pass  # zero-size: silent sea, dem.c:210-221
-                else:
-                    missing.append(str(path))
-                    if warn_missing:
-                        _msg("Warning: couldn't open DEM file '%s'. Assuming "
-                             "elevation=0 (sea surface?)", path)
-                continue
+                continue  # zero-size: silent sea, dem.c:210-221
             # Tile (ti,tj) provides global cells
             #   lon: [ti*cpd, ti*cpd + cpd], lat likewise (inclusive: the
             # tile has cpd+1 samples per edge; its last sample coincides with

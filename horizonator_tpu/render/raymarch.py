@@ -246,7 +246,7 @@ def march_tanel(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "nsteps", "cells_per_deg",
-                     "surface", "refine", "textured"))
+                     "surface", "refine", "textured", "atlas_params"))
 def render_panorama(dem, params: RenderParams, *, width, height, nsteps,
                     cells_per_deg, surface="bilinear", refine=True,
                     textured=False, atlas=None, atlas_params=None):

@@ -1,0 +1,262 @@
+"""Interactive viewer: slippy map + live render, as a local web app.
+
+The reference's interactive layer is an FLTK desktop app pairing the vendored
+florb map widget with a GL render (horizonator.cc, florb/): ~2.3k lines of
+C++ widget code. The TPU build keeps the interactions but moves them to a
+thin browser client over the library API -- the render loop stays in JAX on
+the device, the map is Leaflet/OSM, and the server is a small stdlib HTTP
+server. Feature parity with the reference's GUI:
+
+- map right-click -> re-render from that point (horizonator.cc:390-415);
+- render click -> pick: range-image unproject, marker on the map
+  (horizonator.cc:342-359, horizonator-lib.c:1216-1296);
+- wheel/drag azimuth pan-zoom with the az-radius clamp to [1, 179] deg
+  (horizonator.cc:135-168);
+- status bar showing the exact CLI command reproducing the view, with a copy
+  button (horizonator.cc:56-99);
+- the loaded-DEM extent rectangle on the map (slippymap-annotations.cc:40-59).
+
+Run: python -m horizonator_tpu.viewer LAT LON [AZ_CENTER [AZ_RADIUS]]
+     [--port 8080] [--dirdems DIR] [--SRTM1] [--zfar M] ...
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+_PAGE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>horizonator-tpu</title>
+<link rel="stylesheet" href="https://unpkg.com/leaflet@1.9.4/dist/leaflet.css"/>
+<script src="https://unpkg.com/leaflet@1.9.4/dist/leaflet.js"></script>
+<style>
+ body{margin:0;display:flex;flex-direction:column;height:100vh;font-family:sans-serif}
+ #map{flex:1;min-height:200px}
+ #pano-wrap{flex:1;min-height:150px;overflow:hidden;background:#001;position:relative}
+ #pano{width:100%;height:100%;object-fit:fill;cursor:crosshair}
+ #status{padding:4px 8px;background:#222;color:#eee;font-size:12px;display:flex;gap:8px;align-items:center}
+ #cmd{flex:1;font-family:monospace;overflow:hidden;text-overflow:ellipsis;white-space:nowrap}
+ button{font-size:12px}
+</style></head><body>
+<div id="map"></div>
+<div id="pano-wrap"><img id="pano"/></div>
+<div id="status"><span id="cmd"></span><button onclick="copyCmd()">copy</button>
+<span id="busy"></span></div>
+<script>
+let S = null;           // view state from the server
+const map = L.map('map');
+L.tileLayer('https://tile.openstreetmap.org/{z}/{x}/{y}.png',
+            {maxZoom:18, attribution:'&copy; OSM'}).addTo(map);
+let viewerMarker = null, pickMarker = null, demRect = null, fovLines = null;
+
+function drawOverlays(){
+  if(!S) return;
+  if(viewerMarker) map.removeLayer(viewerMarker);
+  viewerMarker = L.marker([S.lat, S.lon]).addTo(map);
+  if(demRect) map.removeLayer(demRect);
+  demRect = L.rectangle([[S.bounds[0],S.bounds[1]],[S.bounds[2],S.bounds[3]]],
+                        {color:'red', weight:1, fill:false}).addTo(map);
+  if(fovLines) map.removeLayer(fovLines);
+  const R = 2.0;  // deg-ish ray length
+  function ray(az){
+    const r = az*Math.PI/180;
+    return [[S.lat,S.lon],[S.lat+R*Math.cos(r), S.lon+R*Math.sin(r)/Math.cos(S.lat*Math.PI/180)]];
+  }
+  fovLines = L.layerGroup([
+    L.polyline(ray(S.az_center-S.az_radius), {color:'blue',weight:1}),
+    L.polyline(ray(S.az_center+S.az_radius), {color:'blue',weight:1}),
+    L.polyline(ray(S.az_center), {color:'blue',weight:2,dashArray:'4'}),
+  ]).addTo(map);
+  document.getElementById('cmd').textContent = S.command;
+}
+function copyCmd(){ navigator.clipboard.writeText(S.command); }
+
+async function call(path, body){
+  document.getElementById('busy').textContent = '⏳';
+  const r = await fetch(path, {method:'POST', body: JSON.stringify(body||{})});
+  const j = await r.json();
+  document.getElementById('busy').textContent = '';
+  return j;
+}
+async function refresh(move){
+  S = await call('/api/render', move);
+  document.getElementById('pano').src = '/pano.png?t=' + Date.now();
+  drawOverlays();
+}
+map.on('contextmenu', e => refresh({lat:e.latlng.lat, lon:e.latlng.lng}));
+document.getElementById('pano').addEventListener('contextmenu', async e => {
+  e.preventDefault();
+  const img = e.target, r = img.getBoundingClientRect();
+  const x = (e.clientX-r.left)/r.width, y = (e.clientY-r.top)/r.height;
+  const j = await call('/api/pick', {x:x, y:y});
+  if(j.hit){
+    if(pickMarker) map.removeLayer(pickMarker);
+    pickMarker = L.circleMarker([j.lat, j.lon], {radius:5, color:'red'}).addTo(map);
+  }
+});
+// wheel: zoom azimuth window about the cursor; drag: pan (like
+// GLWidget::pan_and_zoom, horizonator.cc:141-168)
+document.getElementById('pano-wrap').addEventListener('wheel', async e => {
+  e.preventDefault();
+  const k = e.deltaY > 0 ? 1.25 : 0.8;
+  await refresh({az_radius: S.az_radius * k});
+}, {passive:false});
+let dragX = null;
+document.getElementById('pano').addEventListener('mousedown', e => {if(e.button==0) dragX = e.clientX;});
+window.addEventListener('mouseup', async e => {
+  if(dragX === null) return;
+  const img = document.getElementById('pano'), r = img.getBoundingClientRect();
+  const daz = (dragX - e.clientX)/r.width * 2 * S.az_radius;
+  dragX = null;
+  if(Math.abs(daz) > 0.01) await refresh({az_center: S.az_center + daz});
+});
+(async () => { await refresh({}); map.setView([S.lat, S.lon], 11); })();
+</script></body></html>
+"""
+
+
+class ViewerState:
+    """Server-side scene: one horizonator instance + camera."""
+
+    def __init__(self, h, az_center, az_radius, znear, zfar):
+        self.h = h
+        self.az_center = float(az_center)
+        self.az_radius = float(az_radius)
+        self.znear = znear
+        self.zfar = zfar
+        self.lock = threading.Lock()
+        self.png = b""
+
+    def command(self):
+        return (f"python -m horizonator_tpu.viewer {self.h.viewer_lat:.6f} "
+                f"{self.h.viewer_lon:.6f} {self.az_center:.2f} "
+                f"{self.az_radius:.2f}")
+
+    def state_json(self):
+        lat0, lon0, lat1, lon1 = self.h.mosaic.bounds_latlon_deg()
+        return {
+            "lat": self.h.viewer_lat, "lon": self.h.viewer_lon,
+            "ele": self.h.viewer_z,
+            "az_center": self.az_center, "az_radius": self.az_radius,
+            "bounds": [lat0, lon0, lat1, lon1],
+            "command": self.command(),
+        }
+
+    def render(self, move):
+        with self.lock:
+            if "az_radius" in move:
+                # clamp like the reference (horizonator.cc:135-139)
+                self.az_radius = min(179.0, max(1.0, float(move["az_radius"])))
+            if "az_center" in move:
+                self.az_center = float(move["az_center"])
+            kw = {}
+            if "lat" in move and "lon" in move:
+                kw = dict(lat=float(move["lat"]), lon=float(move["lon"]))
+            image = self.h.render(self.az_center - self.az_radius,
+                                  self.az_center + self.az_radius,
+                                  return_range=False,
+                                  znear=self.znear, zfar=self.zfar, **kw)
+            from PIL import Image
+            buf = io.BytesIO()
+            Image.fromarray(image[:, :, ::-1]).save(buf, format="PNG")
+            self.png = buf.getvalue()
+            return self.state_json()
+
+    def pick(self, xf, yf):
+        with self.lock:
+            x = int(xf * self.h.width)
+            y = int(yf * self.h.height)
+            x = min(max(x, 0), self.h.width - 1)
+            y = min(max(y, 0), self.h.height - 1)
+            out = self.h.pick(x, y)
+            if out is None:
+                return {"hit": False}
+            return {"hit": True, "lat": out[0], "lon": out[1]}
+
+
+def make_handler(state: ViewerState):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _send(self, code, body, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/" or self.path.startswith("/index"):
+                self._send(200, _PAGE.encode(), "text/html; charset=utf-8")
+            elif self.path.startswith("/pano.png"):
+                self._send(200, state.png, "image/png")
+            elif self.path.startswith("/api/state"):
+                self._send(200, json.dumps(state.state_json()).encode())
+            else:
+                self._send(404, b"{}")
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(n) or b"{}")
+            if self.path == "/api/render":
+                self._send(200, json.dumps(state.render(body)).encode())
+            elif self.path == "/api/pick":
+                self._send(200, json.dumps(
+                    state.pick(float(body.get("x", 0.5)),
+                               float(body.get("y", 0.5)))).encode())
+            else:
+                self._send(404, b"{}")
+
+    return Handler
+
+
+def serve(state: ViewerState, port: int = 8080, *, poll=None):
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(state))
+    print(f"horizonator-tpu viewer: http://127.0.0.1:{port}/")
+    try:
+        httpd.serve_forever(poll_interval=poll or 0.5)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+
+
+def main(argv=None) -> int:
+    import argparse
+    from .api import horizonator, ZNEAR_DEFAULT, ZFAR_DEFAULT
+
+    p = argparse.ArgumentParser(prog="horizonator-tpu-viewer")
+    p.add_argument("lat", type=float)
+    p.add_argument("lon", type=float)
+    p.add_argument("az_center", type=float, nargs="?", default=0.0)
+    p.add_argument("az_radius", type=float, nargs="?", default=45.0)
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--width", type=int, default=1200)
+    p.add_argument("--height", type=int, default=400)
+    p.add_argument("--dirdems", type=str, default=None)
+    p.add_argument("--SRTM1", action="store_true")
+    p.add_argument("--texture", action="store_true")
+    p.add_argument("--dirtiles", type=str, default=None)
+    p.add_argument("--allow-tile-downloads", action="store_true",
+                   dest="allow_downloads")
+    p.add_argument("--znear", type=float, default=ZNEAR_DEFAULT)
+    p.add_argument("--zfar", type=float, default=ZFAR_DEFAULT)
+    args = p.parse_args(argv)
+
+    h = horizonator(args.lat, args.lon, args.width, args.height,
+                    render_texture=args.texture, SRTM1=args.SRTM1,
+                    dir_dems=args.dirdems, dir_tiles=args.dirtiles,
+                    allow_downloads=args.allow_downloads,
+                    render_radius_m=args.zfar)
+    state = ViewerState(h, args.az_center, args.az_radius,
+                        args.znear, args.zfar)
+    state.render({})
+    serve(state, args.port)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

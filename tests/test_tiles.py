@@ -1,0 +1,113 @@
+"""Tile cache / atlas / texture-render tests (network-free: the cache is
+pre-populated with synthetic tiles)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from horizonator_tpu import tiles
+from horizonator_tpu.render.texture import (AtlasParams, OSM_TILE_PX,
+                                            tile_xy_from_latlon)
+from horizonator_tpu.annotate.peaks import parse_elements, peak_name
+
+
+def test_tile_xy_known_values():
+    # OSM slippy formulas at zoom 12 (horizonator-lib.c:225-245)
+    x, y = tile_xy_from_latlon(34.2884, -117.7134, 12)
+    # longitude: (1 - 117.7134/180)/2 * 4096 ~ 708.6 -> 708
+    assert x == 708
+    # y = 2048*(1 - asinh(tan(34.2884deg))/pi) = 1632.4 -> 1632
+    assert y == 1632
+
+
+def test_fetch_tile_cache_hit_and_no_download(tmp_path):
+    p = tiles.tile_path(str(tmp_path), "mapnik", 12, 708, 1632)
+    p.parent.mkdir(parents=True)
+    Image.new("RGB", (256, 256), (10, 20, 30)).save(p)
+    got = tiles.fetch_tile(str(tmp_path), "mapnik", "http://x/%d/%d/%d.png",
+                           12, 708, 1632, allow_downloads=False)
+    assert got == p
+    with pytest.raises(FileNotFoundError):
+        tiles.fetch_tile(str(tmp_path), "mapnik", "http://x/%d/%d/%d.png",
+                         12, 708, 1633, allow_downloads=False)
+
+
+def _fill_cache(tmp_path, x_range, y_range, color_fn):
+    for x in x_range:
+        for y in y_range:
+            p = tiles.tile_path(str(tmp_path), "mapnik", 12, x, y)
+            p.parent.mkdir(parents=True, exist_ok=True)
+            Image.new("RGB", (256, 256), color_fn(x, y)).save(p)
+
+
+def test_build_atlas_layout(tmp_path):
+    lat, lon = 34.40, -117.45
+    radius_cells, cpd = 200, 1200
+    # figure out the needed range exactly as build_atlas does
+    x_lo, y_lo = tile_xy_from_latlon(lat + radius_cells / cpd,
+                                     lon - radius_cells / cpd, 12)
+    x_hi, y_hi = tile_xy_from_latlon(lat - radius_cells / cpd,
+                                     lon + radius_cells / cpd, 12)
+    _fill_cache(tmp_path, range(x_lo, x_hi + 1), range(y_lo, y_hi + 1),
+                lambda x, y: ((x * 37) % 256, (y * 53) % 256, 99))
+    atlas, ap = tiles.build_atlas(
+        lat, lon, radius_cells, cpd, -117.6, 34.2,
+        dir_tiles=str(tmp_path), allow_downloads=False)
+    assert ap.osmtile_lowest_x == x_lo and ap.osmtile_lowest_y == y_lo
+    assert atlas.shape == ((y_hi - y_lo + 1) * 256, (x_hi - x_lo + 1) * 256, 3)
+    # atlas is BGR; tile (x_lo, y_lo) occupies the top-left block
+    expect_rgb = ((x_lo * 37) % 256, (y_lo * 53) % 256, 99)
+    assert tuple(atlas[0, 0][::-1]) == expect_rgb
+    # second tile column
+    if x_hi > x_lo:
+        expect2 = (((x_lo + 1) * 37) % 256, (y_lo * 53) % 256, 99)
+        assert tuple(atlas[0, 256][::-1]) == expect2
+
+
+def test_textured_render_blend(tmp_path):
+    """End-to-end --texture: terrain pixels must be the 0.7*tex + 0.3*shade
+    blend (fragment.glsl:21), sky stays blue."""
+    from horizonator_tpu import horizonator
+    from horizonator_tpu.dem import hgt
+
+    d = tmp_path / "dems"
+    edge = hgt.SRTM3_EDGE
+    z = np.full((edge, edge), 400, np.int16)
+    hgt.write_hgt(d / "N34W118.hgt", z)
+
+    # uniform gray tiles -> predictable blend
+    lat, lon = 34.40, -117.45
+    x_lo, y_lo = tile_xy_from_latlon(lat + 100 / 1200, lon - 100 / 1200, 12)
+    x_hi, y_hi = tile_xy_from_latlon(lat - 100 / 1200, lon + 100 / 1200, 12)
+    _fill_cache(tmp_path, range(x_lo - 1, x_hi + 2), range(y_lo - 1, y_hi + 2),
+                lambda x, y: (200, 100, 50))
+
+    h = horizonator(lat, lon, 128, 64, render_texture=True,
+                    dir_dems=str(d), dir_tiles=str(tmp_path),
+                    allow_downloads=False, render_radius_cells=100,
+                    nsteps=256)
+    image, ranges = h.render(-45, 45, zfar=7000.0)
+    vis = ranges > 0
+    assert vis.any() and (~vis).any()
+    # sky = BGR blue
+    assert (image[~vis][:, 0] == 255).all()
+    # terrain: B = 0.7*50 (+0.3*0), G = 0.7*100, R = 0.7*200 + 0.3*red_ramp
+    b, g, r = (image[vis][:, i].astype(float) for i in range(3))
+    assert np.abs(b - 35).max() <= 2.0
+    assert np.abs(g - 70).max() <= 2.0
+    assert (r >= 139).all() and (r <= 0.7 * 200 + 0.3 * 255 + 2).all()
+
+
+def test_peaks_parse():
+    elements = [
+        {"lat": 34.0, "lon": -117.0,
+         "tags": {"natural": "peak", "ele": "3068", "name": "Mount Baldy",
+                  "name:en": "Mount San Antonio"}},
+        {"lat": 34.1, "lon": -117.1, "tags": {"ele": "1000"}},
+        {"lat": 34.2, "lon": -117.2, "tags": {"name": "No Elevation"}},
+    ]
+    pois = parse_elements(elements)
+    assert len(pois) == 2
+    assert pois[0]["name"] == "Mount San Antonio"   # name:en wins
+    assert pois[1]["name"] == "1000m"               # fallback to ele
+    assert peak_name({"name": "X"}, 5.0) == "X"

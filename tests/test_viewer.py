@@ -1,0 +1,96 @@
+"""Viewer server tests: drive the HTTP API end-to-end without a browser."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from horizonator_tpu import horizonator
+from horizonator_tpu.dem import hgt
+from horizonator_tpu.viewer import ViewerState, make_handler
+
+from http.server import ThreadingHTTPServer
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dems")
+    edge = hgt.SRTM3_EDGE
+    lat = 35.0 - np.arange(edge) / (edge - 1)
+    lon = -118.0 + np.arange(edge) / (edge - 1)
+    LA, LO = np.meshgrid(lat, lon, indexing="ij")
+    z = 200 + 2000 * np.exp(-((LA - 34.55) ** 2 + (LO + 117.45) ** 2)
+                            / (2 * 0.03 ** 2))
+    hgt.write_hgt(d / "N34W118.hgt", np.round(z).astype(np.int16))
+
+    h = horizonator(34.40, -117.45, 200, 80, dir_dems=str(d),
+                    render_radius_m=20000.0, nsteps=256)
+    state = ViewerState(h, az_center=0.0, az_radius=45.0,
+                        znear=100.0, zfar=20000.0)
+    state.render({})
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", state
+    httpd.shutdown()
+
+
+def _post(url, path, body):
+    req = urllib.request.Request(url + path, data=json.dumps(body).encode(),
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def _get(url, path):
+    with urllib.request.urlopen(url + path, timeout=30) as r:
+        return r.read(), r.headers.get("Content-Type")
+
+
+def test_index_and_state(server):
+    url, state = server
+    body, ctype = _get(url, "/")
+    assert b"horizonator" in body and "text/html" in ctype
+    body, _ = _get(url, "/api/state")
+    s = json.loads(body)
+    assert s["lat"] == 34.40 and s["az_radius"] == 45.0
+    assert "viewer 34.400000 -117.450000" in s["command"]
+    lat0, lon0, lat1, lon1 = s["bounds"]
+    assert lat0 < 34.40 < lat1 and lon0 < -117.45 < lon1
+
+
+def test_pano_png(server):
+    url, _ = server
+    body, ctype = _get(url, "/pano.png")
+    assert ctype == "image/png"
+    from PIL import Image
+    im = Image.open(io.BytesIO(body))
+    assert im.size == (200, 80)
+
+
+def test_render_move_and_pan_zoom(server):
+    url, state = server
+    s = _post(url, "/api/render", {"lat": 34.45, "lon": -117.40})
+    assert s["lat"] == 34.45
+    s = _post(url, "/api/render", {"az_radius": 500.0})
+    assert s["az_radius"] == 179.0     # clamp (horizonator.cc:135-139)
+    s = _post(url, "/api/render", {"az_radius": 0.01})
+    assert s["az_radius"] == 1.0
+    s = _post(url, "/api/render", {"az_center": 90.0})
+    assert s["az_center"] == 90.0
+    # restore
+    _post(url, "/api/render", {"lat": 34.40, "lon": -117.45,
+                               "az_center": 0.0, "az_radius": 45.0})
+
+
+def test_pick_endpoint(server):
+    url, _ = server
+    # bottom middle of the image: terrain
+    j = _post(url, "/api/pick", {"x": 0.5, "y": 0.95})
+    assert j["hit"] and 34.0 < j["lat"] < 35.0
+    # top: sky
+    j = _post(url, "/api/pick", {"x": 0.5, "y": 0.02})
+    assert not j["hit"]
