@@ -9,6 +9,7 @@ Extra diagnostics go to stderr. Run with the default platform (real TPU).
 """
 
 import json
+import os
 import math
 import sys
 import time
@@ -43,6 +44,13 @@ def make_mosaic_dem(radius_cells=1700, seed=7):
 
 def main():
     import jax
+    # Persistent compilation cache: TPU compiles of the sort-heavy render
+    # graph are expensive (minutes through a remote-compile service); cache
+    # them across runs.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/jax_bench_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from horizonator_tpu.render import RenderParams, render_panorama
     from horizonator_tpu.render.raymarch import pack_dem_pairs

@@ -1,0 +1,180 @@
+"""The full benchmark suite: the five BASELINE.md configs.
+
+Each config prints one JSON line {"config", "metric", "value", "unit", ...}.
+``bench.py`` at the repo root remains the driver's single-line headline; this
+suite is for humans and for tracking the other configs.
+
+Run:  python benchmarks/suite.py [--configs 1,2,3,4,5] [--iters N]
+
+Timing methodology: forced completion via on-device reduction + scalar pull,
+minus the measured transport RTT (see horizonator_tpu.profiling.device_time);
+large device->host transfers are avoided (the dev tunnel moves ~25 kB/s).
+"""
+
+import argparse
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def synth_dem(n, seed=7, relief=500.0):
+    import jax.numpy as jnp
+    rng = np.random.default_rng(seed)
+    jj, ii = np.meshgrid(np.arange(n, dtype=np.float32),
+                         np.arange(n, dtype=np.float32), indexing="ij")
+    z = (600.0 + relief * np.sin(ii / 223.0) * np.cos(jj / 181.0)
+         + 0.4 * relief * np.sin(ii / 37.0 + 1.3) * np.cos(jj / 53.0)
+         + 30.0 * rng.standard_normal((n, n), dtype=np.float32))
+    return jnp.asarray(np.maximum(z, 0.0), jnp.float32)
+
+
+def make_params(n, *, az0=-180.0, az1=180.0, znear=100.0, zfar=40000.0,
+                vz=900.0, lat=34.3):
+    import jax.numpy as jnp
+    from horizonator_tpu.render import RenderParams
+    f = jnp.float32
+    return RenderParams(f(n / 2), f(n / 2), f(vz),
+                        f(math.cos(math.radians(lat))),
+                        f(math.radians(az0)), f(math.radians(az1)),
+                        f(znear), f(zfar), f(znear), f(zfar))
+
+
+def timed(fn, *args, iters):
+    from horizonator_tpu.profiling import device_time, measure_rtt
+    rtt = measure_rtt()
+    return device_time(fn, *args, iters=iters, rtt=rtt)
+
+
+def config1(iters):
+    """Single SRTM3 tile, one viewpoint, 1024x512 panorama."""
+    import functools
+    from horizonator_tpu.render.raymarch import render_panorama, pack_dem_pairs
+    import jax
+    dem = jax.jit(pack_dem_pairs)(synth_dem(1200))
+    p = make_params(1200, az0=-60, az1=60, zfar=30000.0)
+    fn = functools.partial(render_panorama, width=1024, height=512,
+                           nsteps=512, cells_per_deg=1200)
+    sec = timed(fn, dem, p, iters=iters)
+    return {"config": 1, "metric": "pano_1024x512_1tile", "value":
+            round(sec * 1e3, 3), "unit": "ms/viewpoint"}
+
+
+def config2(iters):
+    """3x3 SRTM3 mosaic, 4096x1024 panorama + annotation range queries."""
+    import functools
+    import jax, jax.numpy as jnp
+    from horizonator_tpu.render.raymarch import render_panorama, pack_dem_pairs
+    dem = jax.jit(pack_dem_pairs)(synth_dem(3400))
+    p = make_params(3400)
+
+    def render_and_query(dem, p):
+        img, rng = render_panorama(dem, p, width=4096, height=1024,
+                                   nsteps=1024, cells_per_deg=1200)
+        # peak-annotation z-buffer queries: 512 POIs x 12-row fuzz gathers
+        xs = (jnp.arange(512, dtype=jnp.int32) * 8) % 4096
+        ys = 300 + (jnp.arange(512, dtype=jnp.int32) * 7) % 400
+        fuzz = jnp.arange(-6, 6, dtype=jnp.int32)
+        q = rng[jnp.clip(ys[:, None] + fuzz[None, :], 0, 1023), xs[:, None]]
+        return img, rng, q
+    sec = timed(render_and_query, dem, p, iters=iters)
+    return {"config": 2, "metric": "pano_4096x1024_3x3_annotated", "value":
+            round(sec * 1e3, 3), "unit": "ms/viewpoint"}
+
+
+def config3(iters):
+    """SRTM1 tiles, 300 km clip, 64-viewpoint batch in one dispatch."""
+    import functools
+    import jax, jax.numpy as jnp
+    from horizonator_tpu.parallel import render_batch, stack_params
+    from horizonator_tpu.render.raymarch import pack_dem_pairs
+    # 300 km at SRTM1 (30 m cells) spans 10k cells; use a 8192^2 window
+    # (hardware-memory-bounded stand-in, documented) with 3600 cells/deg.
+    n = 8192
+    dem = jax.jit(pack_dem_pairs)(synth_dem(n))
+    ps = stack_params([make_params(n, zfar=300000.0, vz=1200.0)
+                       ._replace(viewer_cell_i=jnp.float32(n / 2 + 13 * i))
+                       for i in range(64)])
+    fn = functools.partial(render_batch, width=1024, height=256, nsteps=2048,
+                           cells_per_deg=3600)
+    sec = timed(fn, dem, ps, iters=iters)
+    return {"config": 3, "metric": "srtm1_300km_batch64", "value":
+            round(sec / 64 * 1e3, 3), "unit": "ms/viewpoint"}
+
+
+def config4(iters):
+    """Fly-through: 64-frame camera path in one dispatch -> fps."""
+    import functools
+    import jax, jax.numpy as jnp
+    from horizonator_tpu.parallel import render_path, stack_params
+    from horizonator_tpu.render.raymarch import pack_dem_pairs
+    dem = jax.jit(pack_dem_pairs)(synth_dem(2048))
+    frames = stack_params(
+        [make_params(2048, az0=-45, az1=45, zfar=20000.0)
+         ._replace(viewer_cell_i=jnp.float32(1024 + 2 * i),
+                   viewer_cell_j=jnp.float32(1024 + i))
+         for i in range(64)])
+    fn = functools.partial(render_path, width=1024, height=512, nsteps=512,
+                           cells_per_deg=1200)
+    sec = timed(fn, dem, frames, iters=iters)
+    fps = 64 / sec
+    return {"config": 4, "metric": "flythrough_1024x512_fps", "value":
+            round(fps, 1), "unit": "fps"}
+
+
+def config5(iters):
+    """Viewshed sweep: 1024 viewpoints per dispatch over a 1-degree DEM
+    (scales linearly to 10k)."""
+    import functools
+    import jax, jax.numpy as jnp
+    from horizonator_tpu.ops import horizon_sweep
+    from horizonator_tpu.render.raymarch import pack_dem_pairs, RenderParams
+    n = 1200
+    dem = jax.jit(pack_dem_pairs)(synth_dem(n))
+    B = 1024
+    g = int(math.sqrt(B))
+    ii, jj = np.meshgrid(np.linspace(100, n - 100, g),
+                         np.linspace(100, n - 100, g))
+    f = lambda v: jnp.asarray(np.broadcast_to(v, (B,)).copy(), jnp.float32)
+    ps = RenderParams(
+        jnp.asarray(ii.ravel(), jnp.float32),
+        jnp.asarray(jj.ravel(), jnp.float32),
+        f(700.0), f(math.cos(math.radians(34.3))),
+        f(-math.pi), f(math.pi), f(50.0), f(20000.0), f(50.0), f(20000.0))
+    fn = functools.partial(horizon_sweep, width=256, nsteps=256,
+                           cells_per_deg=1200)
+    sec = timed(fn, dem, ps, iters=iters)
+    per = sec / B
+    return {"config": 5, "metric": "viewshed_sweep_per_viewpoint", "value":
+            round(per * 1e6, 2), "unit": "us/viewpoint",
+            "viewpoints_per_sec": round(B / sec)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    log(f"device: {jax.devices()[0]}")
+    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+    for c in [int(x) for x in args.configs.split(",")]:
+        t0 = time.perf_counter()
+        out = fns[c](args.iters)
+        log(f"config {c} total wall (incl compile): "
+            f"{time.perf_counter() - t0:.1f} s")
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,165 @@
+"""Viewshed / visibility analysis: workloads the reference cannot express.
+
+The reference renders one panorama per GL dispatch; "what is visible from
+here" exists only implicitly in its depth buffer. Here visibility is a
+first-class batched op built on the same ray march:
+
+- ``viewshed_polar``: per-(azimuth, range-step) visibility booleans for one
+  viewpoint -- a sample is visible iff its elevation angle reaches above the
+  running horizon of everything nearer (the cummax that the renderer already
+  computes);
+- ``viewshed_grid``: the polar field splatted back to DEM cell space
+  (nearest-azimuth, nearest-step), giving the familiar GIS-style visibility
+  raster;
+- ``viewshed_sweep`` / ``horizon_sweep``: vmap/shard_map fan-out over
+  thousands of viewpoints (BASELINE.md config 5: 10k-viewpoint sweep over a
+  1x1-degree region).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..render.raymarch import RenderParams, march_tanel
+
+DEG = math.pi / 180.0
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "nsteps", "cells_per_deg", "surface"))
+def viewshed_polar(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
+                   surface="bilinear"):
+    """Polar visibility field for one viewpoint.
+
+    Returns (visible (W, K) bool, tanel (W, K), d (K,), az (W,)): sample k of
+    column x is visible from the viewer iff no nearer sample in that azimuth
+    reaches a higher elevation angle (strictly: tanel >= running max of
+    everything before it; the first sample is always visible).
+    """
+    tanel, run_max, d, az = march_tanel(
+        dem, params, width=width, nsteps=nsteps, cells_per_deg=cells_per_deg,
+        surface=surface)
+    prev_max = jnp.concatenate(
+        [jnp.full((tanel.shape[0], 1), -3.0e38, tanel.dtype),
+         run_max[:, :-1]], axis=1)
+    visible = tanel >= prev_max
+    # out-of-grid samples are marked invisible (their tanel is -inf)
+    visible &= tanel > -1.0e38
+    return visible, tanel, d, az
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "nsteps", "cells_per_deg", "surface",
+                              "out_halfwidth"))
+def viewshed_grid(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
+                  surface="bilinear", out_halfwidth=None):
+    """GIS-style visibility raster around the viewer.
+
+    Evaluates the polar visibility at each output CELL's own (az, dist)
+    (gather from the polar field -- scatter-free), so every cell of the
+    (2*out_halfwidth)^2 window around the viewer gets a boolean.
+    Cells nearer than znear or beyond zfar are False.
+    """
+    p = params
+    visible, _, _, _ = viewshed_polar(
+        dem, p, width=width, nsteps=nsteps, cells_per_deg=cells_per_deg,
+        surface=surface)
+
+    hw = out_halfwidth
+    if hw is None:
+        raise ValueError("out_halfwidth is required")
+    cell_m_north = 6371000.0 * DEG / cells_per_deg
+    cell_m_east = cell_m_north * p.cos_viewer_lat
+
+    # cell-center offsets from the viewer, in meters
+    di = (jnp.arange(2 * hw, dtype=jnp.float32) - hw + 0.5)
+    dj = (jnp.arange(2 * hw, dtype=jnp.float32) - hw + 0.5)
+    e = di[None, :] * cell_m_east                  # (1, 2hw)
+    nn = dj[:, None] * cell_m_north                # (2hw, 1)
+    dist = jnp.sqrt(e * e + nn * nn)               # (2hw, 2hw)
+    az = jnp.arctan2(e, nn)
+
+    az1u, az_center, az_ndc_per_rad = _window(p)
+    az_u = _unwrap(az, az_center)
+    x = (az_u - az_center) * az_ndc_per_rad        # ndc
+    xcol = jnp.round((x + 1.0) / 2.0 * width - 0.5).astype(jnp.int32)
+    in_az = (x >= -1.0) & (x <= 1.0)
+    step = (p.zfar - p.znear) / nsteps
+    kidx = jnp.round((dist - p.znear) / step - 0.5).astype(jnp.int32)
+    in_r = (dist >= p.znear) & (dist <= p.zfar)
+
+    xc = jnp.clip(xcol, 0, width - 1)
+    kc = jnp.clip(kidx, 0, nsteps - 1)
+    vis = visible[xc, kc] & in_az & in_r
+    return vis
+
+
+def _window(p):
+    from .. import geometry
+    return geometry.az_window_rad(p.az_rad0, p.az_rad1)
+
+
+def _unwrap(x, near):
+    from .. import geometry
+    return geometry.unwrap_near_rad(x, near)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "nsteps", "cells_per_deg", "surface"))
+def horizon_sweep(dem, params_batch: RenderParams, *, width, nsteps,
+                  cells_per_deg, surface="bilinear"):
+    """(B,) stacked viewpoints -> (B, W) horizon tan(el). The building block
+    of the 10k-viewpoint sweep; shard the batch axis for multi-chip."""
+    def one(p):
+        _, run_max, _, _ = march_tanel(
+            dem, p, width=width, nsteps=nsteps, cells_per_deg=cells_per_deg,
+            surface=surface)
+        return run_max[:, -1]
+    return jax.vmap(one)(params_batch)
+
+
+def viewshed_sweep(dem, viewpoints_ij, *, viewer_height_m=2.0, width=256,
+                   nsteps=512, cells_per_deg=1200, znear=50.0, zfar=20000.0,
+                   cos_viewer_lat=1.0, batch=256, surface="bilinear"):
+    """Sweep many viewpoints over a DEM region (host-side driver).
+
+    viewpoints_ij: (N, 2) float cell coords. Renders in fixed-size batches to
+    keep one compiled executable, returning (N, width) horizon profiles.
+    Viewer elevation = terrain + viewer_height_m (sampled bilinearly).
+    """
+    import numpy as np
+
+    from ..render.raymarch import _as_packed, _sample_surface
+
+    dem_packed, n = _as_packed(jnp.asarray(dem))
+    pts = jnp.asarray(viewpoints_ij, jnp.float32)
+    ground = _sample_surface(dem_packed, n, pts[:, 0], pts[:, 1], "bilinear")
+    vz = ground + viewer_height_m
+
+    f = jnp.float32
+    outs = []
+    nview = pts.shape[0]
+    npad = -(-nview // batch) * batch
+    pad = npad - nview
+    pts_p = jnp.pad(pts, ((0, pad), (0, 0)), mode="edge")
+    vz_p = jnp.pad(vz, (0, pad), mode="edge")
+    for b in range(0, npad, batch):
+        sl = slice(b, b + batch)
+        params = RenderParams(
+            viewer_cell_i=pts_p[sl, 0], viewer_cell_j=pts_p[sl, 1],
+            viewer_z=vz_p[sl],
+            cos_viewer_lat=jnp.full((batch,), cos_viewer_lat, jnp.float32),
+            az_rad0=jnp.full((batch,), -math.pi, jnp.float32),
+            az_rad1=jnp.full((batch,), math.pi, jnp.float32),
+            znear=jnp.full((batch,), znear, jnp.float32),
+            zfar=jnp.full((batch,), zfar, jnp.float32),
+            znear_color=jnp.full((batch,), znear, jnp.float32),
+            zfar_color=jnp.full((batch,), zfar, jnp.float32))
+        outs.append(horizon_sweep(dem_packed, params, width=width,
+                                  nsteps=nsteps, cells_per_deg=cells_per_deg,
+                                  surface=surface))
+    return jnp.concatenate(outs, axis=0)[:nview]

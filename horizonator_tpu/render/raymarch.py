@@ -175,22 +175,13 @@ def _resolve_merge(m, t_y):
     # exclusive count of samples before each position
     cnt = jnp.cumsum(stag, axis=1) - stag
 
-    # forward propagation: last sample VALUE at or before each position
-    sample_val = jnp.where(stag == 1, sv, neg)
-
-    def fwd(a, b):
-        av, af = a
-        bv, bf = b
-        return jnp.where(bf, bv, av), af | bf
-
-    flags = stag == 1
-    m_lo_sorted, _ = jax.lax.associative_scan(
-        fwd, (sample_val, flags), axis=1)
-    # backward propagation: next sample value at or after each position
-    sample_val_r = jnp.where(stag == 1, sv, pos)
-    m_hi_rev, _ = jax.lax.associative_scan(
-        fwd, (sample_val_r[:, ::-1], flags[:, ::-1]), axis=1)
-    m_hi_sorted = m_hi_rev[:, ::-1]
+    # Bracketing sample values: because the merged array is SORTED, "the last
+    # sample value at or before me" is simply the running max of
+    # (sample ? value : -inf), and the "next sample value" the reverse
+    # running min -- plain cummax/cummin, no generic scan needed.
+    m_lo_sorted = jax.lax.cummax(jnp.where(stag == 1, sv, neg), axis=1)
+    m_hi_sorted = jax.lax.cummin(jnp.where(stag == 1, sv, pos), axis=1,
+                                 reverse=True)
 
     # unsort: thresholds (y < h) first, ordered by pixel row
     _, cnt_u, mlo_u, mhi_u = jax.lax.sort(

@@ -1,0 +1,92 @@
+"""Viewshed op tests on analytic terrain."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from horizonator_tpu.ops import (horizon_sweep, viewshed_grid, viewshed_polar,
+                                 viewshed_sweep)
+from horizonator_tpu.render import RenderParams
+
+CPD = 1200
+CELL_M = 6371000.0 * np.pi / 180.0 / CPD
+
+
+def params(vi, vj, vz, zfar=20000.0):
+    f = jnp.float32
+    return RenderParams(f(vi), f(vj), f(vz), f(1.0),
+                        f(-np.pi), f(np.pi), f(50.0), f(zfar),
+                        f(50.0), f(zfar))
+
+
+def test_wall_shadow_polar():
+    """A wall north of the viewer: samples beyond the wall below the shadow
+    line must be invisible; the wall face visible."""
+    n = 512
+    dem_np = np.zeros((n, n), np.float32)
+    j_wall = 300
+    dem_np[j_wall:j_wall + 2, :] = 400.0     # thin wall
+    dem = jnp.asarray(dem_np)
+    vis, tanel, d, az = viewshed_polar(dem, params(256, 256, 2.0),
+                                       width=360, nsteps=1024,
+                                       cells_per_deg=CPD)
+    vis = np.asarray(vis)
+    d = np.asarray(d)
+    az = np.asarray(az)
+    x0 = np.argmin(np.abs(az))               # due north column
+    d_wall = (j_wall - 256) * CELL_M
+    before = d < d_wall - 200
+    behind = (d > d_wall + 500) & (d < 15000)
+    assert vis[x0][before].all()             # flat ground visible up to wall
+    assert not vis[x0][behind].any()         # shadowed behind the wall
+    # due south: everything flat is visible
+    x180 = np.argmin(np.abs(np.abs(az) - np.pi))
+    assert vis[x180][d < 15000].mean() > 0.95
+
+
+def test_viewshed_grid_shadow():
+    n = 512
+    dem_np = np.zeros((n, n), np.float32)
+    dem_np[300:302, :] = 400.0
+    dem = jnp.asarray(dem_np)
+    hw = 200
+    vis = np.asarray(viewshed_grid(dem, params(256, 256, 2.0),
+                                   width=720, nsteps=1024, cells_per_deg=CPD,
+                                   out_halfwidth=hw))
+    assert vis.shape == (2 * hw, 2 * hw)
+    # south half mostly visible (inside range limits)
+    south = vis[20:hw - 20, :]
+    assert south.mean() > 0.9
+    # north strip behind the wall (rows 300.. in dem = 44.. in window) dark
+    behind = vis[(300 - 256 + hw) + 5:, hw - 50:hw + 50]
+    assert behind.mean() < 0.05
+
+
+def test_horizon_sweep_batch_shapes():
+    n = 256
+    dem = jnp.asarray(np.random.default_rng(0)
+                      .random((n, n)).astype(np.float32) * 50)
+    B = 4
+    f = jnp.float32
+    pb = RenderParams(*[jnp.full((B,), v, jnp.float32) for v in
+                        (128.0, 128.0, 60.0, 1.0, -np.pi, np.pi,
+                         50.0, 8000.0, 50.0, 8000.0)])
+    out = horizon_sweep(dem, pb, width=128, nsteps=256, cells_per_deg=CPD)
+    assert out.shape == (B, 128)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_viewshed_sweep_driver():
+    n = 256
+    jj, ii = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    dem = jnp.asarray((100 + 50 * np.sin(ii / 11.0)).astype(np.float32))
+    pts = np.stack(np.meshgrid(np.linspace(60, 190, 5),
+                               np.linspace(60, 190, 5)), -1).reshape(-1, 2)
+    out = viewshed_sweep(dem, pts, width=64, nsteps=128, cells_per_deg=CPD,
+                         zfar=5000.0, batch=8)
+    out = np.asarray(out)
+    assert out.shape == (25, 64)
+    assert np.isfinite(out).all()
+    # horizon from atop a sine ridge differs from a trough
+    assert np.std(out.max(axis=1)) > 0
