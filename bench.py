@@ -18,9 +18,9 @@ import numpy as np
 
 BASELINE_TARGET_MS = 10.0
 WIDTH, HEIGHT = 4096, 1024
-NSTEPS = 1024          # ~0.65-cell spacing over the 40 km default clip range
 ZFAR = 40000.0
 CPD = 1200             # SRTM3
+LAT = 34.3
 
 
 def log(*a):
@@ -53,22 +53,27 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from horizonator_tpu.render import RenderParams, render_panorama
-    from horizonator_tpu.render.raymarch import pack_dem_pairs
+    from horizonator_tpu.render.crossing import pack_scene, k_cross_for
 
     dev = jax.devices()[0]
     log(f"device: {dev}")
 
-    dem = jax.device_put(jax.jit(pack_dem_pairs)(make_mosaic_dem()), dev)
-    n = dem.shape[0]
+    scene = jax.jit(pack_scene)(make_mosaic_dem())
+    scene = jax.tree_util.tree_map(lambda x: jax.device_put(x, dev), scene)
+    dem = scene
+    n = scene.n
+    nsteps = k_cross_for(ZFAR, CPD, LAT, n=n)
+    log(f"grid {n}x{n}, crossing steps {nsteps}")
     f = jnp.float32
     params = RenderParams(
         viewer_cell_i=f(n / 2), viewer_cell_j=f(n / 2), viewer_z=f(900.0),
-        cos_viewer_lat=f(math.cos(math.radians(34.3))),
+        cos_viewer_lat=f(math.cos(math.radians(LAT))),
         az_rad0=f(math.radians(-180.0)), az_rad1=f(math.radians(180.0)),
         znear=f(100.0), zfar=f(ZFAR),
         znear_color=f(100.0), zfar_color=f(ZFAR))
 
-    kw = dict(width=WIDTH, height=HEIGHT, nsteps=NSTEPS, cells_per_deg=CPD)
+    kw = dict(width=WIDTH, height=HEIGHT, nsteps=nsteps, cells_per_deg=CPD,
+              sampler="crossing")
 
     # NOTE on timing: under the axon dev tunnel, dispatch is asynchronous and
     # block_until_ready alone under-reports; we force completion by reducing

@@ -49,7 +49,7 @@ class horizonator:
                  render_radius_cells=-1, render_radius_m=-1.0,
                  *,
                  nsteps=None, surface="bilinear", refine=True,
-                 oversample=1.5, device=None):
+                 oversample=1.5, sampler="auto", device=None):
         if render_radius_cells < 0 and render_radius_m < 0:
             render_radius_cells = RADIUS_CELLS_DEFAULT_PY  # horizonator-pywrap.c:65,98-99
         elif render_radius_cells > 0 and render_radius_m > 0:
@@ -70,12 +70,25 @@ class horizonator:
             render_radius_m=render_radius_m,
             datadir=dir_dems, srtm1=SRTM1)
 
-        from .render.raymarch import pack_dem_pairs
+        # 'auto': the grid-crossing DDA sampler (crossing.py) -- the fast
+        # TPU path -- except for 'triangulated' surface parity runs, which
+        # need the uniform-step sampler's sub-cell surface evaluation.
+        if sampler == "auto":
+            sampler = "crossing" if surface == "bilinear" else "step"
+        self.sampler = sampler
+
         dem_f32 = self.mosaic.grid.astype(np.float32)
-        # Pack elevation pairs once at init (halves the renderer's gather
-        # count); the packed plane is the device-resident scene.
-        self._dem = jax.device_put(pack_dem_pairs(jnp.asarray(dem_f32)),
-                                   device)
+        if sampler == "crossing":
+            from .render.crossing import pack_scene
+            scene = pack_scene(jnp.asarray(dem_f32))
+            self._dem = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, device), scene)
+        else:
+            from .render.raymarch import pack_dem_pairs
+            # Pack elevation pairs once at init (halves the renderer's
+            # gather count); the packed plane is the device-resident scene.
+            self._dem = jax.device_put(pack_dem_pairs(jnp.asarray(dem_f32)),
+                                       device)
 
         self._atlas = None
         self._atlas_params = None
@@ -103,6 +116,10 @@ class horizonator:
     def _auto_nsteps(self, znear, zfar):
         if self._nsteps_fixed is not None:
             return int(self._nsteps_fixed)
+        if self.sampler == "crossing":
+            from .render.crossing import k_cross_for
+            return k_cross_for(zfar, self.mosaic.cells_per_deg,
+                               self.viewer_lat, n=self.mosaic.grid.shape[0])
         # March at <= cell/oversample spacing, rounded up to a lane multiple
         # to keep recompiles rare and shapes friendly.
         n = (zfar - znear) / self.cell_m_north * self.oversample
@@ -168,7 +185,8 @@ class horizonator:
             cells_per_deg=self.mosaic.cells_per_deg,
             surface=self.surface, refine=self.refine,
             textured=self.render_texture,
-            atlas=self._atlas, atlas_params=self._atlas_params)
+            atlas=self._atlas, atlas_params=self._atlas_params,
+            sampler=self.sampler)
 
         ranges_np = np.asarray(ranges)
         self._last = dict(ranges=ranges_np, az_deg0=az_deg0, az_deg1=az_deg1,
@@ -209,10 +227,17 @@ class horizonator:
             cos_viewer_lat=f(math.cos(math.radians(self.viewer_lat))),
             az_rad0=f(math.radians(az_deg0)), az_rad1=f(math.radians(az_deg1)),
             znear=f(znear), zfar=f(zfar), znear_color=f(znear), zfar_color=f(zfar))
-        az, tan_el = horizon_profile(
-            self._dem, params, width=width,
-            nsteps=self._auto_nsteps(znear, zfar),
-            cells_per_deg=self.mosaic.cells_per_deg, surface=self.surface)
+        if self.sampler == "crossing":
+            from .render.crossing import horizon_crossing
+            az, tan_el = horizon_crossing(
+                self._dem, params, width=width,
+                k_cross=self._auto_nsteps(znear, zfar),
+                cells_per_deg=self.mosaic.cells_per_deg)
+        else:
+            az, tan_el = horizon_profile(
+                self._dem, params, width=width,
+                nsteps=self._auto_nsteps(znear, zfar),
+                cells_per_deg=self.mosaic.cells_per_deg, surface=self.surface)
         return np.asarray(az), np.asarray(tan_el)
 
     def __str__(self):

@@ -237,24 +237,35 @@ def march_tanel(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "nsteps", "cells_per_deg",
-                     "surface", "refine", "textured", "atlas_params"))
+                     "surface", "refine", "textured", "atlas_params",
+                     "sampler"))
 def render_panorama(dem, params: RenderParams, *, width, height, nsteps,
                     cells_per_deg, surface="bilinear", refine=True,
-                    textured=False, atlas=None, atlas_params=None):
+                    textured=False, atlas=None, atlas_params=None,
+                    sampler="step"):
     """Render one panorama.
 
     Args:
-      dem: (N, N) float32 elevation grid, dem[j, i], row 0 = SOUTH edge; or a
-        pre-packed (N, N-1) int32 plane from pack_dem_pairs (preferred: packs
-        once per scene instead of per render).
+      dem: scene data; depends on ``sampler``:
+        'step': (N, N) float32 elevation grid, dem[j, i], row 0 = SOUTH
+          edge; or a pre-packed (N, N-1) int32 plane from pack_dem_pairs
+          (preferred: packs once per scene instead of per render).
+        'crossing': a CrossingScene from crossing.pack_scene (or a float32
+          grid, packed on the fly).
       params: RenderParams (traced scalars -- camera moves don't recompile).
       width, height: output size (static).
-      nsteps: ray-march sample count (static); <=1-cell spacing recommended.
-      surface: 'bilinear' or 'triangulated' (reference mesh parity).
+      nsteps: sample count (static). For 'step': uniform distance steps,
+        <= 1-cell spacing recommended. For 'crossing': the static crossing
+        budget, use crossing.k_cross_for(zfar, ...).
+      surface: 'bilinear' or 'triangulated' (reference mesh parity;
+        'step' sampler only -- crossings sample grid lines where the two
+        surfaces agree exactly).
       refine: linearly interpolate the hit distance between the bracketing
         samples (analogous to the rasterizer interpolating across a triangle).
       textured / atlas / atlas_params: OSM texture mode
         (0.7*texture + 0.3*shading blend, fragment.glsl:21).
+      sampler: 'step' (v0 uniform march) or 'crossing' (grid-crossing DDA,
+        ~4x fewer DEM fetches -- the fast path; see crossing.py).
 
     Returns:
       image: (H, W, 3) uint8 **BGR** (the reference's byte order,
@@ -264,9 +275,26 @@ def render_panorama(dem, params: RenderParams, *, width, height, nsteps,
         (horizonator.h:164, depth->range math horizonator-lib.c:978-1047).
     """
     p = params
-    tanel, run_max, d, az = march_tanel(
-        dem, p, width=width, nsteps=nsteps, cells_per_deg=cells_per_deg,
-        surface=surface)
+    if sampler == "crossing":
+        from . import crossing as _crossing
+        scene = dem
+        if not isinstance(scene, _crossing.CrossingScene):
+            scene = _crossing.pack_scene(scene)
+        tanel, run_max, dists, az = _crossing.march_crossing(
+            scene, p, width=width, k_cross=nsteps,
+            cells_per_deg=cells_per_deg)
+        d_of = dists.d_of
+    elif sampler == "step":
+        tanel, run_max, d, az = march_tanel(
+            dem, p, width=width, nsteps=nsteps, cells_per_deg=cells_per_deg,
+            surface=surface)
+        step = (p.zfar - p.znear) / nsteps
+
+        def d_of(idx):
+            return p.znear + (idx.astype(jnp.float32) + 0.5) * step
+    else:
+        raise ValueError(f"unknown sampler {sampler!r}")
+    ktotal = run_max.shape[1]
 
     # Pixel-row elevation angles: top row first, square angular pixels
     # (el_ndc spans [-1,1] over the height; el = el_ndc*(az span)/2/aspect,
@@ -283,17 +311,17 @@ def render_panorama(dem, params: RenderParams, *, width, height, nsteps,
     # values too, so refinement needs no take_along_axis).
     tt = jnp.broadcast_to(t_y[None, :], (width, height))
     idx, m_lo, m_hi = _resolve_merge(run_max, t_y)                # (W,H)
-    sky = idx >= nsteps
-    idxc = jnp.minimum(idx, nsteps - 1)
+    sky = idx >= ktotal
+    idxc = jnp.minimum(idx, ktotal - 1)
 
-    step = (p.zfar - p.znear) / nsteps
-    d_hit = p.znear + (idxc.astype(jnp.float32) + 0.5) * step
+    d_hit = d_of(idxc)
     if refine:
         denom = m_hi - m_lo
         ok = (idxc > 0) & (denom > 0) & (denom < 1e30)
         alpha = jnp.clip(jnp.where(ok, (tt - m_lo), 0.0)
                          / jnp.where(ok, denom, 1.0), 0.0, 1.0)
-        d_ref = (d_hit - step) + alpha * step
+        d_prev = d_of(jnp.maximum(idxc - 1, 0))
+        d_ref = d_prev + alpha * (d_hit - d_prev)
         # Only refine interior hits; the first sample has no bracket.
         d_hit = jnp.where(ok, d_ref, d_hit)
     d_hit = jnp.clip(d_hit, p.znear, p.zfar)
