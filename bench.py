@@ -53,15 +53,13 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from horizonator_tpu.render import RenderParams, render_panorama
-    from horizonator_tpu.render.crossing import pack_scene, k_cross_for
+    from horizonator_tpu.render.crossing import k_cross_for
 
     dev = jax.devices()[0]
     log(f"device: {dev}")
 
-    scene = jax.jit(pack_scene)(make_mosaic_dem())
-    scene = jax.tree_util.tree_map(lambda x: jax.device_put(x, dev), scene)
-    dem = scene
-    n = scene.n
+    dem = jax.device_put(make_mosaic_dem(), dev)
+    n = dem.shape[0]
     nsteps = k_cross_for(ZFAR, CPD, LAT, n=n)
     log(f"grid {n}x{n}, crossing steps {nsteps}")
     f = jnp.float32
@@ -73,7 +71,7 @@ def main():
         znear_color=f(100.0), zfar_color=f(ZFAR))
 
     kw = dict(width=WIDTH, height=HEIGHT, nsteps=nsteps, cells_per_deg=CPD,
-              sampler="crossing")
+              sampler="window", lat_hint_deg=LAT)
 
     # NOTE on timing: under the axon dev tunnel, dispatch is asynchronous and
     # block_until_ready alone under-reports; we force completion by reducing

@@ -189,6 +189,75 @@ def _resolve_merge(m, t_y):
     return cnt_u[:, :h], mlo_u[:, :h], mhi_u[:, :h]
 
 
+_IMIN32 = jnp.int32(-2147483648)
+
+
+def _monotone_i32(f):
+    """Order-preserving bijection float32 -> int32 (radix-sort trick): lets
+    the resolve sort ONE int key instead of a 2-key (float, tag) compare."""
+    m = jax.lax.bitcast_convert_type(f, jnp.int32)
+    return jnp.where(m >= 0, m, _IMIN32 - m)
+
+
+def _monotone_i32_inv(k):
+    return jax.lax.bitcast_convert_type(
+        jnp.where(k >= 0, k, _IMIN32 - k), jnp.float32)
+
+
+def _resolve_merge2(m, t_y):
+    """Slimmed sort-merge resolve (same contract as _resolve_merge).
+
+    vs _resolve_merge: (a) one int32 monotone key instead of a 2-key
+    (f32 value, tag) comparator -- the lower-bound tie rule (thresholds
+    before equal samples) comes free from lax.sort's stability by
+    concatenating thresholds first; (b) idx computed from the sorted
+    POSITION (idx = pos - rank-among-thresholds, exploiting that t_y is
+    strictly descending) instead of a cumsum; (c) the two bracketing
+    values quantized to 16 bits each and carried as ONE packed payload
+    through the unsort (refine only needs alpha = (t-lo)/(hi-lo); 1.2e-4
+    absolute tanel quantization moves the refined distance by well under a
+    step). Roughly halves the resolve's sorted bytes.
+    """
+    w, k = m.shape
+    h = t_y.shape[0]
+    n = k + h
+
+    key_m = _monotone_i32(m)                                      # (W, K)
+    key_t = jnp.broadcast_to(_monotone_i32(t_y)[None, :], (w, h))
+    keys = jnp.concatenate([key_t, key_m], axis=1)                # (W, H+K)
+    ids = jnp.concatenate(
+        [jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[None], (w, h)),
+         jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None] + h, (w, k))],
+        axis=1)
+
+    sk, sid = jax.lax.sort((keys, ids), dimension=1, num_keys=1)
+    is_sample = sid >= h
+    pos = jax.lax.broadcasted_iota(jnp.int32, (w, n), 1)
+    # t_y strictly descending => ascending-key rank of threshold y among
+    # thresholds is (h-1-y); samples before a threshold = pos - that rank.
+    idxv = pos - (h - 1 - sid)
+
+    mlo_key = jax.lax.cummax(jnp.where(is_sample, sk, _IMIN32), axis=1)
+    mhi_key = jax.lax.cummin(jnp.where(is_sample, sk, jnp.int32(2**31 - 1)),
+                             axis=1, reverse=True)
+
+    # 16+16-bit packed brackets, tanel clipped to [-4, 4]. True sentinels
+    # (no sample on one side) only occur at idx==0 / idx==K, which the
+    # refine/sky gates already exclude.
+    def q16(key):
+        v = jnp.clip(_monotone_i32_inv(key), -4.0, 4.0)
+        return jnp.round((v + 4.0) * (65535.0 / 8.0)).astype(jnp.uint32)
+    packed = (q16(mlo_key) << 16) | q16(mhi_key)
+
+    _, idx_u, pack_u = jax.lax.sort((sid, idxv, packed), dimension=1,
+                                    num_keys=1)
+    idx = idx_u[:, :h]
+    pk = pack_u[:, :h]
+    m_lo = (pk >> 16).astype(jnp.float32) * (8.0 / 65535.0) - 4.0
+    m_hi = (pk & 0xffff).astype(jnp.float32) * (8.0 / 65535.0) - 4.0
+    return idx, m_lo, m_hi
+
+
 def _as_packed(dem):
     """Accept either an (N, N) float32 grid or a pre-packed (N, N-1) int32
     plane from pack_dem_pairs. Returns (packed, N)."""
@@ -238,11 +307,11 @@ def march_tanel(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
     jax.jit,
     static_argnames=("width", "height", "nsteps", "cells_per_deg",
                      "surface", "refine", "textured", "atlas_params",
-                     "sampler"))
+                     "sampler", "lat_hint_deg"))
 def render_panorama(dem, params: RenderParams, *, width, height, nsteps,
                     cells_per_deg, surface="bilinear", refine=True,
                     textured=False, atlas=None, atlas_params=None,
-                    sampler="step"):
+                    sampler="step", lat_hint_deg=45.0):
     """Render one panorama.
 
     Args:
@@ -275,7 +344,13 @@ def render_panorama(dem, params: RenderParams, *, width, height, nsteps,
         (horizonator.h:164, depth->range math horizonator-lib.c:978-1047).
     """
     p = params
-    if sampler == "crossing":
+    if sampler == "window":
+        from . import window as _window
+        tanel, run_max, dists, az = _window.march_window(
+            dem, p, width=width, k_cross=nsteps,
+            cells_per_deg=cells_per_deg, lat_hint_deg=lat_hint_deg)
+        d_of = dists.d_of
+    elif sampler == "crossing":
         from . import crossing as _crossing
         scene = dem
         if not isinstance(scene, _crossing.CrossingScene):
@@ -310,7 +385,7 @@ def render_panorama(dem, params: RenderParams, *, width, height, nsteps,
     # max, via the gather-free sort-merge (returns the bracketing run-max
     # values too, so refinement needs no take_along_axis).
     tt = jnp.broadcast_to(t_y[None, :], (width, height))
-    idx, m_lo, m_hi = _resolve_merge(run_max, t_y)                # (W,H)
+    idx, m_lo, m_hi = _resolve_merge2(run_max, t_y)               # (W,H)
     sky = idx >= ktotal
     idxc = jnp.minimum(idx, ktotal - 1)
 

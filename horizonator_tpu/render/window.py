@@ -1,0 +1,304 @@
+"""Pallas TPU kernel for the crossing march: gather-free DEM sampling.
+
+The crossing sampler (crossing.py) reduced the march to ONE random fetch per
+sample, but XLA's TPU gather runs at only ~170 M elements/s -- 17 ms of the
+frame at the 4096x1024 bench. This kernel removes the gather entirely.
+
+Key observation: a ray's crossing positions are AFFINE in the step index
+(pos(m) = a + m*t with |t| <= 1 by dominant-axis construction), so the
+positions needed by a tile of 64 adjacent columns x 64 consecutive steps
+span a narrow, *statically bounded* window of the DEM cross-axis. The kernel
+therefore:
+
+1. stages, per (column-tile, step-tile, direction), a (64 steps, WIN) window
+   of the direction's crossing table into VMEM with one element-granular
+   async DMA (origins are exact per-tile minima, scalar-prefetched);
+2. evaluates the linear-interpolation hat weight phi(i - pos) =
+   relu(1 - |i - pos|) against the whole window and contracts over it --
+   pure VPU multiply-accumulate, no data-dependent addressing. The hat IS
+   the 1D lerp of the crossing sampler, evaluated densely instead of
+   fetched sparsely: ~WIN x redundant FLOPs, but FLOPs are ~1000x cheaper
+   than gathered elements on this hardware;
+3. accumulates per-direction passes with max() into the output tile
+   (every column belongs to exactly one of the 4 crossing tables: north/
+   south row-crossings, east/west column-crossings), masking invalid
+   samples to -inf. Inactive (tile, direction) instances skip both the DMA
+   and the math (pl.when on a prefetched flag), so the direction axis costs
+   ~nothing.
+
+The crossing tables are built with 4 XLA dynamic-slices (+1 transpose for
+the column tables) per render; lane-alignment at DEM edges is restored with
+a roll. Output is the same (tanel, run_max, dists, az) contract as
+march_crossing, bit-identical geometry (the same CrossingGeom), so the
+resolve/image stages and all parity tests are shared.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import geometry
+from .raymarch import RenderParams
+from .crossing import crossing_geometry, CrossingDists, NEG_BIG, N_NEAR
+
+DEG = math.pi / 180.0
+
+TILE_W = 64    # image columns per tile
+TILE_K = 128   # crossing steps per tile (lane dim: 128-multiple required)
+
+
+def window_size(width: int, k_cross: int, n: int,
+                lat_hint_deg: float = 45.0) -> int:
+    """Static cross-axis window size covering any tile's position spread.
+
+    Spread <= TILE_K * max|t| (=1) + k_cross * d|t|/daz * daz/dcol * TILE_W,
+    where d|t|/daz <= r + 1/r with r = cell_n/cell_e = 1/cos(lat) and the
+    per-column azimuth step is at most 2*pi/width (a full panorama).
+    """
+    r = 1.0 / max(0.05, math.cos(math.radians(min(abs(lat_hint_deg) + 5.0,
+                                                  85.0))))
+    fan = k_cross * (r + 1.0 / r) * (2.0 * math.pi / width) * TILE_W
+    win = TILE_K + int(math.ceil(fan)) + 16   # +16: interp + 8-align slack
+    win = -(-win // 64) * 64
+    return min(win, -(-n // 64) * 64)
+
+
+def _slice_roll(arr2d, start, size):
+    """dynamic_slice rows [start, start+size) with clamping, then roll so
+    that row r of the result is arr2d[start + r] even when clamped (rows
+    outside the array contain wrapped garbage; callers mask them)."""
+    n = arr2d.shape[0]
+    start_c = jnp.clip(start, 0, max(n - size, 0))
+    sl = jax.lax.dynamic_slice(arr2d, (start_c, 0), (size, arr2d.shape[1]))
+    return jnp.roll(sl, start_c - start, axis=0)
+
+
+def build_crossing_tables(dem, params: RenderParams, k_kernel: int):
+    """(4, n, k_kernel) float32 crossing tables for the window kernel:
+    table[d, x, m] is the elevation at cross-axis position x of the line
+    crossed at step m in direction d. The cross-axis is on sublanes so the
+    kernel's window DMA only needs 8-aligned (not 128-aligned) origins."""
+    n = dem.shape[0]
+    cj, ci = params.viewer_cell_j, params.viewer_cell_i
+    j0n = (jnp.floor(cj) + 1).astype(jnp.int32)
+    j0s = (jnp.ceil(cj) - 1).astype(jnp.int32)
+    i0e = (jnp.floor(ci) + 1).astype(jnp.int32)
+    i0w = (jnp.ceil(ci) - 1).astype(jnp.int32)
+
+    t_n = _slice_roll(dem, j0n, k_kernel).T                     # rows j0n+m
+    t_s = _slice_roll(dem[::-1], (n - 1) - j0s, k_kernel).T     # rows j0s-m
+    demt = dem.T
+    t_e = _slice_roll(demt, i0e, k_kernel).T                    # cols i0e+m
+    t_w = _slice_roll(demt[::-1], (n - 1) - i0w, k_kernel).T    # cols i0w-m
+    tall = jnp.stack([t_n, t_s, t_e, t_w])
+    n_pad = -(-n // 64) * 64                  # cross-axis: window DMA bound
+    if n_pad != n:
+        tall = jnp.pad(tall, ((0, 0), (0, n_pad - n), (0, 0)))
+    return tall
+
+
+def _dir_id(geo):
+    """0=N, 1=S (row-dominant), 2=E, 3=W (column-dominant), per column."""
+    jd = geo.j_dom
+    pos_sign = geo.sign > 0
+    return jnp.where(jd, jnp.where(pos_sign, 0, 1),
+                     jnp.where(pos_sign, 2, 3)).astype(jnp.int32)
+
+
+def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
+                   pcol_ref, tall_ref,             # inputs
+                   out_ref,                        # output
+                   win_ref, sem_ref,               # scratch
+                   *, win: int, tile_w: int, tile_k: int, n: int):
+    wt = pl.program_id(0)
+    kt = pl.program_id(1)
+    d = pl.program_id(2)
+
+    @pl.when(d == 0)
+    def _():
+        out_ref[:] = jnp.full((tile_w, tile_k), NEG_BIG, jnp.float32)
+
+    @pl.when(act_ref[wt, kt, d] == 1)
+    def _():
+        o = pl.multiple_of(orig_ref[wt, kt, d], 8)   # 8-aligned origin
+        dma = pltpu.make_async_copy(
+            tall_ref.at[d, pl.ds(o, win), pl.ds(kt * tile_k, tile_k)],
+            win_ref, sem_ref)
+        dma.start()
+
+        # per-column params (W_pad, 8): a, t, e, scale, axis0, sign, dirid
+        pblk = pcol_ref[pl.ds(wt * tile_w, tile_w), :]         # (TW, 8)
+        a = pblk[:, 0:1]
+        t = pblk[:, 1:2]
+        e = pblk[:, 2:3]
+        scale = pblk[:, 3:4]
+        axis0 = pblk[:, 4:5]
+        sgn = pblk[:, 5:6]
+        dirid = pblk[:, 6:7]
+        vz = fscal_ref[0]
+        znear = fscal_ref[1]
+        zfar = fscal_ref[2]
+
+        of = o.astype(jnp.float32)
+
+        mf = (jax.lax.broadcasted_iota(jnp.int32, (1, tile_k), 1)
+              + kt * tile_k).astype(jnp.float32)               # (1, TK)
+        pos = a + mf * t - of                                  # (TW, TK)
+        axis_m = axis0 + mf * sgn
+        dm = (mf + e) * scale
+        posg = pos + of
+        valid = ((dirid == d.astype(jnp.float32))
+                 & (axis_m >= 0.0) & (axis_m <= n - 1.0)
+                 & (posg >= 0.0) & (posg <= n - 1.0)
+                 & (pos >= 0.0) & (pos <= win - 1.0)
+                 & (dm >= znear) & (dm <= zfar))
+
+        dma.wait()
+
+        def body(i, acc):
+            wrow = win_ref[pl.ds(i, 1), :]                     # (1, TK)
+            hat = jnp.maximum(1.0 - jnp.abs(pos - i.astype(jnp.float32)),
+                              0.0)
+            return acc + hat * wrow
+
+        z = jax.lax.fori_loop(
+            0, win, body, jnp.zeros((tile_w, tile_k), jnp.float32))
+
+        tanel = jnp.where(valid, (z - vz) / dm, NEG_BIG)
+        out_ref[:] = jnp.maximum(out_ref[:], tanel)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "k_cross",
+                                             "cells_per_deg", "lat_hint_deg",
+                                             "n_near", "interpret"))
+def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
+                 lat_hint_deg=45.0, n_near=N_NEAR, interpret=False):
+    """Pallas-kernel crossing march on a raw (n, n) float32 DEM.
+
+    Same contract as crossing.march_crossing: returns
+    (tanel (W, n_near+K), run_max, dists, az).
+    """
+    p = params
+    n = dem.shape[0]
+    k_kernel = max(TILE_K, min(k_cross, (n // TILE_K) * TILE_K))
+    k_kernel = -(-k_kernel // TILE_K) * TILE_K
+    w_pad = -(-width // TILE_W) * TILE_W
+    win = window_size(width, k_kernel, n, lat_hint_deg)
+
+    geo = crossing_geometry(params, width=width, cells_per_deg=cells_per_deg)
+    dirid = _dir_id(geo)
+
+    # --- per-tile window origins + active flags (exact, masked) -----------
+    n_wt = w_pad // TILE_W
+    n_kt = k_kernel // TILE_K
+    m = jnp.arange(k_kernel, dtype=jnp.float32)[None, :]
+    pos = geo.a[:, None] + m * geo.t[:, None]                  # (W, K)
+    axis_m = (geo.axis0.astype(jnp.float32)[:, None]
+              + m * geo.sign.astype(jnp.float32)[:, None])
+    d_all = (m + geo.e[:, None]) * geo.scale[:, None]
+    valid = ((axis_m >= 0) & (axis_m <= n - 1) & (pos >= 0) & (pos <= n - 1)
+             & (d_all >= p.znear) & (d_all <= p.zfar))
+
+    posq = jnp.where(valid, pos, jnp.inf)
+    pad_cols = w_pad - width
+    if pad_cols:
+        posq = jnp.pad(posq, ((0, pad_cols), (0, 0)),
+                       constant_values=jnp.inf)
+    post = posq.reshape(n_wt, TILE_W, n_kt, TILE_K).transpose(0, 2, 1, 3)
+
+    dir_pad = jnp.pad(dirid, (0, pad_cols), constant_values=-1)
+    dir_t = jnp.broadcast_to(
+        dir_pad.reshape(n_wt, 1, TILE_W, 1), post.shape)
+    origins = []
+    actives = []
+    for d in range(4):
+        sel = jnp.where(dir_t == d, post, jnp.inf)
+        mn = jnp.min(sel, axis=(2, 3))                         # (n_wt, n_kt)
+        act = jnp.isfinite(mn)
+        n_pad = -(-n // 64) * 64
+        o = jnp.clip(jnp.floor(mn) - 1, 0,
+                     max(n_pad - win, 0)).astype(jnp.int32)
+        o = o & ~7                                 # 8-aligned DMA sublanes
+        origins.append(jnp.where(act, o, 0))
+        actives.append(act.astype(jnp.int32))
+    origins = jnp.stack(origins, axis=-1)                      # (n_wt,n_kt,4)
+    actives = jnp.stack(actives, axis=-1)
+
+    # --- inputs ------------------------------------------------------------
+    tall = build_crossing_tables(dem.astype(jnp.float32), p, k_kernel)
+    pcol = jnp.stack([
+        geo.a, geo.t, geo.e, geo.scale,
+        geo.axis0.astype(jnp.float32), geo.sign.astype(jnp.float32),
+        dirid.astype(jnp.float32),
+        jnp.zeros_like(geo.a)], axis=1)                        # (W, 8)
+    if pad_cols:
+        pad = jnp.zeros((pad_cols, 8), jnp.float32)
+        pad = pad.at[:, 6].set(-1.0)
+        pcol = jnp.concatenate([pcol, pad], axis=0)
+    fscal = jnp.stack([p.viewer_z, p.znear, p.zfar]).astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_wt, n_kt, 4),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # pcol, whole (tiny)
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((TILE_W, TILE_K),
+                               lambda wt, kt, d, *_: (wt, kt),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((win, TILE_K), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kern = functools.partial(_window_kernel, win=win, tile_w=TILE_W,
+                             tile_k=TILE_K, n=n)
+    tanel = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((w_pad, k_kernel), jnp.float32),
+        interpret=interpret,
+    )(origins, actives, fscal, pcol, tall)
+    tanel = tanel[:width]
+
+    # --- near band (tiny; XLA gathers) ------------------------------------
+    m_star = jnp.maximum(jnp.ceil(p.znear / geo.scale - geo.e), 0.0)
+    near_hi = jnp.maximum((m_star + geo.e) * geo.scale, p.znear)
+    if n_near > 0:
+        q = jnp.arange(n_near, dtype=jnp.float32)[None, :]
+        dq = p.znear + q * ((near_hi[:, None] - p.znear) / n_near)
+        cell_n = geo.cell_m_north
+        cell_e = geo.cell_m_east
+        sin_az = jnp.sin(geo.az)[:, None]
+        cos_az = jnp.cos(geo.az)[:, None]
+        iq = p.viewer_cell_i + dq * sin_az / cell_e
+        jq = p.viewer_cell_j + dq * cos_az / cell_n
+        i0 = jnp.clip(jnp.floor(iq), 0, n - 2).astype(jnp.int32)
+        j0 = jnp.clip(jnp.floor(jq), 0, n - 2).astype(jnp.int32)
+        fi = jnp.clip(iq - i0, 0.0, 1.0)
+        fj = jnp.clip(jq - j0, 0.0, 1.0)
+        flat = dem.reshape(-1)
+        z00 = jnp.take(flat, j0 * n + i0)
+        z01 = jnp.take(flat, j0 * n + i0 + 1)
+        z10 = jnp.take(flat, (j0 + 1) * n + i0)
+        z11 = jnp.take(flat, (j0 + 1) * n + i0 + 1)
+        ztop = z00 + (z01 - z00) * fi
+        zbot = z10 + (z11 - z10) * fi
+        zq = ztop + (zbot - ztop) * fj
+        vq = ((iq >= 0) & (iq <= n - 1) & (jq >= 0) & (jq <= n - 1) &
+              (dq >= p.znear) & (dq <= p.zfar) & (dq < near_hi[:, None]))
+        tanel_q = jnp.where(vq, (zq - p.viewer_z) / dq, NEG_BIG)
+        tanel = jnp.concatenate([tanel_q, tanel], axis=1)
+
+    run_max = jax.lax.cummax(tanel, axis=1)
+    dists = CrossingDists(e=geo.e, scale=geo.scale, znear=p.znear,
+                          near_hi=near_hi, n_near=n_near)
+    return tanel, run_max, dists, geo.az
