@@ -70,15 +70,17 @@ class horizonator:
             render_radius_m=render_radius_m,
             datadir=dir_dems, srtm1=SRTM1)
 
-        # 'auto': the grid-crossing DDA sampler (crossing.py) -- the fast
-        # TPU path -- except for 'triangulated' surface parity runs, which
+        # 'auto': the Pallas window kernel (window.py) -- the fast TPU
+        # path -- except for 'triangulated' surface parity runs, which
         # need the uniform-step sampler's sub-cell surface evaluation.
         if sampler == "auto":
-            sampler = "crossing" if surface == "bilinear" else "step"
+            sampler = "window" if surface == "bilinear" else "step"
         self.sampler = sampler
 
         dem_f32 = self.mosaic.grid.astype(np.float32)
-        if sampler == "crossing":
+        if sampler == "window":
+            self._dem = jax.device_put(jnp.asarray(dem_f32), device)
+        elif sampler == "crossing":
             from .render.crossing import pack_scene
             scene = pack_scene(jnp.asarray(dem_f32))
             self._dem = jax.tree_util.tree_map(
@@ -113,10 +115,15 @@ class horizonator:
     def cell_m_north(self) -> float:
         return geometry.EARTH_RADIUS_M * math.pi / 180.0 / self.mosaic.cells_per_deg
 
+    def _lat_hint(self):
+        # 10-degree buckets: static for the jit cache, recompiles only when
+        # the viewer crosses a latitude band.
+        return round(self.viewer_lat / 10.0) * 10.0
+
     def _auto_nsteps(self, znear, zfar):
         if self._nsteps_fixed is not None:
             return int(self._nsteps_fixed)
-        if self.sampler == "crossing":
+        if self.sampler in ("crossing", "window"):
             from .render.crossing import k_cross_for
             return k_cross_for(zfar, self.mosaic.cells_per_deg,
                                self.viewer_lat, n=self.mosaic.grid.shape[0])
@@ -186,7 +193,7 @@ class horizonator:
             surface=self.surface, refine=self.refine,
             textured=self.render_texture,
             atlas=self._atlas, atlas_params=self._atlas_params,
-            sampler=self.sampler)
+            sampler=self.sampler, lat_hint_deg=self._lat_hint())
 
         ranges_np = np.asarray(ranges)
         self._last = dict(ranges=ranges_np, az_deg0=az_deg0, az_deg1=az_deg1,
@@ -227,7 +234,15 @@ class horizonator:
             cos_viewer_lat=f(math.cos(math.radians(self.viewer_lat))),
             az_rad0=f(math.radians(az_deg0)), az_rad1=f(math.radians(az_deg1)),
             znear=f(znear), zfar=f(zfar), znear_color=f(znear), zfar_color=f(zfar))
-        if self.sampler == "crossing":
+        if self.sampler == "window":
+            from .render.window import march_window
+            _, run_max, _, az = march_window(
+                self._dem, params, width=width,
+                k_cross=self._auto_nsteps(znear, zfar),
+                cells_per_deg=self.mosaic.cells_per_deg,
+                lat_hint_deg=self._lat_hint())
+            tan_el = run_max[:, -1]
+        elif self.sampler == "crossing":
             from .render.crossing import horizon_crossing
             az, tan_el = horizon_crossing(
                 self._dem, params, width=width,

@@ -179,13 +179,21 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
                                              "cells_per_deg", "lat_hint_deg",
                                              "n_near", "interpret"))
 def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
-                 lat_hint_deg=45.0, n_near=N_NEAR, interpret=False):
+                 lat_hint_deg=45.0, n_near=N_NEAR, interpret=None):
     """Pallas-kernel crossing march on a raw (n, n) float32 DEM.
 
     Same contract as crossing.march_crossing: returns
     (tanel (W, n_near+K), run_max, dists, az).
     """
+    if interpret is None:
+        # CPU backend (tests, virtual multi-chip meshes) has no Mosaic
+        # compiler; fall back to the Pallas interpreter there.
+        interpret = jax.default_backend() == "cpu"
     p = params
+    n_real = dem.shape[0]
+    if n_real < TILE_K + 8:      # tiny scenes: pad (zeros = ocean, masked)
+        dem = jnp.pad(dem, ((0, TILE_K + 8 - n_real),
+                            (0, TILE_K + 8 - n_real)))
     n = dem.shape[0]
     k_kernel = max(TILE_K, min(k_cross, (n // TILE_K) * TILE_K))
     k_kernel = -(-k_kernel // TILE_K) * TILE_K
@@ -203,7 +211,8 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
     axis_m = (geo.axis0.astype(jnp.float32)[:, None]
               + m * geo.sign.astype(jnp.float32)[:, None])
     d_all = (m + geo.e[:, None]) * geo.scale[:, None]
-    valid = ((axis_m >= 0) & (axis_m <= n - 1) & (pos >= 0) & (pos <= n - 1)
+    valid = ((axis_m >= 0) & (axis_m <= n_real - 1)
+             & (pos >= 0) & (pos <= n_real - 1)
              & (d_all >= p.znear) & (d_all <= p.zfar))
 
     posq = jnp.where(valid, pos, jnp.inf)
@@ -260,7 +269,7 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
         ],
     )
     kern = functools.partial(_window_kernel, win=win, tile_w=TILE_W,
-                             tile_k=TILE_K, n=n)
+                             tile_k=TILE_K, n=n_real)
     tanel = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -281,8 +290,8 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
         cos_az = jnp.cos(geo.az)[:, None]
         iq = p.viewer_cell_i + dq * sin_az / cell_e
         jq = p.viewer_cell_j + dq * cos_az / cell_n
-        i0 = jnp.clip(jnp.floor(iq), 0, n - 2).astype(jnp.int32)
-        j0 = jnp.clip(jnp.floor(jq), 0, n - 2).astype(jnp.int32)
+        i0 = jnp.clip(jnp.floor(iq), 0, n_real - 2).astype(jnp.int32)
+        j0 = jnp.clip(jnp.floor(jq), 0, n_real - 2).astype(jnp.int32)
         fi = jnp.clip(iq - i0, 0.0, 1.0)
         fj = jnp.clip(jq - j0, 0.0, 1.0)
         flat = dem.reshape(-1)
@@ -293,7 +302,7 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
         ztop = z00 + (z01 - z00) * fi
         zbot = z10 + (z11 - z10) * fi
         zq = ztop + (zbot - ztop) * fj
-        vq = ((iq >= 0) & (iq <= n - 1) & (jq >= 0) & (jq <= n - 1) &
+        vq = ((iq >= 0) & (iq <= n_real - 1) & (jq >= 0) & (jq <= n_real - 1) &
               (dq >= p.znear) & (dq <= p.zfar) & (dq < near_hi[:, None]))
         tanel_q = jnp.where(vq, (zq - p.viewer_z) / dq, NEG_BIG)
         tanel = jnp.concatenate([tanel_q, tanel], axis=1)

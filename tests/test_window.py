@@ -1,0 +1,93 @@
+"""Pallas window kernel vs the gather-based crossing sampler (its oracle).
+
+Both implement the same supercover-DDA geometry (crossing.CrossingGeom);
+the kernel must agree everywhere up to the crossing path's 0.5 m int16
+elevation quantization. Runs on the CPU backend (Pallas CPU lowering)."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from horizonator_tpu.render import render_panorama
+from horizonator_tpu.render.crossing import (pack_scene, march_crossing,
+                                             k_cross_for)
+from horizonator_tpu.render.window import march_window, window_size
+from tests.test_crossing import make_dem, params_for, CPD
+
+
+def _horizons(dem, p, width, k):
+    scene = pack_scene(dem)
+    _, rm_c, _, _ = march_crossing(scene, p, width=width, k_cross=k,
+                                   cells_per_deg=CPD)
+    _, rm_w, _, _ = march_window(dem, p, width=width, k_cross=k,
+                                 cells_per_deg=CPD, lat_hint_deg=34.0)
+    return np.asarray(rm_c[:, -1]), np.asarray(rm_w[:, -1])
+
+
+class TestWindowKernel:
+    @pytest.mark.parametrize("viewer", [(128.3, 127.6), (6.2, 250.0),
+                                        (128.0, 128.0)])
+    def test_matches_crossing_sampler(self, viewer):
+        dem = make_dem(256)
+        d_np = np.asarray(dem)
+        vz = float(d_np[int(viewer[1]):int(viewer[1]) + 2,
+                        int(viewer[0]):int(viewer[0]) + 2].max()) + 2.0
+        p = params_for(dem, *viewer, vz)
+        k = k_cross_for(15000.0, CPD, 34.0, n=256)
+        hc, hw = _horizons(dem, p, 512, k)
+        agree = (hc > -1e30) == (hw > -1e30)
+        assert agree.mean() == 1.0
+        vis = hc > -1e30
+        # 0.5 m quantization of the crossing path over >= 100 m distances
+        assert np.abs(hc[vis] - hw[vis]).max() < 6e-3
+
+    def test_narrow_window_and_wrap(self):
+        dem = make_dem(256, rough=8.0)
+        d_np = np.asarray(dem)
+        vz = float(d_np[127:129, 128:130].max()) + 2.0
+        k = k_cross_for(12000.0, CPD, 34.0, n=256)
+        for az0, az1 in [(170.0, 190.0), (-30.0, -29.0), (359.0, 361.0)]:
+            p = params_for(dem, 128.3, 127.6, vz, az0=az0, az1=az1,
+                           zfar=12000.0)
+            hc, hw = _horizons(dem, p, 256, k)
+            vis = hc > -1e30
+            assert np.mean((hc > -1e30) == (hw > -1e30)) == 1.0
+            if vis.any():
+                assert np.abs(hc[vis] - hw[vis]).max() < 6e-3
+
+    def test_tiny_dem_padding(self):
+        dem = make_dem(96, rough=4.0)
+        d_np = np.asarray(dem)
+        vz = float(d_np[47:49, 48:50].max()) + 2.0
+        p = params_for(dem, 48.2, 47.7, vz, zfar=6000.0)
+        k = k_cross_for(6000.0, CPD, 34.0, n=96)
+        hc, hw = _horizons(dem, p, 128, k)
+        vis = hc > -1e30
+        assert np.mean((hc > -1e30) == (hw > -1e30)) == 1.0
+        assert np.abs(hc[vis] - hw[vis]).max() < 6e-3
+
+    def test_full_render_via_sampler_arg(self):
+        dem = make_dem(256, rough=5.0)
+        d_np = np.asarray(dem)
+        vz = float(d_np[127:129, 128:130].max()) + 2.0
+        p = params_for(dem, 128.3, 127.6, vz, zfar=10000.0)
+        k = k_cross_for(10000.0, CPD, 34.0, n=256)
+        img_w, rng_w = render_panorama(dem, p, width=360, height=180,
+                                       nsteps=k, cells_per_deg=CPD,
+                                       sampler="window", lat_hint_deg=34.0)
+        img_c, rng_c = render_panorama(pack_scene(dem), p, width=360,
+                                       height=180, nsteps=k,
+                                       cells_per_deg=CPD, sampler="crossing")
+        rw, rc = np.asarray(rng_w), np.asarray(rng_c)
+        assert np.mean((rw < 0) == (rc < 0)) > 0.999
+        both = (rw > 0) & (rc > 0)
+        assert np.median(np.abs(rw[both] - rc[both])) < 2.0
+
+    def test_window_size_static(self):
+        # static in (width, K, n, lat bucket) only
+        assert window_size(4096, 576, 3400, 34.3) == window_size(
+            4096, 576, 3400, 34.3)
+        assert window_size(1024, 576, 3400, 34.3) > window_size(
+            4096, 576, 3400, 34.3)
