@@ -57,12 +57,15 @@ def timed(fn, *args, iters):
 def config1(iters):
     """Single SRTM3 tile, one viewpoint, 1024x512 panorama."""
     import functools
-    from horizonator_tpu.render.raymarch import render_panorama, pack_dem_pairs
     import jax
-    dem = jax.jit(pack_dem_pairs)(synth_dem(1200))
+    from horizonator_tpu.render.raymarch import render_panorama
+    from horizonator_tpu.render.crossing import k_cross_for
+    dem = jax.device_put(synth_dem(1200))
     p = make_params(1200, az0=-60, az1=60, zfar=30000.0)
+    k = k_cross_for(30000.0, 1200, 34.3, n=1200)
     fn = functools.partial(render_panorama, width=1024, height=512,
-                           nsteps=512, cells_per_deg=1200)
+                           nsteps=k, cells_per_deg=1200,
+                           sampler="window", lat_hint_deg=34.3)
     sec = timed(fn, dem, p, iters=iters)
     return {"config": 1, "metric": "pano_1024x512_1tile", "value":
             round(sec * 1e3, 3), "unit": "ms/viewpoint"}
@@ -72,13 +75,16 @@ def config2(iters):
     """3x3 SRTM3 mosaic, 4096x1024 panorama + annotation range queries."""
     import functools
     import jax, jax.numpy as jnp
-    from horizonator_tpu.render.raymarch import render_panorama, pack_dem_pairs
-    dem = jax.jit(pack_dem_pairs)(synth_dem(3400))
+    from horizonator_tpu.render.raymarch import render_panorama
+    from horizonator_tpu.render.crossing import k_cross_for
+    dem = jax.device_put(synth_dem(3400))
     p = make_params(3400)
+    k = k_cross_for(40000.0, 1200, 34.3, n=3400)
 
     def render_and_query(dem, p):
         img, rng = render_panorama(dem, p, width=4096, height=1024,
-                                   nsteps=1024, cells_per_deg=1200)
+                                   nsteps=k, cells_per_deg=1200,
+                                   sampler="window", lat_hint_deg=34.3)
         # peak-annotation z-buffer queries: 512 POIs x 12-row fuzz gathers
         xs = (jnp.arange(512, dtype=jnp.int32) * 8) % 4096
         ys = 300 + (jnp.arange(512, dtype=jnp.int32) * 7) % 400
@@ -91,42 +97,48 @@ def config2(iters):
 
 
 def config3(iters):
-    """SRTM1 tiles, 300 km clip, 64-viewpoint batch in one dispatch."""
+    """SRTM1 tile (3601^2), 300 km clip, 64-viewpoint batch, LOD march."""
     import functools
     import jax, jax.numpy as jnp
-    from horizonator_tpu.parallel import render_batch, stack_params
-    from horizonator_tpu.render.raymarch import pack_dem_pairs
-    # 300 km at SRTM1 (30 m cells) spans 10k cells; use a 8192^2 window
-    # (hardware-memory-bounded stand-in, documented) with 3600 cells/deg.
-    n = 8192
-    dem = jax.jit(pack_dem_pairs)(synth_dem(n))
-    ps = stack_params([make_params(n, zfar=300000.0, vz=1200.0)
+    from horizonator_tpu.parallel import stack_params
+    from horizonator_tpu.parallel.sharding import render_path
+    from horizonator_tpu.render.lod import build_pyramid, lod_plan
+    n = 3601
+    dem = synth_dem(n)
+    plan = lod_plan(300000.0, 2048, 3600, 34.0, n)
+    pyr = tuple(jax.device_put(x) for x in
+                build_pyramid(dem, 1 + max(sp.level for sp in plan)))
+    ps = stack_params([make_params(n, zfar=300000.0, vz=1200.0, lat=34.0)
                        ._replace(viewer_cell_i=jnp.float32(n / 2 + 13 * i))
                        for i in range(64)])
-    fn = functools.partial(render_batch, width=1024, height=256, nsteps=2048,
-                           cells_per_deg=3600)
-    sec = timed(fn, dem, ps, iters=iters)
+    fn = functools.partial(render_path, width=2048, height=512, nsteps=1,
+                           cells_per_deg=3600, sampler="lod",
+                           lat_hint_deg=34.0, lod_plan=plan)
+    sec = timed(fn, pyr, ps, iters=iters)
     return {"config": 3, "metric": "srtm1_300km_batch64", "value":
             round(sec / 64 * 1e3, 3), "unit": "ms/viewpoint"}
 
 
 def config4(iters):
-    """Fly-through: 64-frame camera path in one dispatch -> fps."""
+    """Fly-through: 60-frame camera path in one dispatch -> fps."""
     import functools
     import jax, jax.numpy as jnp
     from horizonator_tpu.parallel import render_path, stack_params
-    from horizonator_tpu.render.raymarch import pack_dem_pairs
-    dem = jax.jit(pack_dem_pairs)(synth_dem(2048))
+    from horizonator_tpu.render.crossing import k_cross_for
+    dem = jax.device_put(synth_dem(3400))
+    k = k_cross_for(40000.0, 1200, 34.3, n=3400)
     frames = stack_params(
-        [make_params(2048, az0=-45, az1=45, zfar=20000.0)
-         ._replace(viewer_cell_i=jnp.float32(1024 + 2 * i),
-                   viewer_cell_j=jnp.float32(1024 + i))
-         for i in range(64)])
-    fn = functools.partial(render_path, width=1024, height=512, nsteps=512,
-                           cells_per_deg=1200)
+        [make_params(3400, az0=-60 + 0.5 * i, az1=60 + 0.5 * i,
+                     zfar=40000.0)
+         ._replace(viewer_cell_i=jnp.float32(1700 + 3 * i),
+                   viewer_cell_j=jnp.float32(1700 + 2 * i))
+         for i in range(60)])
+    fn = functools.partial(render_path, width=1920, height=480, nsteps=k,
+                           cells_per_deg=1200, sampler="window",
+                           lat_hint_deg=34.3)
     sec = timed(fn, dem, frames, iters=iters)
-    fps = 64 / sec
-    return {"config": 4, "metric": "flythrough_1024x512_fps", "value":
+    fps = 60 / sec
+    return {"config": 4, "metric": "flythrough_1920x480_fps", "value":
             round(fps, 1), "unit": "fps"}
 
 

@@ -42,14 +42,23 @@ def stack_params(params_list) -> RenderParams:
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "nsteps", "cells_per_deg", "surface",
-                     "refine"))
+                     "refine", "sampler", "lat_hint_deg", "lod_plan"))
 def render_batch(dem, params: RenderParams, *, width, height, nsteps,
-                 cells_per_deg, surface="bilinear", refine=True):
-    """Single-device batch render: vmap over a stacked RenderParams batch.
-    Returns (images (B,H,W,3) u8, ranges (B,H,W) f32)."""
+                 cells_per_deg, surface="bilinear", refine=True,
+                 sampler="step", lat_hint_deg=45.0, lod_plan=None):
+    """Single-device batch render over a stacked RenderParams batch.
+    Returns (images (B,H,W,3) u8, ranges (B,H,W) f32).
+
+    The 'step'/'crossing' samplers batch with vmap; the Pallas-kernel
+    samplers ('window', 'lod') run the batch as one fused sequential loop
+    (lax.map) -- one dispatch either way, so per-viewpoint host latency is
+    amortized identically."""
     fn = lambda p: render_panorama(
         dem, p, width=width, height=height, nsteps=nsteps,
-        cells_per_deg=cells_per_deg, surface=surface, refine=refine)
+        cells_per_deg=cells_per_deg, surface=surface, refine=refine,
+        sampler=sampler, lat_hint_deg=lat_hint_deg, lod_plan=lod_plan)
+    if sampler in ("window", "lod"):
+        return jax.lax.map(fn, params)
     return jax.vmap(fn)(params)
 
 
@@ -145,14 +154,16 @@ def make_sharded_horizon(mesh: Mesh, *, width, nsteps, cells_per_deg,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "nsteps", "cells_per_deg", "surface",
-                     "refine"))
+                     "refine", "sampler", "lat_hint_deg", "lod_plan"))
 def render_path(dem, params_path: RenderParams, *, width, height, nsteps,
-                cells_per_deg, surface="bilinear", refine=True):
+                cells_per_deg, surface="bilinear", refine=True,
+                sampler="step", lat_hint_deg=45.0, lod_plan=None):
     """Fly-through: render a whole camera path in ONE dispatch via lax.map,
     avoiding per-frame host->device latency (SURVEY.md §7 'interactivity
     economics'). params_path: stacked RenderParams with leading axis =
     frames. Returns (images (F,H,W,3), ranges (F,H,W))."""
     fn = lambda p: render_panorama(
         dem, p, width=width, height=height, nsteps=nsteps,
-        cells_per_deg=cells_per_deg, surface=surface, refine=refine)
+        cells_per_deg=cells_per_deg, surface=surface, refine=refine,
+        sampler=sampler, lat_hint_deg=lat_hint_deg, lod_plan=lod_plan)
     return jax.lax.map(fn, params_path)

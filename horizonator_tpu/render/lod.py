@@ -1,0 +1,192 @@
+"""Level-of-detail march: a mip-chain of DEMs, each marching one distance
+band.
+
+The reference renders every triangle at full resolution regardless of
+distance and lists LOD as future work (README.org:169-185). Here LOD is
+native: beyond the distance where a DEM cell subtends less than ~a pixel,
+the march switches to a 2x-coarser average-pooled level, so the step count
+grows logarithmically with zfar instead of linearly:
+
+    SRTM1 (30.9 m cells) to 300 km: ~10,400 flat steps -> ~2,000 LOD steps.
+
+Each level runs the same Pallas window kernel (window.march_window) on its
+own grid with the distance band passed as the clip interval; window tiles
+entirely outside the band deactivate via the kernel's prefetched activity
+flags, so a level costs only its band. Per-level tangent segments are
+concatenated in ascending-distance order (bands partition [znear, zfar]),
+which keeps the downstream first-crossing resolve unchanged.
+
+Average pooling is the right LOD filter for rendering (the coarse surface
+is the antialiased limit of the fine one); a max-pooled pyramid would bias
+horizons upward. The band switch distance is cell/theta with theta about
+one pixel's angular size, so the coarse levels are at or below the output
+resolution -- strictly better than the reference's aliased far field.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import geometry
+from .raymarch import RenderParams
+from .crossing import crossing_geometry, NEG_BIG, N_NEAR
+
+DEG = math.pi / 180.0
+
+
+class LevelSpec(NamedTuple):
+    """Static per-level plan entry."""
+    level: int       # pyramid level (cell size = 2**level * base)
+    d_lo: float      # band start, meters (half-open [d_lo, d_hi))
+    d_hi: float
+    k_lo: int        # first crossing index kept from this level's march
+    k_len: int       # number of crossing indices kept
+
+
+def build_pyramid(dem, levels: int):
+    """Average-pooled 2x mip chain: tuple of (n_L, n_L) float32 arrays.
+    Cell centers: level-L cell i covers level-(L-1) cells 2i, 2i+1."""
+    out = [jnp.asarray(dem, jnp.float32)]
+    for _ in range(levels - 1):
+        d = out[-1]
+        n = d.shape[0]
+        if n % 2:
+            d = jnp.pad(d, ((0, 1), (0, 1)), mode="edge")
+            n += 1
+        out.append((d[0::2, 0::2] + d[0::2, 1::2]
+                    + d[1::2, 0::2] + d[1::2, 1::2]) * 0.25)
+    return tuple(out)
+
+
+def lod_plan(zfar_m: float, width: int, cells_per_deg: float, lat_deg: float,
+             n: int, *, theta_px: float = 1.0, span_hint_rad: float = None,
+             max_levels: int = 8) -> tuple:
+    """Static band plan covering (0, zfar]. Returns a tuple of LevelSpec.
+
+    A level's band ends where its cell stops resolving at the output: at
+    distance cell_L / theta, theta = theta_px * (azimuth span / width).
+    With the default full-panorama span hint this is conservative for
+    narrower windows in absolute terms but matches their relative pixel
+    density scaling.
+    """
+    if span_hint_rad is None:
+        span_hint_rad = 2.0 * math.pi
+    cell_n0 = geometry.EARTH_RADIUS_M * DEG / cells_per_deg
+    cos_lat = max(0.05, abs(math.cos(math.radians(lat_deg))))
+    cell_e0 = cell_n0 * cos_lat
+    theta = theta_px * span_hint_rad / width
+
+    specs = []
+    d_lo = 0.0
+    lvl = 0
+    while True:
+        cell_e = cell_e0 * (2 ** lvl)
+        cell_n = cell_n0 * (2 ** lvl)
+        n_l = -(-n // (2 ** lvl))
+        d_hi = cell_e / max(theta, 1e-9)
+        last = (d_hi >= zfar_m or lvl == max_levels - 1
+                or n_l // 2 < 192)     # next level too coarse/tiny
+        if last:
+            d_hi = zfar_m
+        if d_hi > d_lo:
+            diag = math.hypot(cell_n, cell_e)
+            k_lo = max(0, int(d_lo / diag) - 2)
+            k_hi = int(math.ceil(d_hi / cell_e)) + 3
+            k_hi = min(k_hi, n_l + 2)
+            specs.append(LevelSpec(lvl, d_lo, d_hi, k_lo,
+                                   max(1, k_hi - k_lo)))
+            d_lo = d_hi
+        if last or d_lo >= zfar_m:
+            break
+        lvl += 1
+    return tuple(specs)
+
+
+class LodDists(NamedTuple):
+    """Distance-from-index mapping across the near band + level segments."""
+    e: jax.Array         # (L, W) per-level first-crossing offsets
+    scale: jax.Array     # (L, W) per-level meters per step
+    znear: jax.Array
+    near_hi: jax.Array   # (W,)
+    n_near: int
+    k_lo: tuple          # static per-level
+    seg_len: tuple
+
+    def d_of(self, idx):
+        q = self.n_near
+        idxf = idx.astype(jnp.float32)
+        d = self.znear + idxf * ((self.near_hi[:, None] - self.znear)
+                                 / max(q, 1))
+        off = q
+        for li, (klo, slen) in enumerate(zip(self.k_lo, self.seg_len)):
+            m = idxf - off + klo
+            d_l = (m + self.e[li][:, None]) * self.scale[li][:, None]
+            d = jnp.where((idx >= off) & (idx < off + slen), d_l, d)
+            off += slen
+        return d
+
+
+def _scaled_params(p: RenderParams, level: int):
+    s = float(2 ** level)
+    return p._replace(viewer_cell_i=(p.viewer_cell_i - 0.5 * (s - 1)) / s,
+                      viewer_cell_j=(p.viewer_cell_j - 0.5 * (s - 1)) / s)
+
+
+def march_lod(pyramid, params: RenderParams, *, width, plan, cells_per_deg,
+              lat_hint_deg=45.0, n_near=N_NEAR, interpret=None):
+    """Multi-level crossing march. Same output contract as march_window:
+    (tanel (W, n_near + sum(seg_len)), run_max, dists, az).
+
+    pyramid: tuple from build_pyramid (must have >= max plan level + 1
+    entries); plan: tuple of LevelSpec from lod_plan (static).
+
+    Deliberately NOT jitted itself: the returned LodDists carries static
+    ints/tuples that must stay Python values for d_of; callers (e.g.
+    render_panorama) jit around it.
+    """
+    from .window import march_window
+
+    p = params
+    segs = []
+    es = []
+    scales = []
+    near_hi = None
+    for si, spec in enumerate(plan):
+        dem_l = pyramid[spec.level]
+        p_l = _scaled_params(p, spec.level)
+        cpd_l = cells_per_deg / (2 ** spec.level)
+        # Band as the clip interval: the kernel masks d outside
+        # [znear', zfar'], and tiles with no valid sample deactivate.
+        p_l = p_l._replace(znear=jnp.maximum(p.znear, jnp.float32(spec.d_lo)),
+                           zfar=jnp.minimum(p.zfar, jnp.float32(spec.d_hi)))
+        is_first = si == 0
+        tanel_l, _, dists_l, az = march_window(
+            dem_l, p_l, width=width, k_cross=spec.k_lo + spec.k_len,
+            cells_per_deg=cpd_l, lat_hint_deg=lat_hint_deg,
+            n_near=n_near if is_first else 0, interpret=interpret)
+        nn = n_near if is_first else 0
+        k_avail = tanel_l.shape[1] - nn
+        hi = min(spec.k_lo + spec.k_len, k_avail)
+        seg = tanel_l[:, nn + spec.k_lo: nn + hi]
+        if hi - spec.k_lo < spec.k_len:   # kernel rounded K down (tiny DEM)
+            seg = jnp.pad(seg, ((0, 0), (0, spec.k_len - (hi - spec.k_lo))),
+                          constant_values=NEG_BIG)
+        if is_first:
+            segs.append(tanel_l[:, :nn])
+            near_hi = dists_l.near_hi
+        segs.append(seg)
+        es.append(dists_l.e)
+        scales.append(dists_l.scale)
+
+    tanel = jnp.concatenate(segs, axis=1)
+    run_max = jax.lax.cummax(tanel, axis=1)
+    dists = LodDists(e=jnp.stack(es), scale=jnp.stack(scales),
+                     znear=p.znear, near_hi=near_hi, n_near=n_near,
+                     k_lo=tuple(s.k_lo for s in plan),
+                     seg_len=tuple(s.k_len for s in plan))
+    return tanel, run_max, dists, az

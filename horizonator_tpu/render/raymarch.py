@@ -307,11 +307,11 @@ def march_tanel(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
     jax.jit,
     static_argnames=("width", "height", "nsteps", "cells_per_deg",
                      "surface", "refine", "textured", "atlas_params",
-                     "sampler", "lat_hint_deg"))
+                     "sampler", "lat_hint_deg", "lod_plan"))
 def render_panorama(dem, params: RenderParams, *, width, height, nsteps,
                     cells_per_deg, surface="bilinear", refine=True,
                     textured=False, atlas=None, atlas_params=None,
-                    sampler="step", lat_hint_deg=45.0):
+                    sampler="step", lat_hint_deg=45.0, lod_plan=None):
     """Render one panorama.
 
     Args:
@@ -344,7 +344,17 @@ def render_panorama(dem, params: RenderParams, *, width, height, nsteps,
         (horizonator.h:164, depth->range math horizonator-lib.c:978-1047).
     """
     p = params
-    if sampler == "window":
+    if sampler == "lod":
+        from . import lod as _lod
+        pyramid = dem if isinstance(dem, (tuple, list)) else None
+        if pyramid is None:
+            nlev = 1 + max(s.level for s in lod_plan)
+            pyramid = _lod.build_pyramid(dem, nlev)
+        tanel, run_max, dists, az = _lod.march_lod(
+            tuple(pyramid), p, width=width, plan=lod_plan,
+            cells_per_deg=cells_per_deg, lat_hint_deg=lat_hint_deg)
+        d_of = dists.d_of
+    elif sampler == "window":
         from . import window as _window
         tanel, run_max, dists, az = _window.march_window(
             dem, p, width=width, k_cross=nsteps,
