@@ -258,7 +258,7 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
         grid=(n_wt, n_kt, 4),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # pcol, whole (tiny)
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((TILE_W, TILE_K),
                                lambda wt, kt, d, *_: (wt, kt),
