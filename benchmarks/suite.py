@@ -148,9 +148,11 @@ def config5(iters):
     import functools
     import jax, jax.numpy as jnp
     from horizonator_tpu.ops import horizon_sweep
-    from horizonator_tpu.render.raymarch import pack_dem_pairs, RenderParams
+    from horizonator_tpu.render.raymarch import RenderParams
+    from horizonator_tpu.render.crossing import pack_scene, k_cross_for
     n = 1200
-    dem = jax.jit(pack_dem_pairs)(synth_dem(n))
+    dem = jax.jit(pack_scene)(synth_dem(n))
+    nsteps = k_cross_for(20000.0, 1200, 34.3, n=n)
     B = 1024
     g = int(math.sqrt(B))
     ii, jj = np.meshgrid(np.linspace(100, n - 100, g),
@@ -161,8 +163,8 @@ def config5(iters):
         jnp.asarray(jj.ravel(), jnp.float32),
         f(700.0), f(math.cos(math.radians(34.3))),
         f(-math.pi), f(math.pi), f(50.0), f(20000.0), f(50.0), f(20000.0))
-    fn = functools.partial(horizon_sweep, width=256, nsteps=256,
-                           cells_per_deg=1200)
+    fn = functools.partial(horizon_sweep, width=256, nsteps=nsteps,
+                           cells_per_deg=1200, sampler="crossing")
     sec = timed(fn, dem, ps, iters=iters)
     per = sec / B
     return {"config": 5, "metric": "viewshed_sweep_per_viewpoint", "value":

@@ -109,36 +109,66 @@ def _unwrap(x, near):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "nsteps", "cells_per_deg", "surface"))
+    jax.jit, static_argnames=("width", "nsteps", "cells_per_deg", "surface",
+                              "sampler"))
 def horizon_sweep(dem, params_batch: RenderParams, *, width, nsteps,
-                  cells_per_deg, surface="bilinear"):
+                  cells_per_deg, surface="bilinear", sampler="step"):
     """(B,) stacked viewpoints -> (B, W) horizon tan(el). The building block
-    of the 10k-viewpoint sweep; shard the batch axis for multi-chip."""
-    def one(p):
-        _, run_max, _, _ = march_tanel(
-            dem, p, width=width, nsteps=nsteps, cells_per_deg=cells_per_deg,
-            surface=surface)
-        return run_max[:, -1]
+    of the 10k-viewpoint sweep; shard the batch axis for multi-chip.
+
+    sampler='crossing' marches grid crossings instead of uniform steps (one
+    packed fetch per sample, ~4x fewer gathered elements at equal fidelity;
+    dem must then be a crossing.CrossingScene and nsteps a k_cross_for()
+    budget)."""
+    if sampler == "crossing":
+        from ..render.crossing import march_crossing
+
+        def one(p):
+            _, run_max, _, _ = march_crossing(
+                dem, p, width=width, k_cross=nsteps,
+                cells_per_deg=cells_per_deg)
+            return run_max[:, -1]
+    else:
+        def one(p):
+            _, run_max, _, _ = march_tanel(
+                dem, p, width=width, nsteps=nsteps,
+                cells_per_deg=cells_per_deg, surface=surface)
+            return run_max[:, -1]
     return jax.vmap(one)(params_batch)
 
 
 def viewshed_sweep(dem, viewpoints_ij, *, viewer_height_m=2.0, width=256,
-                   nsteps=512, cells_per_deg=1200, znear=50.0, zfar=20000.0,
-                   cos_viewer_lat=1.0, batch=256, surface="bilinear"):
+                   nsteps=None, cells_per_deg=1200, znear=50.0, zfar=20000.0,
+                   cos_viewer_lat=1.0, batch=256, surface="bilinear",
+                   sampler="crossing", lat_deg=None):
     """Sweep many viewpoints over a DEM region (host-side driver).
 
     viewpoints_ij: (N, 2) float cell coords. Renders in fixed-size batches to
     keep one compiled executable, returning (N, width) horizon profiles.
     Viewer elevation = terrain + viewer_height_m (sampled bilinearly).
+    Default sampler 'crossing' (the fast path); 'step' for the uniform-step
+    oracle (surface= applies there).
     """
     import numpy as np
 
     from ..render.raymarch import _as_packed, _sample_surface
 
-    dem_packed, n = _as_packed(jnp.asarray(dem))
+    dem_f = jnp.asarray(dem)
+    dem_packed, n = _as_packed(dem_f)
     pts = jnp.asarray(viewpoints_ij, jnp.float32)
     ground = _sample_surface(dem_packed, n, pts[:, 0], pts[:, 1], "bilinear")
     vz = ground + viewer_height_m
+
+    if sampler == "crossing":
+        from ..render.crossing import pack_scene, k_cross_for
+        if lat_deg is None:
+            lat_deg = math.degrees(math.acos(min(1.0, cos_viewer_lat)))
+        scene = pack_scene(dem_f.astype(jnp.float32))
+        if nsteps is None:
+            nsteps = k_cross_for(zfar, cells_per_deg, lat_deg, n=n)
+        dem_packed = scene
+    elif nsteps is None:
+        nsteps = 512
 
     f = jnp.float32
     outs = []
@@ -161,5 +191,5 @@ def viewshed_sweep(dem, viewpoints_ij, *, viewer_height_m=2.0, width=256,
             zfar_color=jnp.full((batch,), zfar, jnp.float32))
         outs.append(horizon_sweep(dem_packed, params, width=width,
                                   nsteps=nsteps, cells_per_deg=cells_per_deg,
-                                  surface=surface))
+                                  surface=surface, sampler=sampler))
     return jnp.concatenate(outs, axis=0)[:nview]

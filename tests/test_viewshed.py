@@ -90,3 +90,22 @@ def test_viewshed_sweep_driver():
     assert np.isfinite(out).all()
     # horizon from atop a sine ridge differs from a trough
     assert np.std(out.max(axis=1)) > 0
+
+
+def test_sweep_crossing_matches_step():
+    import numpy as np
+    import jax.numpy as jnp
+    from horizonator_tpu.ops import viewshed_sweep
+    from tests.test_crossing import make_dem
+    dem = make_dem(192, rough=4.0)
+    pts = np.stack(np.meshgrid(np.linspace(60, 130, 3),
+                               np.linspace(60, 130, 3)), -1).reshape(-1, 2)
+    hs = viewshed_sweep(dem, pts, width=128, zfar=8000.0, batch=16,
+                        cos_viewer_lat=0.83, sampler="step", nsteps=512)
+    hc = viewshed_sweep(dem, pts, width=128, zfar=8000.0, batch=16,
+                        cos_viewer_lat=0.83, sampler="crossing")
+    a, b = np.asarray(hs), np.asarray(hc)
+    vis = (a > -1e30) & (b > -1e30)
+    assert np.mean((a > -1e30) == (b > -1e30)) > 0.99
+    err = np.abs(np.arctan(a[vis]) - np.arctan(b[vis]))
+    assert np.median(err) < 1e-3
