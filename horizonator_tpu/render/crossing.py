@@ -51,11 +51,12 @@ NEG_BIG = -3.0e38
 class CrossingScene(NamedTuple):
     """Device-resident packed scene for the crossing sampler.
 
-    ``hv`` is (2, N, N) int32: plane 0 packs horizontal neighbor pairs
-    (z[j,i], z[j,i+1]) -- fetched when a ray crosses grid ROW j between
-    columns i and i+1 -- and plane 1 packs vertical pairs (z[j,i], z[j+1,i])
-    for column crossings. Elevations are quantized to 0.5 m int16 (exact for
-    integer-meter SRTM data).
+    ``hv`` is (2, NJ, NI) int32 (rectangular grids supported -- e.g. a
+    row band of a region-sharded mosaic): plane 0 packs horizontal neighbor
+    pairs (z[j,i], z[j,i+1]) -- fetched when a ray crosses grid ROW j
+    between columns i and i+1 -- and plane 1 packs vertical pairs
+    (z[j,i], z[j+1,i]) for column crossings. Elevations are quantized to
+    0.5 m int16 (exact for integer-meter SRTM data).
     """
     hv: jax.Array
 
@@ -63,10 +64,18 @@ class CrossingScene(NamedTuple):
     def n(self) -> int:
         return self.hv.shape[1]
 
+    @property
+    def nj(self) -> int:
+        return self.hv.shape[1]
+
+    @property
+    def ni(self) -> int:
+        return self.hv.shape[2]
+
 
 def pack_scene(dem) -> CrossingScene:
-    """Pack a float32 (N, N) elevation grid (row 0 = south) for the crossing
-    sampler. Do this once per scene; jit-able."""
+    """Pack a float32 (NJ, NI) elevation grid (row 0 = south) for the
+    crossing sampler. Do this once per scene; jit-able."""
     zq = jnp.clip(jnp.round(dem * 2.0), -32768, 32767).astype(jnp.int32)
     zlo = zq & 0xffff
     h = (zq << 16) | jnp.concatenate([zlo[:, 1:], zlo[:, -1:]], axis=1)
@@ -190,9 +199,9 @@ def march_crossing(scene: CrossingScene, params: RenderParams, *,
     resolve indices back to distances.
     """
     p = params
-    n = scene.n
+    nj, ni = scene.nj, scene.ni
     hv = scene.hv.reshape(-1)
-    n2 = n * n
+    n2 = nj * ni
     geo = crossing_geometry(params, width=width, cells_per_deg=cells_per_deg)
 
     m = jnp.arange(k_cross, dtype=jnp.float32)[None, :]          # (1, K)
@@ -202,19 +211,26 @@ def march_crossing(scene: CrossingScene, params: RenderParams, *,
     cross = geo.a[:, None] + m * geo.t[:, None]                  # (W, K) f32
     d = (m + geo.e[:, None]) * geo.scale[:, None]                # (W, K)
 
+    jd = geo.j_dom[:, None]
+    # Per-column grid extents: row-dominant columns step rows (axis bound
+    # nj-1) and interpolate along i (cross bound ni-1); column-dominant the
+    # transpose.
+    axis_hi = jnp.where(jd, nj - 1, ni - 1)
+    cross_hi = jnp.where(jd, ni - 1, nj - 1)
+    cross_hi_pair = cross_hi - 1                    # floor clip for pairs
+
     cross0 = jnp.floor(cross)
     frac = cross - cross0
-    cross0i = jnp.clip(cross0, 0, n - 2).astype(jnp.int32)
-    axis_c = jnp.clip(axis_int, 0, n - 1)
+    cross0i = jnp.clip(cross0, 0, cross_hi_pair).astype(jnp.int32)
+    axis_c = jnp.clip(axis_int, 0, axis_hi)
 
-    jd = geo.j_dom[:, None]
     # plane 0 (H pairs): row-dominant fetch H[j, i0]; plane 1 (V): V[j0, i].
     flat = jnp.where(jd,
-                     axis_c * n + cross0i,
-                     n2 + cross0i * n + axis_c)
+                     axis_c * ni + cross0i,
+                     n2 + cross0i * ni + axis_c)
 
-    valid = ((axis_int >= 0) & (axis_int <= n - 1) &
-             (cross >= 0.0) & (cross <= n - 1) &
+    valid = ((axis_int >= 0) & (axis_int <= axis_hi) &
+             (cross >= 0.0) & (cross <= cross_hi.astype(jnp.float32)) &
              (d >= p.znear) & (d <= p.zfar))
 
     v = jnp.take(hv, flat)
@@ -237,16 +253,16 @@ def march_crossing(scene: CrossingScene, params: RenderParams, *,
         cos_az = jnp.cos(geo.az)[:, None]
         iq = p.viewer_cell_i + dq * sin_az / geo.cell_m_east
         jq = p.viewer_cell_j + dq * cos_az / geo.cell_m_north
-        i0 = jnp.clip(jnp.floor(iq), 0, n - 2).astype(jnp.int32)
-        j0 = jnp.clip(jnp.floor(jq), 0, n - 2).astype(jnp.int32)
+        i0 = jnp.clip(jnp.floor(iq), 0, ni - 2).astype(jnp.int32)
+        j0 = jnp.clip(jnp.floor(jq), 0, nj - 2).astype(jnp.int32)
         fi = jnp.clip(iq - i0, 0.0, 1.0)
         fj = jnp.clip(jq - j0, 0.0, 1.0)
-        za0, za1 = _unpack_pair(jnp.take(hv, j0 * n + i0))
-        zb0, zb1 = _unpack_pair(jnp.take(hv, (j0 + 1) * n + i0))
+        za0, za1 = _unpack_pair(jnp.take(hv, j0 * ni + i0))
+        zb0, zb1 = _unpack_pair(jnp.take(hv, (j0 + 1) * ni + i0))
         ztop = za0 + (za1 - za0) * fi
         zbot = zb0 + (zb1 - zb0) * fi
         zq = ztop + (zbot - ztop) * fj
-        vq = ((iq >= 0) & (iq <= n - 1) & (jq >= 0) & (jq <= n - 1) &
+        vq = ((iq >= 0) & (iq <= ni - 1) & (jq >= 0) & (jq <= nj - 1) &
               (dq >= p.znear) & (dq <= p.zfar) & (dq < near_hi[:, None]))
         tanel_q = jnp.where(vq, (zq - p.viewer_z) / dq, NEG_BIG)
         tanel = jnp.concatenate([tanel_q, tanel], axis=1)

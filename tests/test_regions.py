@@ -1,0 +1,64 @@
+"""DEM-region sharding (row bands + one-row halo) vs the single-device march.
+
+Exactness contract: band-local crossing marches evaluate the same sample
+multiset as the global march (translation-invariant geometry, halo provides
+the cross-boundary interpolation stencil), so the max-combined horizon must
+match the single-device horizon almost bitwise."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+import pytest
+
+from horizonator_tpu.render.crossing import (pack_scene, horizon_crossing,
+                                             k_cross_for)
+from horizonator_tpu.parallel.regions import make_region_sharded_horizon
+from tests.test_crossing import make_dem, params_for, CPD
+
+
+def _mesh(r):
+    devs = np.array(jax.devices()[:r])
+    return Mesh(devs, ("region",))
+
+
+@pytest.mark.parametrize("r", [2, 4, 8])
+@pytest.mark.parametrize("viewer_j", [127.6, 63.2, 2.5])
+def test_region_sharded_horizon_matches_single(r, viewer_j):
+    dem = make_dem(256, rough=6.0)
+    d_np = np.asarray(dem)
+    vz = float(d_np[int(viewer_j):int(viewer_j) + 2, 128:130].max()) + 2.0
+    p = params_for(dem, 128.3, viewer_j, vz, zfar=12000.0)
+    k = k_cross_for(12000.0, CPD, 34.0, n=256)
+    width = 360
+
+    az1, tan1 = horizon_crossing(pack_scene(dem), p, width=width, k_cross=k,
+                                 cells_per_deg=CPD)
+
+    fn = make_region_sharded_horizon(_mesh(r), width=width, k_cross=k,
+                                     cells_per_deg=CPD)
+    az2, tan2 = fn(dem, p)
+
+    t1, t2 = np.asarray(tan1), np.asarray(tan2)
+    np.testing.assert_allclose(np.asarray(az1), np.asarray(az2), atol=1e-6)
+    vis = (t1 > -1e30) | (t2 > -1e30)
+    assert np.array_equal(t1 > -1e30, t2 > -1e30)
+    np.testing.assert_allclose(t1[vis], t2[vis], rtol=1e-5, atol=1e-6)
+
+
+def test_region_sharding_near_band_edge_viewer():
+    # viewer sitting ON a band boundary: near-band samples split across
+    # devices must still union to the single-device result
+    dem = make_dem(256, rough=6.0)
+    d_np = np.asarray(dem)
+    vz = float(d_np[64:66, 128:130].max()) + 2.0
+    p = params_for(dem, 128.0, 64.0, vz, zfar=9000.0)
+    k = k_cross_for(9000.0, CPD, 34.0, n=256)
+    az1, tan1 = horizon_crossing(pack_scene(dem), p, width=256, k_cross=k,
+                                 cells_per_deg=CPD)
+    fn = make_region_sharded_horizon(_mesh(4), width=256, k_cross=k,
+                                     cells_per_deg=CPD)
+    _, tan2 = fn(dem, p)
+    t1, t2 = np.asarray(tan1), np.asarray(tan2)
+    vis = t1 > -1e30
+    np.testing.assert_allclose(t1[vis], t2[vis], rtol=1e-5, atol=1e-6)
