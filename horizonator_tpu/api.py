@@ -78,6 +78,7 @@ class horizonator:
         self.sampler = sampler
 
         dem_f32 = self.mosaic.grid.astype(np.float32)
+        self._pyramid = None
         if sampler == "window":
             self._dem = jax.device_put(jnp.asarray(dem_f32), device)
         elif sampler == "crossing":
@@ -186,14 +187,31 @@ class horizonator:
             znear_color=f(znear_color), zfar_color=f(zfar_color))
 
         nsteps = self._auto_nsteps(znear, zfar)
+        sampler = self.sampler
+        lod_plan = None
+        dem = self._dem
+        if sampler == "window" and nsteps > 1536:
+            # Long clip ranges (e.g. 300 km at SRTM1): switch to the LOD
+            # mip-chain march; step count grows ~logarithmically with zfar.
+            from .render.lod import lod_plan as _mk_plan, build_pyramid
+            lod_plan = _mk_plan(zfar, self.width, self.mosaic.cells_per_deg,
+                                self.viewer_lat, self.mosaic.grid.shape[0])
+            nlev = 1 + max(s.level for s in lod_plan)
+            if self._pyramid is None or len(self._pyramid) < nlev:
+                self._pyramid = tuple(
+                    jax.device_put(x)
+                    for x in build_pyramid(self._dem, nlev))
+            dem = self._pyramid
+            sampler = "lod"
         image, ranges = render_panorama(
-            self._dem, params,
+            dem, params,
             width=self.width, height=self.height, nsteps=nsteps,
             cells_per_deg=self.mosaic.cells_per_deg,
             surface=self.surface, refine=self.refine,
             textured=self.render_texture,
             atlas=self._atlas, atlas_params=self._atlas_params,
-            sampler=self.sampler, lat_hint_deg=self._lat_hint())
+            sampler=sampler, lat_hint_deg=self._lat_hint(),
+            lod_plan=lod_plan)
 
         ranges_np = np.asarray(ranges)
         self._last = dict(ranges=ranges_np, az_deg0=az_deg0, az_deg1=az_deg1,

@@ -1,0 +1,41 @@
+"""API auto-LOD: long clip ranges transparently switch to the mip-chain."""
+
+import os
+
+import numpy as np
+import pytest
+
+from horizonator_tpu.dem import hgt
+
+
+@pytest.fixture(scope="module")
+def srtm1_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dems1")
+    edge = hgt.SRTM1_EDGE
+    lat = 35.0 - np.arange(edge) / (edge - 1)
+    lon = -118.0 + np.arange(edge) / (edge - 1)
+    la, lo = np.meshgrid(lat, lon, indexing="ij")
+    z = 200 + 2500 * np.exp(-((la - 34.8) ** 2 + (lo + 117.2) ** 2)
+                            / (2 * 0.02 ** 2))
+    hgt.write_hgt(str(d / "N34W118.hgt"), np.round(z).astype(np.int16))
+    return str(d)
+
+
+def test_auto_lod_long_range_render(srtm1_dir):
+    from horizonator_tpu.api import horizonator
+    h = horizonator(34.05, -117.95, 128, 64, SRTM1=True, dir_dems=srtm1_dir,
+                    render_radius_m=150000.0)
+    img, rng = h.render(10, 80, zfar=150000.0)
+    assert img.shape == (64, 128, 3) and rng.shape == (64, 128)
+    # the 2500 m peak ~90 km NE must be visible through the coarse bands
+    assert rng.max() > 50000.0
+    assert (rng > 0).any() and (rng < 0).any()
+
+
+def test_short_range_stays_on_window(srtm1_dir):
+    from horizonator_tpu.api import horizonator
+    h = horizonator(34.05, -117.95, 64, 32, SRTM1=True, dir_dems=srtm1_dir,
+                    render_radius_m=20000.0)
+    img, rng = h.render(0, 90, zfar=20000.0)
+    assert h._pyramid is None          # LOD not triggered
+    assert (rng > 0).any()
