@@ -258,6 +258,75 @@ def _resolve_merge2(m, t_y):
     return idx, m_lo, m_hi
 
 
+_ROWQ = 256.0         # pixel-row quantization of the resolve keys (1/256 px)
+
+
+def _resolve_rows(y_k, height):
+    """Pixel-row-space resolve: the fastest first-crossing search.
+
+    Input y_k (W, K): each sample's running-max horizon mapped to its
+    continuous pixel row (y = row_of_tanel(run_max); monotone, so y_k is
+    sorted non-increasing along k). Pixel y is covered by the first sample
+    whose horizon row reached at or above it; counting in row space lets
+    the merge drop every payload:
+
+      pass 1 sorts ONE packed int key (row * 64 | is_threshold) -- the
+      threshold rows are the integers 0..H-1, ties break so that an
+      exactly-equal sample counts as crossing;
+      idx falls out of position arithmetic (idx = K - pos + rank, rank via
+      one cumsum -- and rank IS the destination row, since thresholds sort
+      in ascending-row order);
+      the refine brackets are the neighboring SAMPLE KEYS themselves
+      (forward cummax / reverse cummin), so alpha is computed before the
+      unsort and pass 2 carries a single packed (idx | alpha16) payload.
+
+    ~2x less sorted data than the value-space merge (_resolve_merge2).
+    Returns (idx (W, H) int32, alpha (W, H) float32 in [0, 1], ok (W, H)
+    bool -- alpha valid only where ok).
+    """
+    w, k = y_k.shape
+    h = height
+    n = k + h
+    big = jnp.int32(2 ** 30)
+
+    yq = jnp.clip(jnp.round(y_k * _ROWQ), -2.0 ** 30, 2.0 ** 30)
+    key_s = (yq.astype(jnp.int32) << 1)                         # samples: LSB 0
+    thr = jnp.arange(h, dtype=jnp.int32)
+    key_t = jnp.broadcast_to(((thr * jnp.int32(_ROWQ)) << 1) | 1, (w, h))
+
+    keys = jnp.concatenate([key_s, key_t], axis=1)              # (W, K+H)
+    sk = jax.lax.sort(keys, dimension=1)
+
+    is_thr = (sk & 1) == 1
+    pos = jax.lax.broadcasted_iota(jnp.int32, (w, n), 1)
+    rank = jnp.cumsum(is_thr.astype(jnp.int32), axis=1) - 1     # = dest row
+    # samples with row > threshold-row sit AFTER it; they are exactly the
+    # ones with run_max below the threshold tangent
+    idxv = (k - pos + rank).astype(jnp.int32)
+
+    skey = sk >> 1                                              # row * 64
+    y_cur = jax.lax.cummax(jnp.where(is_thr, -big, skey), axis=1)
+    y_prev = jax.lax.cummin(jnp.where(is_thr, big, skey), axis=1,
+                            reverse=True)
+
+    y_thr = rank.astype(jnp.float32) * _ROWQ
+    denom = (y_prev - y_cur).astype(jnp.float32)
+    okv = (~is_thr | ((y_cur > -big) & (y_prev < big) & (denom > 0)))
+    alpha = jnp.clip((y_prev.astype(jnp.float32) - y_thr)
+                     / jnp.where(denom > 0, denom, 1.0), 0.0, 1.0)
+    a16 = jnp.round(alpha * 32767.0).astype(jnp.int32)
+    combo = (idxv << 16) | (a16 << 1) | okv.astype(jnp.int32)
+
+    # unsort: thresholds first in rank (= row) order, samples to the tail
+    key2 = jnp.where(is_thr, rank, big)
+    _, combo_u = jax.lax.sort((key2, combo), dimension=1, num_keys=1)
+    cu = combo_u[:, :h]
+    idx = cu >> 16
+    alpha_out = ((cu >> 1) & 0x7fff).astype(jnp.float32) / 32767.0
+    ok = (cu & 1) == 1
+    return idx, alpha_out, ok
+
+
 def _as_packed(dem):
     """Accept either an (N, N) float32 grid or a pre-packed (N, N-1) int32
     plane from pack_dem_pairs. Returns (packed, N)."""
@@ -389,26 +458,23 @@ def render_panorama(dem, params: RenderParams, *, width, height, nsteps,
     y = jnp.arange(height, dtype=jnp.float32)
     el_ndc = 1.0 - (2.0 * y + 1.0) / height
     el = el_ndc / az_ndc_per_rad / aspect                         # (H,)
-    t_y = jnp.tan(el)
 
-    # First sample covering each pixel: lower-bound of t_y in the running
-    # max, via the gather-free sort-merge (returns the bracketing run-max
-    # values too, so refinement needs no take_along_axis).
-    tt = jnp.broadcast_to(t_y[None, :], (width, height))
-    idx, m_lo, m_hi = _resolve_merge2(run_max, t_y)               # (W,H)
+    # First sample covering each pixel: map each running-max horizon to its
+    # continuous pixel row (the exact inverse of the el grid above) and
+    # resolve in row space -- the cheapest gather-free first-crossing
+    # search (see _resolve_rows).
+    el_k = jnp.arctan(run_max)
+    y_k = (1.0 - el_k * (az_ndc_per_rad * aspect)) * (height * 0.5) - 0.5
+    idx, alpha, ok = _resolve_rows(y_k, height)                   # (W,H)
     sky = idx >= ktotal
     idxc = jnp.minimum(idx, ktotal - 1)
 
     d_hit = d_of(idxc)
     if refine:
-        denom = m_hi - m_lo
-        ok = (idxc > 0) & (denom > 0) & (denom < 1e30)
-        alpha = jnp.clip(jnp.where(ok, (tt - m_lo), 0.0)
-                         / jnp.where(ok, denom, 1.0), 0.0, 1.0)
-        d_prev = d_of(jnp.maximum(idxc - 1, 0))
-        d_ref = d_prev + alpha * (d_hit - d_prev)
         # Only refine interior hits; the first sample has no bracket.
-        d_hit = jnp.where(ok, d_ref, d_hit)
+        okr = ok & (idxc > 0) & ~sky
+        d_prev = d_of(jnp.maximum(idxc - 1, 0))
+        d_hit = jnp.where(okr, d_prev + alpha * (d_hit - d_prev), d_hit)
     d_hit = jnp.clip(d_hit, p.znear, p.zfar)
 
     # Slant range: the pixel's ray at elevation el_y meets the surface at
