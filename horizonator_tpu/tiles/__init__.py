@@ -22,6 +22,19 @@ from ..render.texture import (AtlasParams, OSM_RENDER_ZOOM, OSM_TILE_PX,
 
 DEFAULT_TILES_NAME = "mapnik"                                     # horizonator-lib.c:91
 DEFAULT_TILES_URL_FMT = "https://a.tile.openstreetmap.org/%d/%d/%d.png"  # :93
+
+
+def _settings_url_fmt():
+    """The florb settings.xml tileserver (osm::tileserver,
+    orb_settings.cpp:41) as a %d/%d/%d.png format, if the user set one."""
+    try:
+        from ..settings import instance
+        base = instance().get("osm::tileserver", None)
+    except Exception:
+        return None
+    if not base or "openstreetmap.org" in base:
+        return None         # default server: keep the reference URL format
+    return base.rstrip("/") + "/%d/%d/%d.png"
 DEFAULT_DIR_TILES = "~/.horizonator/tiles"                        # :101
 USER_AGENT = "horizonator"                                        # :314
 
@@ -86,7 +99,8 @@ def build_atlas(viewer_lat: float, viewer_lon: float, radius_cells: int,
     """
     dir_tiles = DEFAULT_DIR_TILES if dir_tiles is None else dir_tiles
     tiles_name = DEFAULT_TILES_NAME if tiles_name is None else tiles_name
-    tiles_url_fmt = DEFAULT_TILES_URL_FMT if tiles_url_fmt is None else tiles_url_fmt
+    tiles_url_fmt = ((_settings_url_fmt() or DEFAULT_TILES_URL_FMT)
+                     if tiles_url_fmt is None else tiles_url_fmt)
 
     lowest_e = viewer_lon - radius_cells / cells_per_deg
     lowest_n = viewer_lat - radius_cells / cells_per_deg

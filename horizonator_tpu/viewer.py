@@ -50,6 +50,7 @@ const map = L.map('map');
 L.tileLayer('https://tile.openstreetmap.org/{z}/{x}/{y}.png',
             {maxZoom:18, attribution:'&copy; OSM'}).addTo(map);
 let viewerMarker = null, pickMarker = null, demRect = null, fovLines = null;
+let gpxDrawn = false;
 
 function drawOverlays(){
   if(!S) return;
@@ -69,6 +70,11 @@ function drawOverlays(){
     L.polyline(ray(S.az_center+S.az_radius), {color:'blue',weight:1}),
     L.polyline(ray(S.az_center), {color:'blue',weight:2,dashArray:'4'}),
   ]).addTo(map);
+  if(!gpxDrawn && S.gpx && S.gpx.length){
+    for(const seg of S.gpx)
+      L.polyline(seg, {color:'purple', weight:2}).addTo(map);
+    gpxDrawn = true;
+  }
   document.getElementById('cmd').textContent = S.command;
 }
 function copyCmd(){ navigator.clipboard.writeText(S.command); }
@@ -120,12 +126,13 @@ window.addEventListener('mouseup', async e => {
 class ViewerState:
     """Server-side scene: one horizonator instance + camera."""
 
-    def __init__(self, h, az_center, az_radius, znear, zfar):
+    def __init__(self, h, az_center, az_radius, znear, zfar, gpx=None):
         self.h = h
         self.az_center = float(az_center)
         self.az_radius = float(az_radius)
         self.znear = znear
         self.zfar = zfar
+        self.gpx = gpx or []      # list of [(lat, lon), ...] polylines
         self.lock = threading.Lock()
         self.png = b""
 
@@ -142,6 +149,7 @@ class ViewerState:
             "az_center": self.az_center, "az_radius": self.az_radius,
             "bounds": [lat0, lon0, lat1, lon1],
             "command": self.command(),
+            "gpx": self.gpx,
         }
 
     def render(self, move):
@@ -244,7 +252,15 @@ def main(argv=None) -> int:
                    dest="allow_downloads")
     p.add_argument("--znear", type=float, default=ZNEAR_DEFAULT)
     p.add_argument("--zfar", type=float, default=ZFAR_DEFAULT)
+    p.add_argument("--gpx", type=str, default=None,
+                   help="GPX file; tracks drawn on the map "
+                        "(florb orb_gpxlayer parity)")
     args = p.parse_args(argv)
+
+    gpx = None
+    if args.gpx:
+        from .gpx import load_gpx
+        gpx = load_gpx(args.gpx)
 
     h = horizonator(args.lat, args.lon, args.width, args.height,
                     render_texture=args.texture, SRTM1=args.SRTM1,
@@ -252,7 +268,7 @@ def main(argv=None) -> int:
                     allow_downloads=args.allow_downloads,
                     render_radius_m=args.zfar)
     state = ViewerState(h, args.az_center, args.az_radius,
-                        args.znear, args.zfar)
+                        args.znear, args.zfar, gpx=gpx)
     state.render({})
     serve(state, args.port)
     return 0
