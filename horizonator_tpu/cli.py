@@ -77,10 +77,22 @@ def main(argv=None) -> int:
         print("--height makes sense only with --width", file=sys.stderr)
         return 1
     if args.image is None:
-        print("Interactive window mode is not implemented in this build; "
-              "pass --width and --image (see also horizonator_tpu.viewer)",
-              file=sys.stderr)
-        return 1
+        # Interactive mode: the reference opens a GLUT window here
+        # (standalone.c:373-383); the TPU build's interactive surface is
+        # the web viewer -- launch it with the same view.
+        print("interactive mode: launching the web viewer "
+              "(the GLUT window equivalent)", file=sys.stderr)
+        from . import viewer
+        vargs = [str(args.lat), str(args.lon), str(args.az_center_deg),
+                 str(args.az_radius_deg), "--zfar", str(args.zfar),
+                 "--znear", str(args.znear)]
+        if args.dirdems:
+            vargs += ["--dirdems", args.dirdems]
+        if args.SRTM1:
+            vargs += ["--SRTM1"]
+        if args.texture:
+            vargs += ["--texture"]
+        return viewer.main(vargs)
 
     suffix = args.image.lower()[-4:]
     if suffix not in (".png", ".pdf", ".svg"):

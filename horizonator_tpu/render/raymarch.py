@@ -261,6 +261,25 @@ def _resolve_merge2(m, t_y):
 _ROWQ = 256.0         # pixel-row quantization of the resolve keys (1/256 px)
 
 
+def _bitonic_merge_valley(x, n_pow2):
+    """Sort a bitonic 'valley' (non-increasing then non-decreasing) row-wise
+    ascending with Batcher's bitonic merge: log2(N) min/max stages instead
+    of lax.sort's log^2 compare-exchange network -- the resolve's merge
+    halves are each already sorted, so a full sort is wasted work.
+    x: (W, N) int32, N = n_pow2 a power of two."""
+    w, n = x.shape
+    assert n == n_pow2 and (n & (n - 1)) == 0
+    s = n // 2
+    while s >= 1:
+        xr = x.reshape(w, n // (2 * s), 2, s)
+        a = xr[:, :, 0, :]
+        b = xr[:, :, 1, :]
+        x = jnp.stack([jnp.minimum(a, b), jnp.maximum(a, b)],
+                      axis=2).reshape(w, n)
+        s //= 2
+    return x
+
+
 def _resolve_rows(y_k, height):
     """Pixel-row-space resolve: the fastest first-crossing search.
 
@@ -294,8 +313,14 @@ def _resolve_rows(y_k, height):
     thr = jnp.arange(h, dtype=jnp.int32)
     key_t = jnp.broadcast_to(((thr * jnp.int32(_ROWQ)) << 1) | 1, (w, h))
 
-    keys = jnp.concatenate([key_s, key_t], axis=1)              # (W, K+H)
-    sk = jax.lax.sort(keys, dimension=1)
+    # key_s is non-increasing (run_max sorted => rows non-increasing) and
+    # key_t ascending: the concat is a bitonic valley -- merge it in log(N)
+    # stages; +inf-keyed pads sink to the tail and never reach [:h] slots.
+    n_pow2 = 1 << (n - 1).bit_length()
+    pad = jnp.full((w, n_pow2 - n), jnp.int32(2 ** 31 - 1), jnp.int32)
+    sk_all = _bitonic_merge_valley(
+        jnp.concatenate([key_s, key_t, pad], axis=1), n_pow2)
+    sk = sk_all[:, :n]
 
     is_thr = (sk & 1) == 1
     pos = jax.lax.broadcasted_iota(jnp.int32, (w, n), 1)
