@@ -54,6 +54,18 @@ def timed(fn, *args, iters):
     return device_time(fn, *args, iters=iters, rtt=rtt)
 
 
+def timed_chain(fn, *args, iters, reps=16):
+    """RTT-noise-robust per-call seconds: chains of perturbed renders (the
+    params pytree is assumed to be the last arg with a viewer_cell_i)."""
+    from horizonator_tpu.profiling import device_time_chain
+
+    def perturb(a, i):
+        *rest, p = a
+        return (*rest, p._replace(viewer_cell_i=p.viewer_cell_i + i))
+    return device_time_chain(fn, *args, perturb=perturb, reps=reps,
+                              iters=iters)
+
+
 def config1(iters):
     """Single SRTM3 tile, one viewpoint, 1024x512 panorama."""
     import functools
@@ -66,7 +78,7 @@ def config1(iters):
     fn = functools.partial(render_panorama, width=1024, height=512,
                            nsteps=k, cells_per_deg=1200,
                            sampler="window", lat_hint_deg=34.3)
-    sec = timed(fn, dem, p, iters=iters)
+    sec = timed_chain(fn, dem, p, iters=iters)
     return {"config": 1, "metric": "pano_1024x512_1tile", "value":
             round(sec * 1e3, 3), "unit": "ms/viewpoint"}
 
@@ -91,7 +103,7 @@ def config2(iters):
         fuzz = jnp.arange(-6, 6, dtype=jnp.int32)
         q = rng[jnp.clip(ys[:, None] + fuzz[None, :], 0, 1023), xs[:, None]]
         return img, rng, q
-    sec = timed(render_and_query, dem, p, iters=iters)
+    sec = timed_chain(render_and_query, dem, p, iters=iters)
     return {"config": 2, "metric": "pano_4096x1024_3x3_annotated", "value":
             round(sec * 1e3, 3), "unit": "ms/viewpoint"}
 

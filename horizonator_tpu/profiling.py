@@ -56,6 +56,42 @@ def report() -> str:
     return _global_timer.report()
 
 
+def device_time_chain(fn, *args, perturb, reps: int = 16, iters: int = 5,
+                      rtt: float | None = None):
+    """Median seconds per call of fn, timed as chains of ``reps``
+    sequentially-executed perturbed calls per dispatch (lax.map).
+
+    For workloads comparable to or smaller than the transport RTT, the
+    single-dispatch ``device_time`` drowns in RTT noise (a tunneled TPU
+    round trip can jitter by milliseconds); chaining amortizes that noise
+    by ``reps``. ``perturb(args, i)`` must return fresh call args per chain
+    element (e.g. a moved camera) so XLA cannot collapse the repeats.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def reduced(a, i):
+        out = fn(*perturb(a, i))
+        leaves = jax.tree.leaves(out)
+        return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+
+    @jax.jit
+    def chain(*a):
+        return jax.lax.map(lambda i: reduced(a, i),
+                           jnp.arange(reps, dtype=jnp.float32)).sum()
+
+    float(chain(*args))
+    if rtt is None:
+        rtt = measure_rtt()
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(chain(*args))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return max(0.0, ts[len(ts) // 2] - rtt) / reps
+
+
 def measure_rtt(iters: int = 5) -> float:
     """Median host<->device scalar round-trip seconds."""
     import jax.numpy as jnp
