@@ -43,11 +43,22 @@ from ..render.crossing import pack_scene, march_crossing
 
 
 def make_region_sharded_horizon(mesh: Mesh, *, width, k_cross, cells_per_deg,
-                                axis="region"):
+                                axis="region", az_axis=None):
     """Build fn(dem (n, n) f32 [n % R == 0], params) -> (az (W,), tan_el
     (W,)) with the DEM row-sharded over mesh axis ``axis`` and the horizon
-    combined exactly across bands."""
+    combined exactly across bands.
+
+    With ``az_axis`` set (a second mesh axis), image columns additionally
+    shard into azimuth wedges: memory scales with the region axis AND
+    compute with the az axis -- the full 2D scaling mesh. Wedge outputs
+    concatenate (disjoint columns); band contributions pmax within each
+    wedge group.
+    """
     r = mesh.shape[axis]
+    n_az = mesh.shape[az_axis] if az_axis else 1
+    if width % n_az:
+        raise ValueError(f"width {width} not divisible by az axis {n_az}")
+    w_local = width // n_az
 
     def local_fn(dem_band, params):
         # dem_band: (nb, n) -- this device's rows [idx*nb, (idx+1)*nb)
@@ -68,15 +79,20 @@ def make_region_sharded_horizon(mesh: Mesh, *, width, k_cross, cells_per_deg,
         p_local = params._replace(
             viewer_cell_j=params.viewer_cell_j
             - (idx * nb).astype(jnp.float32))
+        if az_axis:
+            from .sharding import _wedge_params
+            p_local = _wedge_params(p_local, jax.lax.axis_index(az_axis),
+                                    n_az)
         scene = pack_scene(local)
         _, run_max, _, az = march_crossing(
-            scene, p_local, width=width, k_cross=k_cross,
+            scene, p_local, width=w_local, k_cross=k_cross,
             cells_per_deg=cells_per_deg)
         h = run_max[:, -1]
         return az, jax.lax.pmax(h, axis)
 
+    out_col = P(az_axis) if az_axis else P()
     sharded = shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(axis, None), P()),
-        out_specs=(P(), P()))
+        out_specs=(out_col, out_col))
     return jax.jit(sharded)

@@ -62,3 +62,28 @@ def test_region_sharding_near_band_edge_viewer():
     t1, t2 = np.asarray(tan1), np.asarray(tan2)
     vis = t1 > -1e30
     np.testing.assert_allclose(t1[vis], t2[vis], rtol=1e-5, atol=1e-6)
+
+
+def test_region_x_az_2d_mesh():
+    # 2 region bands x 4 az wedges on 8 virtual devices: memory AND compute
+    # sharded; result identical to single-device.
+    dem = make_dem(256, rough=6.0)
+    d_np = np.asarray(dem)
+    vz = float(d_np[127:129, 128:130].max()) + 2.0
+    p = params_for(dem, 128.3, 127.6, vz, zfar=10000.0)
+    k = k_cross_for(10000.0, CPD, 34.0, n=256)
+    width = 256
+
+    az1, tan1 = horizon_crossing(pack_scene(dem), p, width=width, k_cross=k,
+                                 cells_per_deg=CPD)
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh2 = Mesh(devs, ("region", "az"))
+    fn = make_region_sharded_horizon(mesh2, width=width, k_cross=k,
+                                     cells_per_deg=CPD, az_axis="az")
+    az2, tan2 = fn(dem, p)
+    t1, t2 = np.asarray(tan1), np.asarray(tan2)
+    np.testing.assert_allclose(np.asarray(az1), np.asarray(az2), atol=1e-5)
+    vis = t1 > -1e30
+    assert np.array_equal(t1 > -1e30, t2 > -1e30)
+    np.testing.assert_allclose(t1[vis], t2[vis], rtol=1e-5, atol=1e-6)
