@@ -28,8 +28,6 @@ sharding.make_sharded_horizon to scale compute too).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -38,7 +36,6 @@ try:
 except ImportError:                    # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-from ..render.raymarch import RenderParams
 from ..render.crossing import pack_scene, march_crossing
 
 

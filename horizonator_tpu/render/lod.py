@@ -25,7 +25,6 @@ resolution -- strictly better than the reference's aliased far field.
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import NamedTuple
 
@@ -34,7 +33,7 @@ import jax.numpy as jnp
 
 from .. import geometry
 from .raymarch import RenderParams
-from .crossing import crossing_geometry, NEG_BIG, N_NEAR
+from .crossing import NEG_BIG, N_NEAR
 
 DEG = math.pi / 180.0
 

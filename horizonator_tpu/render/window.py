@@ -37,14 +37,12 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .. import geometry
 from .raymarch import RenderParams
 from .crossing import crossing_geometry, CrossingDists, NEG_BIG, N_NEAR
 

@@ -1,0 +1,55 @@
+"""The three resolve implementations agree (oracle chain).
+
+_first_crossing (binary search, the naive oracle) == _resolve_merge
+(value-space sort-merge) == _resolve_merge2 (slim int-key merge); the
+production _resolve_rows (pixel-row space + bitonic merge) matches them up
+to its documented 1/256-px row quantization."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from horizonator_tpu.render.raymarch import (_first_crossing, _resolve_merge,
+                                             _resolve_merge2, _resolve_rows)
+
+
+def _data(w=48, k=90, h=36, seed=0):
+    key = jax.random.PRNGKey(seed)
+    m = jnp.sort(jax.random.normal(key, (w, k)) * 0.3, axis=1)
+    el_ndc = 1.0 - (2.0 * jnp.arange(h, dtype=jnp.float32) + 1.0) / h
+    aspect = 0.8
+    el = el_ndc / aspect
+    return m, jnp.tan(el), aspect, h
+
+
+def test_merge_matches_binary_search():
+    m, t_y, _, h = _data()
+    i_bin = _first_crossing(m, jnp.broadcast_to(t_y[None], (m.shape[0], h)))
+    i_m1, _, _ = _resolve_merge(m, t_y)
+    i_m2, _, _ = _resolve_merge2(m, t_y)
+    np.testing.assert_array_equal(np.asarray(i_bin), np.asarray(i_m1))
+    np.testing.assert_array_equal(np.asarray(i_m1), np.asarray(i_m2))
+
+
+def test_rows_resolve_matches_merge():
+    m, t_y, aspect, h = _data(seed=3)
+    i_m, lo, hi = _resolve_merge(m, t_y)
+    el_k = jnp.arctan(m)
+    y_k = (1.0 - el_k * aspect) * (h * 0.5) - 0.5
+    i_r, alpha, ok = _resolve_rows(y_k, h)
+    d = np.abs(np.asarray(i_m) - np.asarray(i_r))
+    # row quantization can flip idx by one where run_max grazes a row
+    assert (d <= 1).all()
+    assert (d == 0).mean() > 0.97
+    a = np.asarray(alpha)
+    assert ((a >= 0) & (a <= 1)).all()
+
+
+def test_exact_tie_is_a_crossing():
+    # a sample exactly equal to the threshold tangent counts as crossing
+    m = jnp.array([[0.0, 1.0, 2.0, 3.0]])
+    t = jnp.array([2.0, 0.5])
+    i1, _, _ = _resolve_merge(m, t)
+    i2, _, _ = _resolve_merge2(m, t)
+    np.testing.assert_array_equal(np.asarray(i1), [[2, 1]])
+    np.testing.assert_array_equal(np.asarray(i2), [[2, 1]])
