@@ -336,13 +336,32 @@ def _resolve_rows(y_k, height):
 
     y_thr = rank.astype(jnp.float32) * _ROWQ
     denom = (y_prev - y_cur).astype(jnp.float32)
-    okv = (~is_thr | ((y_cur > -big) & (y_prev < big) & (denom > 0)))
+    okv = (y_cur > -big) & (y_prev < big) & (denom > 0)
     alpha = jnp.clip((y_prev.astype(jnp.float32) - y_thr)
                      / jnp.where(denom > 0, denom, 1.0), 0.0, 1.0)
+
+    # unsort: thresholds first in rank (= destination row) order, samples
+    # to the tail. When everything fits, key AND payload pack into ONE
+    # int32 (rank | idx | alpha | ok) so the unsort is a 1-array sort.
+    rank_bits = h.bit_length()
+    idx_bits = max(n.bit_length(), 1)
+    a_bits = 32 - 1 - rank_bits - idx_bits - 1
+    if a_bits >= 5:
+        amax = (1 << a_bits) - 1
+        aq = jnp.round(alpha * amax).astype(jnp.int32)
+        packed = ((jnp.where(is_thr, rank, jnp.int32(h)) <<
+                   (idx_bits + a_bits + 1))
+                  | (jnp.clip(idxv, 0, (1 << idx_bits) - 1)
+                     << (a_bits + 1))
+                  | (aq << 1) | okv.astype(jnp.int32))
+        pu = jax.lax.sort(packed, dimension=1)[:, :h]
+        idx = (pu >> (a_bits + 1)) & ((1 << idx_bits) - 1)
+        alpha_out = ((pu >> 1) & amax).astype(jnp.float32) / amax
+        ok = (pu & 1) == 1
+        return idx, alpha_out, ok
+
     a16 = jnp.round(alpha * 32767.0).astype(jnp.int32)
     combo = (idxv << 16) | (a16 << 1) | okv.astype(jnp.int32)
-
-    # unsort: thresholds first in rank (= row) order, samples to the tail
     key2 = jnp.where(is_thr, rank, big)
     _, combo_u = jax.lax.sort((key2, combo), dimension=1, num_keys=1)
     cu = combo_u[:, :h]
