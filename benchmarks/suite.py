@@ -163,7 +163,7 @@ def config5(iters):
     from horizonator_tpu.render.raymarch import RenderParams
     from horizonator_tpu.render.crossing import pack_scene, k_cross_for
     n = 1200
-    dem = jax.jit(pack_scene)(synth_dem(n))
+    dem = jax.device_put(synth_dem(n))
     nsteps = k_cross_for(20000.0, 1200, 34.3, n=n)
     B = 1024
     g = int(math.sqrt(B))
@@ -176,7 +176,7 @@ def config5(iters):
         f(700.0), f(math.cos(math.radians(34.3))),
         f(-math.pi), f(math.pi), f(50.0), f(20000.0), f(50.0), f(20000.0))
     fn = functools.partial(horizon_sweep, width=256, nsteps=nsteps,
-                           cells_per_deg=1200, sampler="crossing")
+                           cells_per_deg=1200, sampler="window")
     sec = timed(fn, dem, ps, iters=iters)
     per = sec / B
     return {"config": 5, "metric": "viewshed_sweep_per_viewpoint", "value":

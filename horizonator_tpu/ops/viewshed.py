@@ -119,7 +119,17 @@ def horizon_sweep(dem, params_batch: RenderParams, *, width, nsteps,
     sampler='crossing' marches grid crossings instead of uniform steps (one
     packed fetch per sample, ~4x fewer gathered elements at equal fidelity;
     dem must then be a crossing.CrossingScene and nsteps a k_cross_for()
-    budget)."""
+    budget). sampler='window' runs the gather-free Pallas kernel per
+    viewpoint in one fused lax.map dispatch (dem = raw (n, n) float32)."""
+    if sampler == "window":
+        from ..render.window import march_window
+
+        def one_w(p):
+            _, run_max, _, _ = march_window(
+                dem, p, width=width, k_cross=nsteps,
+                cells_per_deg=cells_per_deg)
+            return run_max[:, -1]
+        return jax.lax.map(one_w, params_batch)
     if sampler == "crossing":
         from ..render.crossing import march_crossing
 
@@ -159,14 +169,14 @@ def viewshed_sweep(dem, viewpoints_ij, *, viewer_height_m=2.0, width=256,
     ground = _sample_surface(dem_packed, n, pts[:, 0], pts[:, 1], "bilinear")
     vz = ground + viewer_height_m
 
-    if sampler == "crossing":
+    if sampler in ("crossing", "window"):
         from ..render.crossing import pack_scene, k_cross_for
         if lat_deg is None:
             lat_deg = math.degrees(math.acos(min(1.0, cos_viewer_lat)))
-        scene = pack_scene(dem_f.astype(jnp.float32))
         if nsteps is None:
             nsteps = k_cross_for(zfar, cells_per_deg, lat_deg, n=n)
-        dem_packed = scene
+        dem_packed = (dem_f.astype(jnp.float32) if sampler == "window"
+                      else pack_scene(dem_f.astype(jnp.float32)))
     elif nsteps is None:
         nsteps = 512
 

@@ -109,3 +109,20 @@ def test_sweep_crossing_matches_step():
     assert np.mean((a > -1e30) == (b > -1e30)) > 0.99
     err = np.abs(np.arctan(a[vis]) - np.arctan(b[vis]))
     assert np.median(err) < 1e-3
+
+
+def test_sweep_window_matches_crossing():
+    import numpy as np
+    from horizonator_tpu.ops import viewshed_sweep
+    from tests.test_crossing import make_dem
+    dem = make_dem(192, rough=4.0)
+    pts = np.stack(np.meshgrid(np.linspace(70, 120, 2),
+                               np.linspace(70, 120, 2)), -1).reshape(-1, 2)
+    hc = viewshed_sweep(dem, pts, width=128, zfar=7000.0, batch=4,
+                        cos_viewer_lat=0.83, sampler="crossing")
+    hw = viewshed_sweep(dem, pts, width=128, zfar=7000.0, batch=4,
+                        cos_viewer_lat=0.83, sampler="window")
+    a, b = np.asarray(hc), np.asarray(hw)
+    vis = (a > -1e30) & (b > -1e30)
+    assert np.array_equal(a > -1e30, b > -1e30)
+    assert np.abs(a[vis] - b[vis]).max() < 6e-3
