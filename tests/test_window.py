@@ -91,3 +91,28 @@ class TestWindowKernel:
             4096, 576, 3400, 34.3)
         assert window_size(1024, 576, 3400, 34.3) > window_size(
             4096, 576, 3400, 34.3)
+
+    def test_textured_render_through_window(self):
+        import jax.numpy as jnp
+        from horizonator_tpu.render.texture import AtlasParams
+        dem = make_dem(192, rough=4.0)
+        d = np.asarray(dem)
+        vz = float(d[95:97, 96:98].max()) + 10.0
+        p = params_for(dem, 96.3, 95.7, vz, zfar=8000.0)
+        k = k_cross_for(8000.0, CPD, 34.0, n=192)
+        ap = AtlasParams(origin_cell_lon_deg=-118.0, origin_cell_lat_deg=34.0,
+                         osmtile_lowest_x=705, osmtile_lowest_y=1635,
+                         ntiles_x=2, ntiles_y=2, zoom=12)
+        atlas = jnp.asarray(np.random.default_rng(0).integers(
+            0, 255, (512, 512, 3), dtype=np.uint8))
+        img, rng = render_panorama(dem, p, width=256, height=128, nsteps=k,
+                                   cells_per_deg=CPD, sampler="window",
+                                   lat_hint_deg=34.0, textured=True,
+                                   atlas=atlas, atlas_params=ap)
+        im, r = np.asarray(img), np.asarray(rng)
+        vis = r > 0
+        assert vis.any()
+        # texture (not just red ramp): green channel non-zero on terrain
+        assert im[vis][:, 1].astype(int).sum() > 0
+        # sky stays pure blue
+        assert np.all(im[~vis] == np.array([255, 0, 0], np.uint8))
