@@ -127,3 +127,60 @@ def test_load_pois(tmp_path):
     pois = load_pois(str(f))
     assert pois[0] == Poi("A", 1, 2, 3)
     assert pois[1].ele_m == 6.0
+
+
+def test_dome_shoulder_occlusion_semantics(tmp_path):
+    """A smooth dome seen from below: the tangent-horizon shoulder is
+    labelable, the true summit behind it fails the +-500 m range fuzz
+    (annotator.c:311-348 semantics) -- verified through the full
+    render + occlusion pipeline."""
+    import math
+    import numpy as np
+    import jax.numpy as jnp
+    from horizonator_tpu.render import RenderParams, render_panorama
+    from horizonator_tpu.render.crossing import k_cross_for
+    from horizonator_tpu.annotate.occlusion import project_and_occlusion_test
+
+    n = 384
+    cpd = 1200
+    jj, ii = np.meshgrid(np.arange(n, dtype=np.float32),
+                         np.arange(n, dtype=np.float32), indexing="ij")
+    # dome centered 180 cells north of the viewer
+    cx, cy, = n / 2, n / 2 + 160
+    z = 200 + 2200 * np.exp(-((ii - cx) ** 2 + (jj - cy) ** 2) / (2 * 40.0 ** 2))
+    dem = jnp.asarray(z, jnp.float32)
+
+    lat0, lon0 = 34.0, -118.0      # viewer geodetic anchor
+    vi, vj = n / 2, n / 2
+    vz = float(z[int(vj), int(vi)]) + 2.0
+    f = jnp.float32
+    zfar = 25000.0
+    p = RenderParams(f(vi), f(vj), f(vz), f(math.cos(math.radians(lat0))),
+                     f(math.radians(-30.0)), f(math.radians(30.0)),
+                     f(100.0), f(zfar), f(100.0), f(zfar))
+    k = k_cross_for(zfar, cpd, lat0, n=n)
+    img, rng = render_panorama(dem, p, width=512, height=256, nsteps=k,
+                               cells_per_deg=cpd, sampler="window",
+                               lat_hint_deg=lat0)
+    rng = np.asarray(rng)
+
+    cell_deg = 1.0 / cpd
+    summit_lat = lat0 + (cy - vj) * cell_deg
+    summit_ele = float(z[int(cy), int(cx)])
+    # the visible shoulder: walk the dome toward the viewer to the tangent pt
+    best = None
+    for dj in range(20, 160):
+        jx = cy - dj
+        ele = float(z[int(jx), int(cx)])
+        d = (jx - vj) * (6371000.0 * math.pi / 180.0 / cpd)
+        tan_el = (ele - vz) / d
+        if best is None or tan_el > best[0]:
+            best = (tan_el, jx, ele)
+    _, jx_sh, ele_sh = best
+    shoulder_lat = lat0 + (jx_sh - vj) * cell_deg
+
+    keep, x, y = project_and_occlusion_test(
+        rng, [shoulder_lat, summit_lat], [lon0, lon0], [ele_sh, summit_ele],
+        lat0, lon0, vz, -30.0, 30.0, 256)
+    assert bool(keep[0]), "tangent shoulder must be labelable"
+    assert not bool(keep[1]), "occluded summit must fail the range fuzz"
