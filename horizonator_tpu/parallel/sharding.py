@@ -77,7 +77,8 @@ def _wedge_params(p: RenderParams, az_idx, n_az: int) -> RenderParams:
 
 
 def make_sharded_renderer(mesh: Mesh, *, width, height, nsteps, cells_per_deg,
-                          surface="bilinear", refine=True):
+                          surface="bilinear", refine=True, sampler="step",
+                          lat_hint_deg=45.0):
     """Build the multi-chip renderer over mesh axes ("batch", "az").
 
     Returns a jitted fn(dem, params_batch) -> (images (B,H,W,3), ranges
@@ -97,14 +98,23 @@ def make_sharded_renderer(mesh: Mesh, *, width, height, nsteps, cells_per_deg,
             return render_panorama(
                 dem, _wedge_params(p, az_idx, n_az),
                 width=w_local, height=height, nsteps=nsteps,
-                cells_per_deg=cells_per_deg, surface=surface, refine=refine)
+                cells_per_deg=cells_per_deg, surface=surface, refine=refine,
+                sampler=sampler, lat_hint_deg=lat_hint_deg)
 
+        if sampler in ("window", "lod"):
+            return jax.lax.map(one, params)
         return jax.vmap(one)(params)
 
+    kw = {}
+    if sampler in ("window", "lod"):
+        # pallas_call outputs carry no varying-mesh-axes annotation yet;
+        # the wedge partition is correct by construction (disjoint columns)
+        kw = dict(check_vma=False)
     sharded = shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(), P("batch")),
-        out_specs=(P("batch", None, "az", None), P("batch", None, "az")))
+        out_specs=(P("batch", None, "az", None), P("batch", None, "az")),
+        **kw)
     return jax.jit(sharded)
 
 

@@ -98,3 +98,30 @@ def test_render_path():
     img1, _ = render_panorama(
         dem, jax.tree.map(lambda x: x[0], frames), **KW)
     np.testing.assert_array_equal(np.asarray(imgs[0]), np.asarray(img1))
+
+
+def test_sharded_window_sampler_matches_single():
+    # The Pallas window kernel under shard_map (interpret mode on the CPU
+    # mesh): wedge-sharded renders equal the single-device render.
+    from horizonator_tpu.parallel.sharding import make_sharded_renderer
+    from horizonator_tpu.render.crossing import k_cross_for
+    from tests.test_crossing import make_dem, params_for, CPD
+
+    dem = make_dem(256, rough=4.0)
+    d = np.asarray(dem)
+    vz = float(d[127:129, 128:130].max()) + 5.0
+    k = k_cross_for(8000.0, CPD, 34.0, n=256)
+    ps = stack_params([params_for(dem, 128.3 + i, 127.6, vz, az0=-180.0,
+                                  az1=180.0, zfar=8000.0) for i in range(2)])
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("batch", "az"))
+    fn = make_sharded_renderer(mesh, width=256, height=64, nsteps=k,
+                               cells_per_deg=CPD, sampler="window",
+                               lat_hint_deg=34.0)
+    imgs, rngs = fn(dem, ps)
+    img1, rng1 = render_panorama(
+        dem, jax.tree.map(lambda x: x[0], ps), width=256, height=64,
+        nsteps=k, cells_per_deg=CPD, sampler="window", lat_hint_deg=34.0)
+    a, b = np.asarray(rngs[0]), np.asarray(rng1)
+    assert np.array_equal(a < 0, b < 0)
+    vis = a > 0
+    np.testing.assert_allclose(a[vis], b[vis], rtol=1e-5, atol=0.01)
