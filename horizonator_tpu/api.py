@@ -224,6 +224,36 @@ class horizonator:
             out.append(ranges_np)
         return tuple(out) if len(out) > 1 else out[0]
 
+    def render_batch(self, az_deg0, az_deg1, lats, lons, *, ele_m=None,
+                     znear=ZNEAR_DEFAULT, zfar=ZFAR_DEFAULT):
+        """TPU extension: render many viewpoints in ONE dispatch.
+
+        lats/lons: sequences of viewer positions (auto elevation unless
+        ele_m gives explicit elevations). Returns (images (B,H,W,3) uint8
+        BGR, ranges (B,H,W) float32)."""
+        from .parallel import render_batch as _rb, stack_params
+        f = jnp.float32
+        ps = []
+        for b, (la, lo) in enumerate(zip(lats, lons)):
+            vz = (float(ele_m[b]) if ele_m is not None
+                  else self.mosaic.auto_viewer_z(la, lo))
+            ci, cj = self.mosaic.viewer_cell(la, lo)
+            ps.append(RenderParams(
+                viewer_cell_i=f(ci), viewer_cell_j=f(cj), viewer_z=f(vz),
+                cos_viewer_lat=f(math.cos(math.radians(la))),
+                az_rad0=f(math.radians(az_deg0)),
+                az_rad1=f(math.radians(az_deg1)),
+                znear=f(znear), zfar=f(zfar),
+                znear_color=f(znear), zfar_color=f(zfar)))
+        sampler = self.sampler if self.sampler != "lod" else "window"
+        imgs, rngs = _rb(self._dem, stack_params(ps),
+                         width=self.width, height=self.height,
+                         nsteps=self._auto_nsteps(znear, zfar),
+                         cells_per_deg=self.mosaic.cells_per_deg,
+                         surface=self.surface, refine=self.refine,
+                         sampler=sampler, lat_hint_deg=self._lat_hint())
+        return np.asarray(imgs), np.asarray(rngs)
+
     def pick(self, x, y):
         """Pixel of the LAST render -> (lat, lon), or None for sky
         (horizonator-lib.c:1216-1296, reading our range image instead of the

@@ -179,3 +179,19 @@ def test_cli_arg_validation(dem_dir):
                         "95", "-117", "0", "45"],
                        capture_output=True, text=True, cwd="/root/repo", env=env)
     assert r.returncode == 1 and "latitude" in r.stderr
+
+
+def test_render_batch_method(dem_dir):
+    import numpy as np
+    from horizonator_tpu.api import horizonator
+    h = horizonator(34.40, -117.45, 128, 64, dir_dems=dem_dir,
+                    render_radius_m=20000.0)
+    imgs, rngs = h.render_batch(-60, 60, [34.40, 34.42], [-117.45, -117.44],
+                                zfar=20000.0)
+    assert imgs.shape == (2, 64, 128, 3)
+    assert rngs.shape == (2, 64, 128)
+    # batch element 0 equals the single render from the same spot
+    img1, rng1 = h.render(-60, 60, lat=34.40, lon=-117.45, zfar=20000.0)
+    np.testing.assert_array_equal(imgs[0], img1)
+    np.testing.assert_array_equal(rngs[0], rng1)
+    assert not np.array_equal(imgs[0], imgs[1])
