@@ -53,3 +53,18 @@ def test_exact_tie_is_a_crossing():
     i2, _, _ = _resolve_merge2(m, t)
     np.testing.assert_array_equal(np.asarray(i1), [[2, 1]])
     np.testing.assert_array_equal(np.asarray(i2), [[2, 1]])
+
+
+def test_wide_image_fallback_path_matches_packed():
+    # H=4096 exceeds the single-int32 bit budget -> the 2-array unsort
+    # fallback; it must agree with the packed path at a packable height.
+    m, _, aspect, _ = _data(w=8, k=50, h=36, seed=5)
+    el_k = jnp.arctan(m)
+    for h in (64, 4096):
+        y_k = (1.0 - el_k * aspect) * (h * 0.5) - 0.5
+        idx, alpha, ok = _resolve_rows(y_k, h)
+        assert idx.shape == (8, h)
+        a = np.asarray(alpha)
+        assert ((a >= 0) & (a <= 1)).all()
+        i = np.asarray(idx)
+        assert (np.diff(i, axis=1) <= 0).all()   # idx non-increasing in y
