@@ -105,14 +105,18 @@ def main():
     log(f"visible fraction: {float(vis):.3f}")
     float(render_chain(dem, params))   # compile the chain
 
-    # RTT of a bare scalar pull, to subtract from per-iter timings
+    # RTT of a bare scalar pull, to subtract from per-iter timings. Use the
+    # MINIMUM: transport jitter only ever inflates a sample, so the min is
+    # the true floor and subtracting it is the conservative direction (the
+    # metric can only overestimate the render cost).
     rtts = []
-    for _ in range(5):
+    for _ in range(8):
         t0 = time.perf_counter()
         float(jnp.float32(1.0) + s * 0)
         rtts.append(time.perf_counter() - t0)
-    rtt = float(np.median(rtts))
-    log(f"scalar-pull RTT: {rtt * 1e3:.2f} ms")
+    rtt = float(np.min(rtts))
+    log(f"scalar-pull RTT: min {rtt * 1e3:.2f} ms "
+        f"(median {1e3 * float(np.median(rtts)):.2f})")
 
     iters = 6
     times = []

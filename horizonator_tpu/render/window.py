@@ -161,13 +161,17 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
         dma.wait()
 
         def body(i, acc):
-            wrow = win_ref[pl.ds(i, 1), :]                     # (1, TK)
-            hat = jnp.maximum(1.0 - jnp.abs(pos - i.astype(jnp.float32)),
-                              0.0)
-            return acc + hat * wrow
+            base = i * 4
+            w4 = win_ref[pl.ds(base, 4), :]                    # (4, TK)
+            basef = base.astype(jnp.float32)
+            for r in range(4):                                 # unrolled
+                hat = jnp.maximum(
+                    1.0 - jnp.abs(pos - (basef + float(r))), 0.0)
+                acc = acc + hat * w4[r:r + 1, :]
+            return acc
 
         z = jax.lax.fori_loop(
-            0, win, body, jnp.zeros((tile_w, tile_k), jnp.float32))
+            0, win // 4, body, jnp.zeros((tile_w, tile_k), jnp.float32))
 
         tanel = jnp.where(valid, (z - vz) / dm, NEG_BIG)
         out_ref[:] = jnp.maximum(out_ref[:], tanel)
