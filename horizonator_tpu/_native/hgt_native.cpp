@@ -37,13 +37,16 @@ extern "C" {
 //   dst_i0,dst_j0  where the tile's (0,0) SOUTH-first sample lands in the
 //                  window (may be negative)
 //
-// Returns 0 on success, 1 missing/empty file (caller treats as sea),
-// 2 size mismatch, 3 io error.
+// Returns 0 on success, 1 empty (zero-size) file (caller treats as silent
+// sea, dem.c:210-221), 2 size mismatch, 3 io error, 4 open failure -- an
+// EXISTING but unreadable tile (permissions, I/O race after the caller's
+// exists() check) must be distinguishable from an empty one so the caller
+// can warn instead of silently rendering ocean.
 int hgt_blit_window(const char* path, int edge,
                     int16_t* grid, int n,
                     long dst_i0, long dst_j0) {
     int fd = open(path, O_RDONLY);
-    if (fd < 0) return 1;
+    if (fd < 0) return 4;
     struct stat sb;
     if (fstat(fd, &sb) != 0) { close(fd); return 3; }
     if (sb.st_size == 0) { close(fd); return 1; }

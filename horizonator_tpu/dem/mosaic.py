@@ -200,6 +200,16 @@ def load_mosaic(viewer_lat: float, viewer_lon: float, *,
                     raise ValueError(
                         f"The DEM file '{path}' has unexpected size. Is this "
                         f"a {'1' if srtm1 else '3'}-arc-sec SRTM DEM?")
+                if rc == 4:
+                    # exists-but-unreadable (permissions, race after the
+                    # exists() check): warn and treat as sea, matching the
+                    # reference's couldn't-open path (dem.c:199-208) -- NOT
+                    # the silent zero-size path.
+                    missing.append(str(path))
+                    if warn_missing:
+                        _msg("Warning: couldn't open DEM file '%s'. Assuming "
+                             "elevation=0 (sea surface?)", path)
+                    continue
                 raise OSError(f"couldn't read DEM file '{path}' (rc={rc})")
             tile = hgt.read_hgt(path, srtm1)
             if tile is None:

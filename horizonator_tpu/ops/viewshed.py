@@ -110,9 +110,10 @@ def _unwrap(x, near):
 
 @functools.partial(
     jax.jit, static_argnames=("width", "nsteps", "cells_per_deg", "surface",
-                              "sampler"))
+                              "sampler", "lat_hint_deg"))
 def horizon_sweep(dem, params_batch: RenderParams, *, width, nsteps,
-                  cells_per_deg, surface="bilinear", sampler="step"):
+                  cells_per_deg, surface="bilinear", sampler="step",
+                  lat_hint_deg=45.0):
     """(B,) stacked viewpoints -> (B, W) horizon tan(el). The building block
     of the 10k-viewpoint sweep; shard the batch axis for multi-chip.
 
@@ -120,14 +121,17 @@ def horizon_sweep(dem, params_batch: RenderParams, *, width, nsteps,
     packed fetch per sample, ~4x fewer gathered elements at equal fidelity;
     dem must then be a crossing.CrossingScene and nsteps a k_cross_for()
     budget). sampler='window' runs the gather-free Pallas kernel per
-    viewpoint in one fused lax.map dispatch (dem = raw (n, n) float32)."""
+    viewpoint in one fused lax.map dispatch (dem = raw (n, n) float32);
+    lat_hint_deg sizes its VMEM cross-axis window -- pass the viewer
+    latitude, or the kernel silently underestimates the fan above ~50 deg
+    and drops valid samples."""
     if sampler == "window":
         from ..render.window import march_window
 
         def one_w(p):
             _, run_max, _, _ = march_window(
                 dem, p, width=width, k_cross=nsteps,
-                cells_per_deg=cells_per_deg)
+                cells_per_deg=cells_per_deg, lat_hint_deg=lat_hint_deg)
             return run_max[:, -1]
         return jax.lax.map(one_w, params_batch)
     if sampler == "crossing":
@@ -169,12 +173,14 @@ def viewshed_sweep(dem, viewpoints_ij, *, viewer_height_m=2.0, width=256,
     ground = _sample_surface(dem_packed, n, pts[:, 0], pts[:, 1], "bilinear")
     vz = ground + viewer_height_m
 
+    lat_hint_deg = 45.0
     if sampler in ("crossing", "window"):
         from ..render.crossing import pack_scene, k_cross_for
         if lat_deg is None:
             lat_deg = math.degrees(math.acos(min(1.0, cos_viewer_lat)))
         if nsteps is None:
             nsteps = k_cross_for(zfar, cells_per_deg, lat_deg, n=n)
+        lat_hint_deg = float(lat_deg)
         dem_packed = (dem_f.astype(jnp.float32) if sampler == "window"
                       else pack_scene(dem_f.astype(jnp.float32)))
     elif nsteps is None:
@@ -201,5 +207,6 @@ def viewshed_sweep(dem, viewpoints_ij, *, viewer_height_m=2.0, width=256,
             zfar_color=jnp.full((batch,), zfar, jnp.float32))
         outs.append(horizon_sweep(dem_packed, params, width=width,
                                   nsteps=nsteps, cells_per_deg=cells_per_deg,
-                                  surface=surface, sampler=sampler))
+                                  surface=surface, sampler=sampler,
+                                  lat_hint_deg=lat_hint_deg))
     return jnp.concatenate(outs, axis=0)[:nview]

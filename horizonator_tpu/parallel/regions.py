@@ -20,7 +20,9 @@ exactly the samples whose interpolation stencil lies inside band+halo:
   identical values; max() is idempotent, so no seam handling is needed.
 
 Collectives: one ppermute (each device sends its first row to its
-predecessor; the last band's halo is ocean/zero) + one pmax. Each device
+predecessor; the last band's halo slot is shape-filler only, masked invalid
+via march_crossing's j_hi so the north edge matches the unsharded march
+exactly) + one pmax. Each device
 holds 1/R of the grid (+1 row): memory scales with the region axis; compute
 per device is the full (W, K) march (compose with the "az" axis of
 sharding.make_sharded_horizon to scale compute too).
@@ -62,13 +64,17 @@ def make_region_sharded_horizon(mesh: Mesh, *, width, k_cross, cells_per_deg,
         nb = dem_band.shape[0]
         idx = jax.lax.axis_index(axis)
 
-        # halo: receive the NEXT band's first row; last band gets ocean 0
-        # (the reference's missing-data elevation, dem.c:199-221).
+        # halo: receive the NEXT band's first row. The last band has no real
+        # row beyond the grid's north edge; it still appends a (zero) row so
+        # every device runs the same shapes, but marks it INVALID via j_hi
+        # below -- matching the unsharded march, which masks everything
+        # beyond row n-1 (rather than interpolating toward fabricated data).
         first_row = dem_band[0:1, :]
         perm = [(i, (i - 1) % r) for i in range(r)]
         halo = jax.lax.ppermute(first_row, axis, perm)
         halo = jnp.where(idx == r - 1, jnp.zeros_like(halo), halo)
         local = jnp.concatenate([dem_band, halo], axis=0)      # (nb+1, n)
+        j_hi = jnp.where(idx == r - 1, jnp.float32(nb - 1), jnp.float32(nb))
 
         # Rectangular local grid (nb+1 rows x n cols): march_crossing
         # supports it directly; samples outside the band are masked by the
@@ -83,7 +89,7 @@ def make_region_sharded_horizon(mesh: Mesh, *, width, k_cross, cells_per_deg,
         scene = pack_scene(local)
         _, run_max, _, az = march_crossing(
             scene, p_local, width=w_local, k_cross=k_cross,
-            cells_per_deg=cells_per_deg)
+            cells_per_deg=cells_per_deg, j_hi=j_hi)
         h = run_max[:, -1]
         return az, jax.lax.pmax(h, axis)
 

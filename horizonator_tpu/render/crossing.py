@@ -191,15 +191,24 @@ N_NEAR = 4
 
 
 def march_crossing(scene: CrossingScene, params: RenderParams, *,
-                   width, k_cross, cells_per_deg, n_near=N_NEAR):
+                   width, k_cross, cells_per_deg, n_near=N_NEAR, j_hi=None):
     """The (W, n_near + K) march: near-band bilinear samples, then the grid
     crossings.
+
+    ``j_hi`` (traced scalar, default nj-1) caps the VALID fractional row
+    range: samples with j > j_hi are masked even though rows up to nj-1 are
+    physically present. Region sharding uses this to mark its appended halo
+    row as sample-storage-only on the LAST band, whose halo is fabricated
+    (there is no real row beyond the grid's north edge).
 
     Returns (tanel, run_max, dists, az) with ``dists.d_of(idx)`` mapping
     resolve indices back to distances.
     """
     p = params
     nj, ni = scene.nj, scene.ni
+    if j_hi is None:
+        j_hi = nj - 1
+    j_hi_f = jnp.asarray(j_hi, jnp.float32)
     hv = scene.hv.reshape(-1)
     n2 = nj * ni
     geo = crossing_geometry(params, width=width, cells_per_deg=cells_per_deg)
@@ -213,11 +222,14 @@ def march_crossing(scene: CrossingScene, params: RenderParams, *,
 
     jd = geo.j_dom[:, None]
     # Per-column grid extents: row-dominant columns step rows (axis bound
-    # nj-1) and interpolate along i (cross bound ni-1); column-dominant the
-    # transpose.
+    # along j) and interpolate along i (cross bound ni-1); column-dominant
+    # the transpose. Memory-safety clips use the physical extents (nj-1);
+    # VALIDITY uses j_hi, which may be tighter (region-sharding halo).
     axis_hi = jnp.where(jd, nj - 1, ni - 1)
     cross_hi = jnp.where(jd, ni - 1, nj - 1)
     cross_hi_pair = cross_hi - 1                    # floor clip for pairs
+    axis_hi_v = jnp.where(jd, j_hi_f, jnp.float32(ni - 1))
+    cross_hi_v = jnp.where(jd, jnp.float32(ni - 1), j_hi_f)
 
     cross0 = jnp.floor(cross)
     frac = cross - cross0
@@ -229,8 +241,8 @@ def march_crossing(scene: CrossingScene, params: RenderParams, *,
                      axis_c * ni + cross0i,
                      n2 + cross0i * ni + axis_c)
 
-    valid = ((axis_int >= 0) & (axis_int <= axis_hi) &
-             (cross >= 0.0) & (cross <= cross_hi.astype(jnp.float32)) &
+    valid = ((axis_int >= 0) & (axis_int.astype(jnp.float32) <= axis_hi_v) &
+             (cross >= 0.0) & (cross <= cross_hi_v) &
              (d >= p.znear) & (d <= p.zfar))
 
     v = jnp.take(hv, flat)
@@ -262,7 +274,7 @@ def march_crossing(scene: CrossingScene, params: RenderParams, *,
         ztop = za0 + (za1 - za0) * fi
         zbot = zb0 + (zb1 - zb0) * fi
         zq = ztop + (zbot - ztop) * fj
-        vq = ((iq >= 0) & (iq <= ni - 1) & (jq >= 0) & (jq <= nj - 1) &
+        vq = ((iq >= 0) & (iq <= ni - 1) & (jq >= 0) & (jq <= j_hi_f) &
               (dq >= p.znear) & (dq <= p.zfar) & (dq < near_hi[:, None]))
         tanel_q = jnp.where(vq, (zq - p.viewer_z) / dq, NEG_BIG)
         tanel = jnp.concatenate([tanel_q, tanel], axis=1)

@@ -308,8 +308,14 @@ def _resolve_rows(y_k, height):
     n = k + h
     big = jnp.int32(2 ** 30)
 
+    # Clip to +-(2^30 - 1) so the <<1 below cannot overflow int32 (at exactly
+    # +2^30 the shift wraps to INT32_MIN and breaks the bitonic-valley sort
+    # invariant); the float clip bounds the round, the int clip is exact
+    # (float32 cannot represent 2^30 - 1). Also keeps skey strictly inside
+    # the (-big, big) sentinel range used by the bracket scans below.
     yq = jnp.clip(jnp.round(y_k * _ROWQ), -2.0 ** 30, 2.0 ** 30)
-    key_s = (yq.astype(jnp.int32) << 1)                         # samples: LSB 0
+    yq = jnp.clip(yq.astype(jnp.int32), -(2 ** 30) + 1, 2 ** 30 - 1)
+    key_s = yq << 1                                             # samples: LSB 0
     thr = jnp.arange(h, dtype=jnp.int32)
     key_t = jnp.broadcast_to(((thr * jnp.int32(_ROWQ)) << 1) | 1, (w, h))
 
@@ -360,12 +366,17 @@ def _resolve_rows(y_k, height):
         ok = (pu & 1) == 1
         return idx, alpha_out, ok
 
+    # Fallback unsort (alpha budget under 5 bits, e.g. H=4096): idx rides as
+    # its own payload array instead of packing into bits 16.. of combo --
+    # with K >= 32768 samples the packed form would overflow into the sign
+    # bit and decode garbage. One extra payload array, same single sort.
     a16 = jnp.round(alpha * 32767.0).astype(jnp.int32)
-    combo = (idxv << 16) | (a16 << 1) | okv.astype(jnp.int32)
+    combo = (a16 << 1) | okv.astype(jnp.int32)
     key2 = jnp.where(is_thr, rank, big)
-    _, combo_u = jax.lax.sort((key2, combo), dimension=1, num_keys=1)
+    _, idx_u, combo_u = jax.lax.sort((key2, idxv, combo), dimension=1,
+                                     num_keys=1)
+    idx = idx_u[:, :h]
     cu = combo_u[:, :h]
-    idx = cu >> 16
     alpha_out = ((cu >> 1) & 0x7fff).astype(jnp.float32) / 32767.0
     ok = (cu & 1) == 1
     return idx, alpha_out, ok

@@ -72,6 +72,45 @@ def test_native_missing_and_empty(tmp_path):
     assert len(m.missing_tiles) == 0   # empty file is not "missing"
 
 
+def test_native_open_failure_distinct_from_empty(tmp_path):
+    # rc=4 (open failure) vs rc=1 (zero-size): a dangling symlink passes
+    # neither the exists() check nor open(); calling the blit directly must
+    # report the distinct open-failure code, not "empty -> silent sea".
+    if _native.get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    edge = hgt.SRTM3_EDGE
+    grid = np.zeros((64, 64), np.int16)
+    dangling = tmp_path / "N34W118.hgt"
+    dangling.symlink_to(tmp_path / "nonexistent-target.hgt")
+    rc = _native.blit_window(dangling, edge, grid, 0, 0)
+    assert rc == 4
+    empty = tmp_path / "N34W117.hgt"
+    empty.touch()
+    assert _native.blit_window(empty, edge, grid, 0, 0) == 1
+
+
+def test_mosaic_unreadable_tile_warns_as_sea(tmp_path, monkeypatch, capsys):
+    # An existing-but-unreadable tile (rc=4 from the native blit) must WARN
+    # and render as sea, like the reference's couldn't-open path
+    # (dem.c:199-208) -- not silently like a zero-size file.
+    if _native.get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    d = tmp_path / "dems"
+    d.mkdir()
+    (d / "N34W118.hgt").touch()   # exists() passes
+
+    real = _native.blit_window
+    monkeypatch.setattr(_native, "blit_window",
+                        lambda *a, **k: 4)
+    try:
+        m = load_mosaic(34.5, -117.5, render_radius_cells=100, datadir=str(d))
+    finally:
+        monkeypatch.setattr(_native, "blit_window", real)
+    assert m.grid.max() == 0
+    assert len(m.missing_tiles) == 1
+    assert "couldn't open DEM file" in capsys.readouterr().err
+
+
 def test_native_negative_clamp(tmp_path):
     if _native.get_lib() is None:
         pytest.skip("native toolchain unavailable")

@@ -64,6 +64,31 @@ def test_region_sharding_near_band_edge_viewer():
     np.testing.assert_allclose(t1[vis], t2[vis], rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("viewer_j", [253.4, 250.0])
+def test_region_sharding_north_edge_matches_single(viewer_j):
+    # Regression: the last band's appended halo row is fabricated (no real
+    # row beyond the grid's north edge). It used to be treated as valid
+    # ocean-0 data, so rays from a viewer near the north edge interpolated
+    # real terrain toward 0 in the one-cell strip beyond row n-1 and the
+    # sharded horizon diverged there. march_crossing's j_hi now masks it.
+    dem = make_dem(256, rough=6.0)
+    d_np = np.asarray(dem)
+    vz = float(d_np[int(viewer_j):int(viewer_j) + 2, 128:130].max()) + 2.0
+    p = params_for(dem, 128.3, viewer_j, vz, zfar=12000.0)
+    k = k_cross_for(12000.0, CPD, 34.0, n=256)
+    width = 360
+
+    az1, tan1 = horizon_crossing(pack_scene(dem), p, width=width, k_cross=k,
+                                 cells_per_deg=CPD)
+    fn = make_region_sharded_horizon(_mesh(4), width=width, k_cross=k,
+                                     cells_per_deg=CPD)
+    _, tan2 = fn(dem, p)
+    t1, t2 = np.asarray(tan1), np.asarray(tan2)
+    assert np.array_equal(t1 > -1e30, t2 > -1e30)
+    vis = t1 > -1e30
+    np.testing.assert_allclose(t1[vis], t2[vis], rtol=1e-5, atol=1e-6)
+
+
 def test_region_x_az_2d_mesh():
     # 2 region bands x 4 az wedges on 8 virtual devices: memory AND compute
     # sharded; result identical to single-device.

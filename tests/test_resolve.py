@@ -55,6 +55,45 @@ def test_exact_tie_is_a_crossing():
     np.testing.assert_array_equal(np.asarray(i2), [[2, 1]])
 
 
+def _oracle_idx(y_k, h):
+    """Quantized row-space first-crossing: idx = #{k : round(y_k*256) >
+    y*256} (pixel y covered by the first sample whose horizon row reached at
+    or above it; exactly-equal counts as crossing)."""
+    yq = np.round(np.asarray(y_k, np.float64) * 256.0)
+    thr = np.arange(h, dtype=np.float64) * 256.0
+    return (yq[:, :, None] > thr[None, None, :]).sum(axis=1)
+
+
+def test_rows_resolve_huge_row_values_no_int32_overflow():
+    # Regression: out-of-grid columns map run_max=-inf to pixel rows beyond
+    # 2^30/256; the packed key must clip so that <<1 cannot wrap to
+    # INT32_MIN (which made such samples sort FIRST and cover every pixel).
+    k, h = 64, 32
+    base = np.linspace(40.0, -10.0, k, dtype=np.float32)
+    rows = np.stack([
+        base,                                              # normal column
+        np.concatenate([[5.0e6] * 8, base[8:]]),           # huge head
+        np.full(k, 5.0e6, np.float32),                     # all out-of-grid
+        np.concatenate([[2.0 ** 30 / 256.0] * 4, base[4:]]),  # exact boundary
+    ]).astype(np.float32)
+    idx, _, _ = _resolve_rows(jnp.asarray(rows), h)
+    np.testing.assert_array_equal(np.asarray(idx), _oracle_idx(rows, h))
+
+
+def test_rows_resolve_fallback_large_k_no_idx_overflow():
+    # Regression: the fallback unsort (a_bits < 5, e.g. H=4096) used to pack
+    # idx<<16 into one int32; with K >= 32768 the sign bit corrupted idx.
+    w, k, h = 2, 32768 + 64, 4096
+    y = np.linspace(3.0e5, -50.0, k, dtype=np.float32)
+    rows = np.broadcast_to(y, (w, k)).copy()
+    idx, alpha, ok = _resolve_rows(jnp.asarray(rows), h)
+    i = np.asarray(idx)
+    np.testing.assert_array_equal(i, _oracle_idx(rows, h))
+    assert i.max() > 32767          # the old packing could not represent this
+    a = np.asarray(alpha)
+    assert ((a >= 0) & (a <= 1)).all()
+
+
 def test_wide_image_fallback_path_matches_packed():
     # H=4096 exceeds the single-int32 bit budget -> the 2-array unsort
     # fallback; it must agree with the packed path at a packable height.
