@@ -261,6 +261,43 @@ def _resolve_merge2(m, t_y):
 _ROWQ = 256.0         # pixel-row quantization of the resolve keys (1/256 px)
 
 
+def _butterfly_route_front(packed, n_pow2, rank_bits):
+    """Oblivious monotone concentrator: the resolve's unsort without a sort.
+
+    ``packed`` rows carry a destination field in the TOP rank_bits (below the
+    sign bit); entries whose field is not the all-ones sentinel move to
+    position = field value. The routing is MONOTONE -- marked entries appear
+    in increasing destination order and destination <= position (they only
+    move left) -- and a monotone concentration self-routes CONFLICT-FREE
+    through an inverse butterfly switched on destination bits LSB-first
+    (Nassimi & Sahni's order-preserving self-routing result; exhaustively
+    property-tested in tests/test_resolve.py). That makes the unsort
+    log2(N) passes of reshape/where on one int32 array instead of a
+    comparison sort (lax.sort was ~2 ms of the 7.3 ms frame at 4096x1024;
+    these passes fuse like the bitonic merge above).
+    """
+    w, n = packed.shape
+    shift_d = 31 - rank_bits
+    sentinel = (1 << rank_bits) - 1
+    if n != n_pow2:
+        packed = jnp.pad(packed, ((0, 0), (0, n_pow2 - n)),
+                         constant_values=sentinel << shift_d)
+    v = packed
+    for b in range((n_pow2 - 1).bit_length()):
+        s = 1 << b
+        v4 = v.reshape(w, n_pow2 // (2 * s), 2, s)
+        va = v4[:, :, 0, :]
+        vb = v4[:, :, 1, :]
+        da = va >> shift_d                 # sign bit is 0: plain field read
+        db = vb >> shift_d
+        a_hi = (da != sentinel) & (((da >> b) & 1) == 1)
+        b_lo = (db != sentinel) & (((db >> b) & 1) == 0)
+        swap = a_hi | b_lo
+        v = jnp.stack([jnp.where(swap, vb, va), jnp.where(swap, va, vb)],
+                      axis=2).reshape(w, n_pow2)
+    return v
+
+
 def _bitonic_merge_valley(x, n_pow2):
     """Sort a bitonic 'valley' (non-increasing then non-decreasing) row-wise
     ascending with Batcher's bitonic merge: log2(N) min/max stages instead
@@ -346,21 +383,23 @@ def _resolve_rows(y_k, height):
     alpha = jnp.clip((y_prev.astype(jnp.float32) - y_thr)
                      / jnp.where(denom > 0, denom, 1.0), 0.0, 1.0)
 
-    # unsort: thresholds first in rank (= destination row) order, samples
-    # to the tail. When everything fits, key AND payload pack into ONE
-    # int32 (rank | idx | alpha | ok) so the unsort is a 1-array sort.
+    # unsort: route each threshold to its rank (= destination row) with the
+    # oblivious butterfly concentrator -- no comparison sort. When
+    # everything fits, destination AND payload pack into ONE int32
+    # (rank | idx | alpha | ok); samples carry the all-ones sentinel rank.
     rank_bits = h.bit_length()
     idx_bits = max(n.bit_length(), 1)
     a_bits = 32 - 1 - rank_bits - idx_bits - 1
     if a_bits >= 5:
         amax = (1 << a_bits) - 1
         aq = jnp.round(alpha * amax).astype(jnp.int32)
-        packed = ((jnp.where(is_thr, rank, jnp.int32(h)) <<
+        sent = jnp.int32((1 << rank_bits) - 1)
+        packed = ((jnp.where(is_thr, rank, sent) <<
                    (idx_bits + a_bits + 1))
                   | (jnp.clip(idxv, 0, (1 << idx_bits) - 1)
                      << (a_bits + 1))
                   | (aq << 1) | okv.astype(jnp.int32))
-        pu = jax.lax.sort(packed, dimension=1)[:, :h]
+        pu = _butterfly_route_front(packed, n_pow2, rank_bits)[:, :h]
         idx = (pu >> (a_bits + 1)) & ((1 << idx_bits) - 1)
         alpha_out = ((pu >> 1) & amax).astype(jnp.float32) / amax
         ok = (pu & 1) == 1

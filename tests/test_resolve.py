@@ -55,6 +55,31 @@ def test_exact_tie_is_a_crossing():
     np.testing.assert_array_equal(np.asarray(i2), [[2, 1]])
 
 
+def test_butterfly_concentrator_matches_stable_compaction():
+    # The unsort's oblivious router: for ANY flag pattern, marked entries
+    # (strictly increasing destinations = their ranks) must land at their
+    # rank positions -- equivalent to a stable compaction / the lax.sort it
+    # replaced. Exercise many random patterns and densities.
+    from horizonator_tpu.render.raymarch import _butterfly_route_front
+    rng = np.random.default_rng(11)
+    w, n_pow2 = 64, 512
+    rank_bits = 10
+    shift = 31 - rank_bits
+    sent = (1 << rank_bits) - 1
+    for density in (0.02, 0.3, 0.5, 0.9, 1.0):
+        flags = rng.random((w, n_pow2)) < density
+        payload = rng.integers(0, 1 << shift, (w, n_pow2), dtype=np.int32)
+        ranks = np.cumsum(flags, axis=1) - 1
+        dest = np.where(flags, ranks, sent).astype(np.int32)
+        packed = (dest << shift) | payload
+        out = np.asarray(_butterfly_route_front(
+            jnp.asarray(packed), n_pow2, rank_bits))
+        for r in range(w):
+            k = int(flags[r].sum())
+            np.testing.assert_array_equal(
+                out[r, :k] & ((1 << shift) - 1), payload[r, flags[r]])
+
+
 def _oracle_idx(y_k, h):
     """Quantized row-space first-crossing: idx = #{k : round(y_k*256) >
     y*256} (pixel y covered by the first sample whose horizon row reached at
