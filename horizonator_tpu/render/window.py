@@ -123,7 +123,7 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
     def _():
         out_ref[:] = jnp.full((tile_w, tile_k), NEG_BIG, jnp.float32)
 
-    @pl.when(act_ref[wt, kt, d] == 1)
+    @pl.when(act_ref[wt, kt, d] > 0)
     def _():
         o = pl.multiple_of(orig_ref[wt, kt, d], 8)   # 8-aligned origin
         dma = pltpu.make_async_copy(
@@ -170,8 +170,15 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
                 acc = acc + hat * w4[r:r + 1, :]
             return acc
 
+        # The hat contraction walks only the rows this tile ACTUALLY spans
+        # (act_ref carries ceil(extent/4), computed from the exact per-tile
+        # position max outside): the static ``win`` is the worst case over
+        # all tiles -- panorama-wide azimuth fan at max |t| -- while a
+        # typical tile spans a fraction of it, so the dynamic bound cuts
+        # the march's dominant loop to the tile's true extent.
+        n_iter = jnp.minimum(act_ref[wt, kt, d], win // 4)
         z = jax.lax.fori_loop(
-            0, win // 4, body, jnp.zeros((tile_w, tile_k), jnp.float32))
+            0, n_iter, body, jnp.zeros((tile_w, tile_k), jnp.float32))
 
         tanel = jnp.where(valid, (z - vz) / dm, NEG_BIG)
         out_ref[:] = jnp.maximum(out_ref[:], tanel)
@@ -232,13 +239,25 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
     for d in range(4):
         sel = jnp.where(dir_t == d, post, jnp.inf)
         mn = jnp.min(sel, axis=(2, 3))                         # (n_wt, n_kt)
+        # invalid samples carry +inf in post (so the MIN skips them); the
+        # MAX needs them at -inf instead
+        mx = jnp.max(jnp.where(jnp.isfinite(sel), sel, -jnp.inf),
+                     axis=(2, 3))
         act = jnp.isfinite(mn)
         n_pad = -(-n // 64) * 64
         o = jnp.clip(jnp.floor(mn) - 1, 0,
                      max(n_pad - win, 0)).astype(jnp.int32)
         o = o & ~7                                 # 8-aligned DMA sublanes
+        # Exact per-tile row extent: hat support of the largest position is
+        # rows [floor(mx), floor(mx)+1], so the kernel's contraction only
+        # needs floor(mx)+2-o rows; the active flag carries ceil(extent/4)
+        # (the kernel's dynamic loop bound; 0 = inactive tile).
+        mx_safe = jnp.where(jnp.isfinite(mx), mx, 0.0)
+        extent = jnp.clip(jnp.floor(mx_safe).astype(jnp.int32) + 2 - o,
+                          0, win)
+        n_iter = (extent + 3) >> 2
         origins.append(jnp.where(act, o, 0))
-        actives.append(act.astype(jnp.int32))
+        actives.append(jnp.where(act, n_iter, 0))
     origins = jnp.stack(origins, axis=-1)                      # (n_wt,n_kt,4)
     actives = jnp.stack(actives, axis=-1)
 
