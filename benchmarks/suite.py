@@ -6,9 +6,12 @@ suite is for humans and for tracking the other configs.
 
 Run:  python benchmarks/suite.py [--configs 1,2,3,4,5] [--iters N]
 
-Timing methodology: forced completion via on-device reduction + scalar pull,
-minus the measured transport RTT (see horizonator_tpu.profiling.device_time);
-large device->host transfers are avoided (the dev tunnel moves ~25 kB/s).
+Timing methodology (ONE rule for every config): forced completion via
+on-device reduction + scalar pull, minus the MINIMUM measured transport RTT
+(profiling.measure_rtt -- the conservative floor; jitter only inflates).
+Configs 1/2 amortize further with 16-render perturbed chains; configs 3/4/5
+amortize identically through their internal 60-1024-viewpoint batches.
+Large device->host transfers are avoided (the dev tunnel moves ~25 kB/s).
 """
 
 import argparse

@@ -92,8 +92,14 @@ def device_time_chain(fn, *args, perturb, reps: int = 16, iters: int = 5,
     return max(0.0, ts[len(ts) // 2] - rtt) / reps
 
 
-def measure_rtt(iters: int = 5) -> float:
-    """Median host<->device scalar round-trip seconds."""
+def measure_rtt(iters: int = 8) -> float:
+    """MINIMUM host<->device scalar round-trip seconds.
+
+    The min, not the median: transport jitter only ever inflates a sample,
+    so the min is the true floor, and subtracting it is the conservative
+    direction -- every timing that subtracts this can only OVERestimate the
+    measured workload. One methodology for bench.py and the whole suite.
+    """
     import jax.numpy as jnp
     x = jnp.float32(1.0) * 2
     float(x)
@@ -102,8 +108,7 @@ def measure_rtt(iters: int = 5) -> float:
         t0 = time.perf_counter()
         float(x + 0 * time.perf_counter())   # fresh value, forces a pull
         ts.append(time.perf_counter() - t0)
-    ts.sort()
-    return ts[len(ts) // 2]
+    return min(ts)
 
 
 def device_time(fn, *args, iters: int = 5, rtt: float | None = None):

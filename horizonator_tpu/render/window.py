@@ -53,19 +53,33 @@ TILE_K = 128   # crossing steps per tile (lane dim: 128-multiple required)
 
 
 def window_size(width: int, k_cross: int, n: int,
-                lat_hint_deg: float = 45.0) -> int:
+                lat_hint_deg: float = 45.0, tile_w: int = TILE_W) -> int:
     """Static cross-axis window size covering any tile's position spread.
 
-    Spread <= TILE_K * max|t| (=1) + k_cross * d|t|/daz * daz/dcol * TILE_W,
+    Spread <= TILE_K * max|t| (=1) + k_cross * d|t|/daz * daz/dcol * tile_w,
     where d|t|/daz <= r + 1/r with r = cell_n/cell_e = 1/cos(lat) and the
     per-column azimuth step is at most 2*pi/width (a full panorama).
     """
     r = 1.0 / max(0.05, math.cos(math.radians(min(abs(lat_hint_deg) + 5.0,
                                                   85.0))))
-    fan = k_cross * (r + 1.0 / r) * (2.0 * math.pi / width) * TILE_W
+    fan = k_cross * (r + 1.0 / r) * (2.0 * math.pi / width) * tile_w
     win = TILE_K + int(math.ceil(fan)) + 16   # +16: interp + 8-align slack
     win = -(-win // 64) * 64
     return min(win, -(-n // 64) * 64)
+
+
+def pick_tile_w(width: int) -> int:
+    """Column-tile width heuristic: narrow panoramas get narrow tiles.
+
+    The per-tile cross-axis fan scales with tile_w * k / width (a 64-column
+    tile of a 256-wide full circle spans a quarter turn!), while per-instance
+    overheads scale with 1/tile_w. Measured on v5e (full-circle horizon
+    sweeps, 1-deg SRTM3 grid): width 256 -> 16 beats 64 by 4.2x; width 512
+    -> 32; width >= 1024 -> 64. Power of two (the output block's sublane
+    dim must be a multiple of 8).
+    """
+    tw = max(8, min(TILE_W, width // 16))
+    return 1 << (tw.bit_length() - 1)
 
 
 def _slice_roll(arr2d, start, size):
@@ -186,9 +200,10 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
 
 @functools.partial(jax.jit, static_argnames=("width", "k_cross",
                                              "cells_per_deg", "lat_hint_deg",
-                                             "n_near", "interpret"))
+                                             "n_near", "interpret", "tile_w"))
 def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
-                 lat_hint_deg=45.0, n_near=N_NEAR, interpret=None):
+                 lat_hint_deg=45.0, n_near=N_NEAR, interpret=None,
+                 tile_w=None):
     """Pallas-kernel crossing march on a raw (n, n) float32 DEM.
 
     Same contract as crossing.march_crossing: returns
@@ -204,16 +219,18 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
         dem = jnp.pad(dem, ((0, TILE_K + 8 - n_real),
                             (0, TILE_K + 8 - n_real)))
     n = dem.shape[0]
+    if tile_w is None:
+        tile_w = pick_tile_w(width)
     k_kernel = max(TILE_K, min(k_cross, (n // TILE_K) * TILE_K))
     k_kernel = -(-k_kernel // TILE_K) * TILE_K
-    w_pad = -(-width // TILE_W) * TILE_W
-    win = window_size(width, k_kernel, n, lat_hint_deg)
+    w_pad = -(-width // tile_w) * tile_w
+    win = window_size(width, k_kernel, n, lat_hint_deg, tile_w)
 
     geo = crossing_geometry(params, width=width, cells_per_deg=cells_per_deg)
     dirid = _dir_id(geo)
 
     # --- per-tile window origins + active flags (exact, masked) -----------
-    n_wt = w_pad // TILE_W
+    n_wt = w_pad // tile_w
     n_kt = k_kernel // TILE_K
     m = jnp.arange(k_kernel, dtype=jnp.float32)[None, :]
     pos = geo.a[:, None] + m * geo.t[:, None]                  # (W, K)
@@ -229,11 +246,11 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
     if pad_cols:
         posq = jnp.pad(posq, ((0, pad_cols), (0, 0)),
                        constant_values=jnp.inf)
-    post = posq.reshape(n_wt, TILE_W, n_kt, TILE_K).transpose(0, 2, 1, 3)
+    post = posq.reshape(n_wt, tile_w, n_kt, TILE_K).transpose(0, 2, 1, 3)
 
     dir_pad = jnp.pad(dirid, (0, pad_cols), constant_values=-1)
     dir_t = jnp.broadcast_to(
-        dir_pad.reshape(n_wt, 1, TILE_W, 1), post.shape)
+        dir_pad.reshape(n_wt, 1, tile_w, 1), post.shape)
     origins = []
     actives = []
     for d in range(4):
@@ -281,7 +298,7 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # pcol, whole (tiny)
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((TILE_W, TILE_K),
+        out_specs=pl.BlockSpec((tile_w, TILE_K),
                                lambda wt, kt, d, *_: (wt, kt),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -289,7 +306,7 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kern = functools.partial(_window_kernel, win=win, tile_w=TILE_W,
+    kern = functools.partial(_window_kernel, win=win, tile_w=tile_w,
                              tile_k=TILE_K, n=n_real)
     tanel = pl.pallas_call(
         kern,

@@ -43,6 +43,28 @@ class TestWindowKernel:
         # 0.5 m quantization of the crossing path over >= 100 m distances
         assert np.abs(hc[vis] - hw[vis]).max() < 6e-3
 
+    @pytest.mark.parametrize("width", [800, 100, 48])
+    def test_non_power_of_two_widths(self, width):
+        # Regression: pick_tile_w(800) once returned 50 (not a multiple of
+        # 8) and Mosaic rejected the output block. Any width must pick an
+        # aligned tile and agree with the oracle; results must also be
+        # tile_w-invariant.
+        from horizonator_tpu.render.window import pick_tile_w
+        assert pick_tile_w(width) % 8 == 0
+        dem = make_dem(256)
+        d_np = np.asarray(dem)
+        vz = float(d_np[127:129, 128:130].max()) + 2.0
+        p = params_for(dem, 128.3, 127.6, vz)
+        k = k_cross_for(15000.0, CPD, 34.0, n=256)
+        hc, hw = _horizons(dem, p, width, k)
+        assert np.mean((hc > -1e30) == (hw > -1e30)) == 1.0
+        vis = hc > -1e30
+        assert np.abs(hc[vis] - hw[vis]).max() < 6e-3
+        _, rm8, _, _ = march_window(dem, p, width=width, k_cross=k,
+                                    cells_per_deg=CPD, lat_hint_deg=34.0,
+                                    tile_w=8)
+        np.testing.assert_array_equal(np.asarray(rm8[:, -1]), hw)
+
     def test_narrow_window_and_wrap(self):
         dem = make_dem(256, rough=8.0)
         d_np = np.asarray(dem)
