@@ -1,0 +1,90 @@
+"""Real-TPU Mosaic smoke check (run in a fresh process, NOT under conftest's
+CPU pin): compiles the window kernel with the Mosaic backend on the real
+chip and compares it against the Pallas interpreter on the same device.
+
+All regular tests run the kernel with interpret=True on CPU, so a
+Mosaic-only regression (alignment, DMA bounds -- the exact constraint class
+CLAUDE.md catalogs) would only surface as a bench crash; this is the
+one-command guard. Invoked by tests/test_tpu_smoke.py (opt-in via
+HORIZONATOR_TPU_SMOKE=1) and by the verify skill.
+
+Prints TPU_SMOKE_OK on success; any mismatch or compile failure exits
+nonzero.
+"""
+
+import math
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    import jax.numpy as jnp
+    from horizonator_tpu.render import RenderParams, render_panorama
+    from horizonator_tpu.render.window import march_window
+    from horizonator_tpu.render.crossing import k_cross_for
+
+    dev = jax.devices()[0]
+    if dev.platform not in ("tpu", "axon"):
+        print(f"TPU_SMOKE_SKIP: no TPU (default device {dev})")
+        return 0
+
+    n = 512
+    rng = np.random.default_rng(3)
+    jj, ii = np.meshgrid(np.arange(n, dtype=np.float32),
+                         np.arange(n, dtype=np.float32), indexing="ij")
+    z = (500.0 + 400.0 * np.sin(ii / 37.0) * np.cos(jj / 53.0)
+         + 40.0 * rng.standard_normal((n, n), dtype=np.float32))
+    dem = jax.device_put(jnp.asarray(np.maximum(z, 0.0), jnp.float32), dev)
+
+    f = jnp.float32
+    p = RenderParams(
+        viewer_cell_i=f(255.3), viewer_cell_j=f(257.6), viewer_z=f(1100.0),
+        cos_viewer_lat=f(math.cos(math.radians(34.0))),
+        az_rad0=f(-math.pi), az_rad1=f(math.pi),
+        znear=f(100.0), zfar=f(15000.0),
+        znear_color=f(100.0), zfar_color=f(15000.0))
+    k = k_cross_for(15000.0, 1200, 34.0, n=n)
+
+    # march: Mosaic vs interpreter, same device, must agree bitwise for the
+    # horizon and everywhere for the full tanel plane
+    for tile_w in (64, 16):
+        _, rm_mosaic, _, _ = march_window(
+            dem, p, width=512, k_cross=k, cells_per_deg=1200,
+            lat_hint_deg=34.0, interpret=False, tile_w=tile_w)
+        _, rm_interp, _, _ = march_window(
+            dem, p, width=512, k_cross=k, cells_per_deg=1200,
+            lat_hint_deg=34.0, interpret=True, tile_w=tile_w)
+        a = np.asarray(rm_mosaic[:, -1])
+        b = np.asarray(rm_interp[:, -1])
+        vis = b > -1e30
+        if not np.array_equal(a > -1e30, b > -1e30):
+            print(f"TPU_SMOKE_FAIL: visibility mismatch (tile_w={tile_w})")
+            return 1
+        err = float(np.abs(a[vis] - b[vis]).max()) if vis.any() else 0.0
+        if err > 1e-5:
+            print(f"TPU_SMOKE_FAIL: horizon max err {err} (tile_w={tile_w})")
+            return 1
+        print(f"march tile_w={tile_w}: Mosaic == interpreter "
+              f"(max err {err:.2e})", file=sys.stderr)
+
+    # full render (exercises the resolve's butterfly route on-chip)
+    img, rngs = render_panorama(dem, p, width=512, height=128, nsteps=k,
+                                cells_per_deg=1200, sampler="window",
+                                lat_hint_deg=34.0)
+    vis_frac = float((rngs > 0).mean())
+    if not (0.05 < vis_frac < 0.95):
+        print(f"TPU_SMOKE_FAIL: degenerate visible fraction {vis_frac}")
+        return 1
+    print(f"render visible fraction {vis_frac:.3f}", file=sys.stderr)
+    print("TPU_SMOKE_OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
