@@ -49,7 +49,8 @@ class horizonator:
                  render_radius_cells=-1, render_radius_m=-1.0,
                  *,
                  nsteps=None, surface="bilinear", refine=True,
-                 oversample=1.5, sampler="auto", device=None):
+                 oversample=1.5, sampler="auto", device=None,
+                 texture_on_error="raise"):
         if render_radius_cells < 0 and render_radius_m < 0:
             render_radius_cells = RADIUS_CELLS_DEFAULT_PY  # horizonator-pywrap.c:65,98-99
         elif render_radius_cells > 0 and render_radius_m > 0:
@@ -101,7 +102,8 @@ class horizonator:
                 lat, lon, self.mosaic.radius_cells, self.mosaic.cells_per_deg,
                 self.mosaic.origin_cell_lon_deg, self.mosaic.origin_cell_lat_deg,
                 dir_tiles=dir_tiles, tiles_name=tiles_name,
-                tiles_url_fmt=tiles_url_fmt, allow_downloads=allow_downloads)
+                tiles_url_fmt=tiles_url_fmt, allow_downloads=allow_downloads,
+                on_error=texture_on_error)
             self._atlas = jax.device_put(jnp.asarray(atlas), device)
             self._atlas_params = ap
 
@@ -132,6 +134,13 @@ class horizonator:
         # to keep recompiles rare and shapes friendly.
         n = (zfar - znear) / self.cell_m_north * self.oversample
         return max(256, min(8192, _round_up(int(math.ceil(n)), 256)))
+
+    def resized(self, width, height):
+        """Change the output viewport (horizonator_resized,
+        horizonator-lib.c:838-856). Cheap state change: the DEM stays on
+        device; the next render() jit-specializes for the new shape."""
+        self.width = int(width)
+        self.height = int(height)
 
     # -- the main entry points ---------------------------------------------
 

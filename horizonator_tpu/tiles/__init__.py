@@ -47,24 +47,75 @@ def tile_path(dir_tiles: str, tiles_name: str, zoom: int, x: int, y: int) -> Pat
     return Path(expand_user_dir(dir_tiles)) / tiles_name / str(zoom) / str(x) / f"{y}.png"
 
 
+def _expires_path(p: Path) -> Path:
+    return p.with_name(p.name + ".expires")
+
+
+def _parse_expires(headers) -> float | None:
+    """Epoch seconds from an HTTP ``Expires`` header (the field the
+    reference's downloader parses, orb_tileserver.cpp:149-185)."""
+    raw = headers.get("Expires")
+    if not raw:
+        return None
+    from email.utils import parsedate_to_datetime
+    try:
+        return parsedate_to_datetime(raw).timestamp()
+    except (TypeError, ValueError):
+        return None
+
+
+def tile_is_stale(p: Path) -> bool:
+    """True when the tile's recorded expiry has passed. Tiles without a
+    recorded expiry are fresh forever -- compatible with caches written by
+    the reference, whose tilecache ignores expiry (orb_tilecache.cpp:41)."""
+    import time
+    ep = _expires_path(p)
+    if not ep.exists():
+        return False
+    try:
+        return time.time() > float(ep.read_text().strip())
+    except (OSError, ValueError):
+        return False
+
+
 def fetch_tile(dir_tiles: str, tiles_name: str, tiles_url_fmt: str,
                zoom: int, x: int, y: int, allow_downloads: bool) -> Path:
     """Return the on-disk path of one tile, downloading if permitted.
 
-    Raises FileNotFoundError when missing and downloads are disallowed
-    (matching horizonator-lib.c:283-289)."""
+    A cached tile whose recorded ``Expires`` has passed is re-downloaded
+    (the reference's GUI behavior, orb_osmlayer.cpp:63-76); if the refresh
+    fails, the stale tile is served with a warning (strictly better than a
+    hole). Raises FileNotFoundError when missing and downloads are
+    disallowed (matching horizonator-lib.c:283-289)."""
     p = tile_path(dir_tiles, tiles_name, zoom, x, y)
-    if p.exists():
+    have = p.exists()
+    stale = have and allow_downloads and tile_is_stale(p)
+    if have and not stale:
         return p
     if not allow_downloads:
+        if have:
+            return p       # expired but downloads off: serve what we have
         raise FileNotFoundError(
             f"Tile '{p}' doesn't exist on disk, and downloads aren't allowed")
     import requests
     url = tiles_url_fmt % (zoom, x, y)
-    r = requests.get(url, headers={"User-Agent": USER_AGENT}, timeout=30)
-    r.raise_for_status()
+    try:
+        r = requests.get(url, headers={"User-Agent": USER_AGENT}, timeout=30)
+        r.raise_for_status()
+    except Exception as e:
+        if have:
+            _msg("Warning: refresh of expired tile '%s' failed (%s); "
+                 "serving the stale copy", p, e)
+            return p
+        raise
     p.parent.mkdir(parents=True, exist_ok=True)
     p.write_bytes(r.content)
+    exp = _parse_expires(r.headers)
+    ep = _expires_path(p)
+    if exp is not None:
+        ep.write_text(f"{exp:.0f}\n")
+    elif ep.exists():
+        ep.unlink()
     return p
 
 
@@ -87,16 +138,26 @@ def build_atlas(viewer_lat: float, viewer_lon: float, radius_cells: int,
                 tiles_url_fmt: str | None = None,
                 allow_downloads: bool = True,
                 zoom: int = OSM_RENDER_ZOOM,
-                max_workers: int = 8) -> tuple[np.ndarray, AtlasParams]:
+                max_workers: int = 8,
+                on_error: str = "raise") -> tuple[np.ndarray, AtlasParams]:
     """Assemble the texture atlas covering the DEM window.
 
     Tile range derives from the window's corner lat/lons exactly as
     horizonator-lib.c:373-400 (note: the reference computes the corners from
-    the viewer +- radius, which we mirror). Missing tiles that can't be
-    fetched raise; the atlas rows start at the NORTH edge.
+    the viewer +- radius, which we mirror). The atlas rows start at the
+    NORTH edge.
+
+    on_error: 'raise' (default) propagates the first tile fetch/decode
+    failure; 'placeholder' warns, fills that tile flat gray, and keeps
+    going -- the library-API analog of the reference GUI's tile-failure
+    handling (orb_osmlayer.cpp:146-155: dialog + keep running), used by the
+    interactive viewer.
 
     Returns (atlas uint8 (Hat, Wat, 3) BGR, AtlasParams).
     """
+    if on_error not in ("raise", "placeholder"):
+        raise ValueError(f"on_error must be 'raise'|'placeholder', "
+                         f"got {on_error!r}")
     dir_tiles = DEFAULT_DIR_TILES if dir_tiles is None else dir_tiles
     tiles_name = DEFAULT_TILES_NAME if tiles_name is None else tiles_name
     tiles_url_fmt = ((_settings_url_fmt() or DEFAULT_TILES_URL_FMT)
@@ -115,11 +176,22 @@ def build_atlas(viewer_lat: float, viewer_lon: float, radius_cells: int,
 
     atlas = np.zeros((nty * OSM_TILE_PX, ntx * OSM_TILE_PX, 3), np.uint8)
 
+    placeholder = np.full((OSM_TILE_PX, OSM_TILE_PX, 3), 200, np.uint8)
+    failed = []
+
     def work(xy):
         x, y = xy
-        p = fetch_tile(dir_tiles, tiles_name, tiles_url_fmt, zoom, x, y,
-                       allow_downloads)
-        return x, y, _decode_tile_bgr(p)
+        try:
+            p = fetch_tile(dir_tiles, tiles_name, tiles_url_fmt, zoom, x, y,
+                           allow_downloads)
+            return x, y, _decode_tile_bgr(p)
+        except Exception as e:
+            if on_error == "raise":
+                raise
+            failed.append((x, y))
+            _msg("Warning: tile %d/%d/%d unavailable (%s); using flat gray",
+                 zoom, x, y, e)
+            return x, y, placeholder
 
     coords = [(x, y) for y in range(y_lo, y_hi + 1) for x in range(x_lo, x_hi + 1)]
     with cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
@@ -127,6 +199,9 @@ def build_atlas(viewer_lat: float, viewer_lon: float, radius_cells: int,
             r0 = (y - y_lo) * OSM_TILE_PX
             c0 = (x - x_lo) * OSM_TILE_PX
             atlas[r0:r0 + OSM_TILE_PX, c0:c0 + OSM_TILE_PX] = tile
+    if failed:
+        _msg("Warning: %d of %d atlas tiles unavailable", len(failed),
+             len(coords))
 
     params = AtlasParams(origin_cell_lon_deg=origin_cell_lon_deg,
                          origin_cell_lat_deg=origin_cell_lat_deg,

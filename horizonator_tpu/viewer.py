@@ -75,7 +75,10 @@ function drawOverlays(){
       L.polyline(seg, {color:'purple', weight:2}).addTo(map);
     gpxDrawn = true;
   }
-  document.getElementById('cmd').textContent = S.command;
+  let txt = S.command;
+  if(S.debug) txt += '   [debug horizon: w to toggle]';
+  if(S.texture_failed) txt += '   [tiles unavailable: untextured]';
+  document.getElementById('cmd').textContent = txt;
 }
 function copyCmd(){ navigator.clipboard.writeText(S.command); }
 
@@ -118,6 +121,24 @@ window.addEventListener('mouseup', async e => {
   dragX = null;
   if(Math.abs(daz) > 0.01) await refresh({az_center: S.az_center + daz});
 });
+// 'w': horizon-profile debug overlay (the reference's wireframe key,
+// standalone.c:68-97). 'r' (winding flip) has no rasterizer to flip here.
+window.addEventListener('keydown', async e => {
+  if(e.key === 'w' && S) await refresh({debug: !S.debug});
+});
+// live viewport resize (horizonator_resized parity): render at the pane's
+// real pixel size, debounced
+let rszTimer = null;
+new ResizeObserver(() => {
+  if(!S) return;
+  clearTimeout(rszTimer);
+  rszTimer = setTimeout(async () => {
+    const r = document.getElementById('pano-wrap').getBoundingClientRect();
+    const w = Math.round(r.width), h = Math.round(r.height);
+    if(Math.abs(w - S.width) > 16 || Math.abs(h - S.height) > 16)
+      await refresh({width: w, height: h});
+  }, 400);
+}).observe(document.getElementById('pano-wrap'));
 (async () => { await refresh({}); map.setView([S.lat, S.lon], 11); })();
 </script></body></html>
 """
@@ -126,13 +147,16 @@ window.addEventListener('mouseup', async e => {
 class ViewerState:
     """Server-side scene: one horizonator instance + camera."""
 
-    def __init__(self, h, az_center, az_radius, znear, zfar, gpx=None):
+    def __init__(self, h, az_center, az_radius, znear, zfar, gpx=None,
+                 texture_failed=False):
         self.h = h
         self.az_center = float(az_center)
         self.az_radius = float(az_radius)
         self.znear = znear
         self.zfar = zfar
         self.gpx = gpx or []      # list of [(lat, lon), ...] polylines
+        self.debug = False        # horizon-profile overlay (the 'w' key)
+        self.texture_failed = bool(texture_failed)
         self.lock = threading.Lock()
         self.png = b""
 
@@ -147,6 +171,9 @@ class ViewerState:
             "lat": self.h.viewer_lat, "lon": self.h.viewer_lon,
             "ele": self.h.viewer_z,
             "az_center": self.az_center, "az_radius": self.az_radius,
+            "width": self.h.width, "height": self.h.height,
+            "debug": self.debug,
+            "texture_failed": self.texture_failed,
             "bounds": [lat0, lon0, lat1, lon1],
             "command": self.command(),
             "gpx": self.gpx,
@@ -159,6 +186,14 @@ class ViewerState:
                 self.az_radius = min(179.0, max(1.0, float(move["az_radius"])))
             if "az_center" in move:
                 self.az_center = float(move["az_center"])
+            if "debug" in move:
+                self.debug = bool(move["debug"])
+            if "width" in move or "height" in move:
+                # live viewport resize (horizonator_resized,
+                # horizonator-lib.c:838-856; exercised by glutReshapeFunc)
+                w = int(move.get("width", self.h.width))
+                hh = int(move.get("height", self.h.height))
+                self.h.resized(min(max(w, 64), 8192), min(max(hh, 32), 4096))
             kw = {}
             if "lat" in move and "lon" in move:
                 kw = dict(lat=float(move["lat"]), lon=float(move["lon"]))
@@ -166,11 +201,31 @@ class ViewerState:
                                   self.az_center + self.az_radius,
                                   return_range=False,
                                   znear=self.znear, zfar=self.zfar, **kw)
+            if self.debug:
+                image = self._overlay_horizon(image)
             from PIL import Image
             buf = io.BytesIO()
             Image.fromarray(image[:, :, ::-1]).save(buf, format="PNG")
             self.png = buf.getvalue()
             return self.state_json()
+
+    def _overlay_horizon(self, image_bgr):
+        """Debug view: trace the horizon (first visible row per column) in
+        green over the render -- the TPU-native answer to the reference's
+        'w' wireframe/point fill modes (standalone.c:68-97), which
+        visualized the geometry the z-buffer resolved. Uses the range image
+        of the render that just ran."""
+        import numpy as np
+        ranges = self.h._last["ranges"]
+        vis = ranges > 0
+        any_vis = vis.any(axis=0)
+        first = vis.argmax(axis=0)
+        img = image_bgr.copy()
+        cols = np.nonzero(any_vis)[0]
+        img[first[cols], cols] = (0, 255, 0)     # BGR green
+        below = np.minimum(first + 1, img.shape[0] - 1)
+        img[below[cols], cols] = (0, 255, 0)
+        return img
 
     def pick(self, xf, yf):
         with self.lock:
@@ -262,13 +317,29 @@ def main(argv=None) -> int:
         from .gpx import load_gpx
         gpx = load_gpx(args.gpx)
 
-    h = horizonator(args.lat, args.lon, args.width, args.height,
-                    render_texture=args.texture, SRTM1=args.SRTM1,
-                    dir_dems=args.dirdems, dir_tiles=args.dirtiles,
-                    allow_downloads=args.allow_downloads,
-                    render_radius_m=args.zfar)
+    kw = dict(render_texture=args.texture, SRTM1=args.SRTM1,
+              dir_dems=args.dirdems, dir_tiles=args.dirtiles,
+              allow_downloads=args.allow_downloads,
+              render_radius_m=args.zfar,
+              # per-tile failures become gray placeholders + warnings
+              # (reference GUI behavior, orb_osmlayer.cpp:146-155)
+              texture_on_error="placeholder")
+    texture_failed = False
+    try:
+        h = horizonator(args.lat, args.lon, args.width, args.height, **kw)
+    except Exception as e:
+        if not args.texture:
+            raise
+        # total texture failure (no cache, downloads off/unreachable):
+        # warn and keep the session alive untextured instead of dying
+        print(f"horizonator_tpu: texture atlas unavailable ({e}); "
+              f"falling back to untextured render", file=__import__("sys").stderr)
+        kw["render_texture"] = False
+        texture_failed = True
+        h = horizonator(args.lat, args.lon, args.width, args.height, **kw)
     state = ViewerState(h, args.az_center, args.az_radius,
-                        args.znear, args.zfar, gpx=gpx)
+                        args.znear, args.zfar, gpx=gpx,
+                        texture_failed=texture_failed)
     state.render({})
     serve(state, args.port)
     return 0

@@ -98,6 +98,98 @@ def test_textured_render_blend(tmp_path):
     assert (r >= 139).all() and (r <= 0.7 * 200 + 0.3 * 255 + 2).all()
 
 
+def test_tile_expiry_triggers_refetch(tmp_path, monkeypatch):
+    # an expired tile re-downloads (orb_osmlayer.cpp:63-76 /
+    # orb_tileserver.cpp:149-185 behavior); no recorded expiry = fresh
+    # forever (back-compat with caches written by the reference)
+    p = tiles.tile_path(str(tmp_path), "mapnik", 12, 700, 1600)
+    p.parent.mkdir(parents=True)
+    Image.new("RGB", (256, 256), (1, 2, 3)).save(p)
+
+    calls = []
+
+    class FakeResp:
+        headers = {"Expires": "Wed, 01 Jan 2093 00:00:00 GMT"}
+        def __init__(self):
+            import io as _io
+            buf = _io.BytesIO()
+            Image.new("RGB", (256, 256), (9, 9, 9)).save(buf, format="PNG")
+            self.content = buf.getvalue()
+        def raise_for_status(self):
+            pass
+
+    import requests
+    monkeypatch.setattr(requests, "get",
+                        lambda *a, **k: calls.append(a) or FakeResp())
+
+    # fresh-forever: no expiry sidecar -> no network
+    got = tiles.fetch_tile(str(tmp_path), "mapnik", "http://x/%d/%d/%d.png",
+                           12, 700, 1600, allow_downloads=True)
+    assert got == p and not calls
+
+    # stale: expiry in the past -> refetch, new expiry recorded
+    tiles._expires_path(p).write_text("100\n")
+    got = tiles.fetch_tile(str(tmp_path), "mapnik", "http://x/%d/%d/%d.png",
+                           12, 700, 1600, allow_downloads=True)
+    assert len(calls) == 1
+    assert not tiles.tile_is_stale(p)      # 2093 expiry recorded
+    arr = np.asarray(Image.open(p))
+    assert tuple(arr[0, 0]) == (9, 9, 9)
+
+    # stale but downloads OFF: serve what we have, silently
+    tiles._expires_path(p).write_text("100\n")
+    got = tiles.fetch_tile(str(tmp_path), "mapnik", "http://x/%d/%d/%d.png",
+                           12, 700, 1600, allow_downloads=False)
+    assert got == p and len(calls) == 1
+
+
+def test_tile_expiry_refetch_failure_serves_stale(tmp_path, monkeypatch,
+                                                  capsys):
+    p = tiles.tile_path(str(tmp_path), "mapnik", 12, 701, 1601)
+    p.parent.mkdir(parents=True)
+    Image.new("RGB", (256, 256), (5, 6, 7)).save(p)
+    tiles._expires_path(p).write_text("100\n")
+
+    import requests
+
+    def boom(*a, **k):
+        raise requests.ConnectionError("no network")
+    monkeypatch.setattr(requests, "get", boom)
+    got = tiles.fetch_tile(str(tmp_path), "mapnik", "http://x/%d/%d/%d.png",
+                           12, 701, 1601, allow_downloads=True)
+    assert got == p
+    assert "serving the stale copy" in capsys.readouterr().err
+
+
+def test_build_atlas_placeholder_on_failure(tmp_path, monkeypatch, capsys):
+    # graceful degradation (the reference GUI keeps running on tile
+    # failure, orb_osmlayer.cpp:146-155): failed tiles become flat gray
+    lat, lon = 34.40, -117.45
+    radius_cells, cpd = 200, 1200
+    x_lo, y_lo = tile_xy_from_latlon(lat + radius_cells / cpd,
+                                     lon - radius_cells / cpd, 12)
+    x_hi, y_hi = tile_xy_from_latlon(lat - radius_cells / cpd,
+                                     lon + radius_cells / cpd, 12)
+    # populate all but ONE tile
+    _fill_cache(tmp_path, range(x_lo, x_hi + 1), range(y_lo, y_hi + 1),
+                lambda x, y: (10, 20, 30))
+    missing = tiles.tile_path(str(tmp_path), "mapnik", 12, x_lo, y_lo)
+    missing.unlink()
+
+    with pytest.raises(FileNotFoundError):
+        tiles.build_atlas(lat, lon, radius_cells, cpd, -117.6, 34.2,
+                          dir_tiles=str(tmp_path), allow_downloads=False)
+
+    atlas, _ = tiles.build_atlas(lat, lon, radius_cells, cpd, -117.6, 34.2,
+                                 dir_tiles=str(tmp_path),
+                                 allow_downloads=False,
+                                 on_error="placeholder")
+    assert tuple(atlas[0, 0]) == (200, 200, 200)        # gray placeholder
+    assert tuple(atlas[0, 256][::-1]) == (10, 20, 30)   # real neighbor
+    err = capsys.readouterr().err
+    assert "unavailable" in err
+
+
 def test_peaks_parse():
     elements = [
         {"lat": 34.0, "lon": -117.0,

@@ -86,6 +86,43 @@ def test_render_move_and_pan_zoom(server):
                                "az_center": 0.0, "az_radius": 45.0})
 
 
+def test_live_resize(server):
+    # horizonator_resized parity (horizonator-lib.c:838-856): the viewport
+    # can change size mid-session and the next render honors it
+    url, state = server
+    s = _post(url, "/api/render", {"width": 320, "height": 120})
+    assert s["width"] == 320 and s["height"] == 120
+    body, _ = _get(url, "/pano.png")
+    from PIL import Image
+    assert Image.open(io.BytesIO(body)).size == (320, 120)
+    # clamped at the extremes
+    s = _post(url, "/api/render", {"width": 1, "height": 99999})
+    assert s["width"] == 64 and s["height"] == 4096
+    s = _post(url, "/api/render", {"width": 200, "height": 80})
+    assert s["width"] == 200 and s["height"] == 80
+
+
+def test_debug_horizon_overlay(server):
+    # the 'w' debug view: a green horizon trace appears over the render
+    # (the TPU answer to the reference's wireframe key, standalone.c:68-97)
+    url, state = server
+    from PIL import Image
+
+    def green_px():
+        body, _ = _get(url, "/pano.png")
+        a = np.asarray(Image.open(io.BytesIO(body)))
+        return int(((a[:, :, 0] == 0) & (a[:, :, 1] == 255)
+                    & (a[:, :, 2] == 0)).sum())
+
+    s = _post(url, "/api/render", {"debug": True})
+    assert s["debug"]
+    n_dbg = green_px()
+    assert n_dbg >= 150           # ~2 px per visible column at width 200
+    s = _post(url, "/api/render", {"debug": False})
+    assert not s["debug"]
+    assert green_px() < n_dbg / 4
+
+
 def test_pick_endpoint(server):
     url, _ = server
     # bottom middle of the image: terrain
