@@ -187,16 +187,42 @@ def config5(iters):
             "viewpoints_per_sec": round(B / sec)}
 
 
+def config6(iters):
+    """Textured headline: 4096x1024, 3x3 mosaic, in-kernel texture sampling
+    (colors on the DEM grid ride the march kernel's VMEM windows; the
+    resolve routes each pixel's winning sample color -- zero atlas gathers
+    per frame)."""
+    import functools
+    import jax, jax.numpy as jnp
+    from horizonator_tpu.render.raymarch import render_panorama
+    from horizonator_tpu.render.crossing import k_cross_for
+    n = 3400
+    dem = jax.device_put(synth_dem(n))
+    p = make_params(n)
+    k = k_cross_for(40000.0, 1200, 34.3, n=n)
+    rng = np.random.default_rng(3)
+    colors = jax.device_put(jnp.asarray(
+        rng.integers(0, 255, (3, n, n)).astype(np.float32)))
+    fn = functools.partial(render_panorama, width=4096, height=1024,
+                           nsteps=k, cells_per_deg=1200, sampler="window",
+                           lat_hint_deg=34.3, textured=True)
+    sec = timed_chain(lambda dem, colors, p: fn(dem, p, color_planes=colors),
+                      dem, colors, p, iters=iters)
+    return {"config": 6, "metric": "pano_4096x1024_3x3_textured", "value":
+            round(sec * 1e3, 3), "unit": "ms/viewpoint"}
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--configs", default="1,2,3,4,5,6")
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     log(f"device: {jax.devices()[0]}")
-    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
+           6: config6}
     for c in [int(x) for x in args.configs.split(",")]:
         t0 = time.perf_counter()
         out = fns[c](args.iters)

@@ -50,7 +50,7 @@ class horizonator:
                  *,
                  nsteps=None, surface="bilinear", refine=True,
                  oversample=1.5, sampler="auto", device=None,
-                 texture_on_error="raise"):
+                 texture_on_error="raise", texture_quality="grid"):
         if render_radius_cells < 0 and render_radius_m < 0:
             render_radius_cells = RADIUS_CELLS_DEFAULT_PY  # horizonator-pywrap.c:65,98-99
         elif render_radius_cells > 0 and render_radius_m > 0:
@@ -96,6 +96,7 @@ class horizonator:
 
         self._atlas = None
         self._atlas_params = None
+        self._color_planes = None
         if render_texture:
             from . import tiles as _tiles
             atlas, ap = _tiles.build_atlas(
@@ -104,8 +105,22 @@ class horizonator:
                 dir_tiles=dir_tiles, tiles_name=tiles_name,
                 tiles_url_fmt=tiles_url_fmt, allow_downloads=allow_downloads,
                 on_error=texture_on_error)
-            self._atlas = jax.device_put(jnp.asarray(atlas), device)
+            from .render.texture import pack_atlas, atlas_to_grid_colors
+            # one int32 per texel, packed once: render-time sampling then
+            # needs 4 single-element gathers per pixel instead of converting
+            # the whole multi-hundred-MB atlas to f32 every frame
+            self._atlas = jax.device_put(pack_atlas(jnp.asarray(atlas)),
+                                         device)
             self._atlas_params = ap
+            if texture_quality == "grid" and self.sampler == "window":
+                # fast textured path: colors resampled onto the DEM grid
+                # once, then sampled IN the march kernel (zero atlas
+                # gathers per frame; texture res = DEM cell).
+                # texture_quality="exact" keeps full-z12 per-pixel gathers.
+                self._color_planes = jax.device_put(
+                    atlas_to_grid_colors(self._atlas, ap,
+                                         self.mosaic.grid.shape[0],
+                                         self.mosaic.cells_per_deg), device)
 
         self.viewer_lat = float(lat)
         self.viewer_lon = float(lon)
@@ -220,7 +235,8 @@ class horizonator:
             textured=self.render_texture,
             atlas=self._atlas, atlas_params=self._atlas_params,
             sampler=sampler, lat_hint_deg=self._lat_hint(),
-            lod_plan=lod_plan)
+            lod_plan=lod_plan,
+            color_planes=self._color_planes if sampler == "window" else None)
 
         ranges_np = np.asarray(ranges)
         self._last = dict(ranges=ranges_np, az_deg0=az_deg0, az_deg1=az_deg1,

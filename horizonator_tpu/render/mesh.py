@@ -170,14 +170,14 @@ def render_mesh(dem, params: RenderParams, *, width, height, cells_per_deg,
     zbuf = jnp.full((width * height + 1,), jnp.inf, jnp.float32)
     zbuf = zbuf.at[flat_idx.ravel()].min(
         jnp.where(valid, depth, jnp.inf).ravel())
-    # distance-horizontal buffer for the color ramp: recompute from the
-    # winning slant range via a second scatter keyed identically
+    # d_ne buffer for the color ramp, keyed LEXICOGRAPHICALLY on
+    # (depth, d_ne): pass 1 scattered the exact f32 min depth; pass 2
+    # restricts to fragments EXACTLY equal to that stored min (at least one
+    # exists by construction -- no tolerance needed) and takes the min d_ne
+    # among exact-depth ties. GL's tie winner is arbitrary; this one is
+    # deterministic.
     dbuf = jnp.full((width * height + 1,), jnp.inf, jnp.float32)
-    # encode (depth, d_ne) ordering via scatter-min on depth then a masked
-    # second pass: a pixel's d_ne = d_ne of the min-depth fragment. Two
-    # scatters: min depth, then min of (depth-matching d_ne).
-    eps = 1e-3
-    won = valid & (depth <= zbuf[flat_idx] * (1 + 1e-6) + eps)
+    won = valid & (depth == zbuf[flat_idx])
     dbuf = dbuf.at[flat_idx.ravel()].min(
         jnp.where(won, dne_i, jnp.inf).ravel())
 

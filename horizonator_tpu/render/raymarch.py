@@ -261,7 +261,7 @@ def _resolve_merge2(m, t_y):
 _ROWQ = 256.0         # pixel-row quantization of the resolve keys (1/256 px)
 
 
-def _butterfly_route_front(packed, n_pow2, rank_bits):
+def _butterfly_route_front(packed, n_pow2, rank_bits, extra=None):
     """Oblivious monotone concentrator: the resolve's unsort without a sort.
 
     ``packed`` rows carry a destination field in the TOP rank_bits (below the
@@ -282,6 +282,8 @@ def _butterfly_route_front(packed, n_pow2, rank_bits):
     if n != n_pow2:
         packed = jnp.pad(packed, ((0, 0), (0, n_pow2 - n)),
                          constant_values=sentinel << shift_d)
+        if extra is not None:
+            extra = jnp.pad(extra, ((0, 0), (0, n_pow2 - n)))
     v = packed
     for b in range((n_pow2 - 1).bit_length()):
         s = 1 << b
@@ -295,6 +297,14 @@ def _butterfly_route_front(packed, n_pow2, rank_bits):
         swap = a_hi | b_lo
         v = jnp.stack([jnp.where(swap, vb, va), jnp.where(swap, va, vb)],
                       axis=2).reshape(w, n_pow2)
+        if extra is not None:
+            e4 = extra.reshape(w, n_pow2 // (2 * s), 2, s)
+            ea, eb = e4[:, :, 0, :], e4[:, :, 1, :]
+            extra = jnp.stack([jnp.where(swap, eb, ea),
+                               jnp.where(swap, ea, eb)],
+                              axis=2).reshape(w, n_pow2)
+    if extra is not None:
+        return v, extra
     return v
 
 
@@ -317,7 +327,27 @@ def _bitonic_merge_valley(x, n_pow2):
     return x
 
 
-def _resolve_rows(y_k, height):
+def _bitonic_merge_valley_kv(x, v, n_pow2):
+    """_bitonic_merge_valley carrying one payload array (textured resolve:
+    each sample's packed color travels with its row key)."""
+    w, n = x.shape
+    assert n == n_pow2 and (n & (n - 1)) == 0
+    s = n // 2
+    while s >= 1:
+        xr = x.reshape(w, n // (2 * s), 2, s)
+        vr = v.reshape(w, n // (2 * s), 2, s)
+        a, b = xr[:, :, 0, :], xr[:, :, 1, :]
+        va, vb = vr[:, :, 0, :], vr[:, :, 1, :]
+        swap = a > b
+        x = jnp.stack([jnp.where(swap, b, a), jnp.where(swap, a, b)],
+                      axis=2).reshape(w, n)
+        v = jnp.stack([jnp.where(swap, vb, va), jnp.where(swap, va, vb)],
+                      axis=2).reshape(w, n)
+        s //= 2
+    return x, v
+
+
+def _resolve_rows(y_k, height, tex=None):
     """Pixel-row-space resolve: the fastest first-crossing search.
 
     Input y_k (W, K): each sample's running-max horizon mapped to its
@@ -337,8 +367,19 @@ def _resolve_rows(y_k, height):
       unsort and pass 2 carries a single packed (idx | alpha16) payload.
 
     ~2x less sorted data than the value-space merge (_resolve_merge2).
+
+    ``tex`` (optional, (W, K) int32): a per-sample payload (packed 24-bit
+    sample color from the textured window kernel). When given, it travels
+    through the merge with its sample's key, a pair of tagged cummaxes
+    deliver sample idx's payload to each threshold (the merged array's
+    sample immediately preceding a threshold IS its first-crossing sample;
+    among equal quantized row keys the tie winner is an adjacent sample of
+    the same subpixel horizon row -- visually equivalent), and the
+    butterfly routes it to the pixel row. Adds a fourth return: tex_out
+    (W, H) int32 (valid where idx < K).
+
     Returns (idx (W, H) int32, alpha (W, H) float32 in [0, 1], ok (W, H)
-    bool -- alpha valid only where ok).
+    bool -- alpha valid only where ok[, tex_out]).
     """
     w, k = y_k.shape
     h = height
@@ -361,9 +402,20 @@ def _resolve_rows(y_k, height):
     # stages; +inf-keyed pads sink to the tail and never reach [:h] slots.
     n_pow2 = 1 << (n - 1).bit_length()
     pad = jnp.full((w, n_pow2 - n), jnp.int32(2 ** 31 - 1), jnp.int32)
-    sk_all = _bitonic_merge_valley(
-        jnp.concatenate([key_s, key_t, pad], axis=1), n_pow2)
-    sk = sk_all[:, :n]
+    keys_all = jnp.concatenate([key_s, key_t, pad], axis=1)
+    if tex is None:
+        texm = None
+        sk = _bitonic_merge_valley(keys_all, n_pow2)[:, :n]
+    else:
+        if n_pow2 > (1 << 14):
+            raise ValueError("textured resolve supports up to 16384 merged "
+                             f"entries per column, got {n_pow2}")
+        tex_all = jnp.concatenate(
+            [tex.astype(jnp.int32),
+             jnp.zeros((w, n_pow2 - k), jnp.int32)], axis=1)
+        sk_all, tex_sorted = _bitonic_merge_valley_kv(keys_all, tex_all,
+                                                      n_pow2)
+        sk, texm = sk_all[:, :n], tex_sorted[:, :n]
 
     is_thr = (sk & 1) == 1
     pos = jax.lax.broadcasted_iota(jnp.int32, (w, n), 1)
@@ -383,6 +435,21 @@ def _resolve_rows(y_k, height):
     alpha = jnp.clip((y_prev.astype(jnp.float32) - y_thr)
                      / jnp.where(denom > 0, denom, 1.0), 0.0, 1.0)
 
+    tex_thr = None
+    if texm is not None:
+        # sample idx's color at each threshold position: the latest sample
+        # at or before it, via position-tagged cummaxes (pos <= 2^14 so
+        # pos<<16|RG and pos<<8|B stay positive; -1 = no sample yet)
+        is_s = ~is_thr
+        rg = (texm >> 8) & 0xffff
+        b8 = texm & 0xff
+        cur_rg = jax.lax.cummax(
+            jnp.where(is_s, (pos << 16) | rg, jnp.int32(-1)), axis=1)
+        cur_b = jax.lax.cummax(
+            jnp.where(is_s, (pos << 8) | b8, jnp.int32(-1)), axis=1)
+        tex_thr = jnp.where(cur_rg >= 0,
+                            ((cur_rg & 0xffff) << 8) | (cur_b & 0xff), 0)
+
     # unsort: route each threshold to its rank (= destination row) with the
     # oblivious butterfly concentrator -- no comparison sort. When
     # everything fits, destination AND payload pack into ONE int32
@@ -399,10 +466,17 @@ def _resolve_rows(y_k, height):
                   | (jnp.clip(idxv, 0, (1 << idx_bits) - 1)
                      << (a_bits + 1))
                   | (aq << 1) | okv.astype(jnp.int32))
-        pu = _butterfly_route_front(packed, n_pow2, rank_bits)[:, :h]
+        if tex_thr is None:
+            pu = _butterfly_route_front(packed, n_pow2, rank_bits)[:, :h]
+        else:
+            pu, tex_u = _butterfly_route_front(packed, n_pow2, rank_bits,
+                                               extra=tex_thr)
+            pu = pu[:, :h]
         idx = (pu >> (a_bits + 1)) & ((1 << idx_bits) - 1)
         alpha_out = ((pu >> 1) & amax).astype(jnp.float32) / amax
         ok = (pu & 1) == 1
+        if tex_thr is not None:
+            return idx, alpha_out, ok, tex_u[:, :h]
         return idx, alpha_out, ok
 
     # Fallback unsort (alpha budget under 5 bits, e.g. H=4096): idx rides as
@@ -412,12 +486,18 @@ def _resolve_rows(y_k, height):
     a16 = jnp.round(alpha * 32767.0).astype(jnp.int32)
     combo = (a16 << 1) | okv.astype(jnp.int32)
     key2 = jnp.where(is_thr, rank, big)
-    _, idx_u, combo_u = jax.lax.sort((key2, idxv, combo), dimension=1,
-                                     num_keys=1)
+    if tex_thr is None:
+        _, idx_u, combo_u = jax.lax.sort((key2, idxv, combo), dimension=1,
+                                         num_keys=1)
+    else:
+        _, idx_u, combo_u, tex_u = jax.lax.sort(
+            (key2, idxv, combo, tex_thr), dimension=1, num_keys=1)
     idx = idx_u[:, :h]
     cu = combo_u[:, :h]
     alpha_out = ((cu >> 1) & 0x7fff).astype(jnp.float32) / 32767.0
     ok = (cu & 1) == 1
+    if tex_thr is not None:
+        return idx, alpha_out, ok, tex_u[:, :h]
     return idx, alpha_out, ok
 
 
@@ -474,7 +554,8 @@ def march_tanel(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
 def render_panorama(dem, params: RenderParams, *, width, height, nsteps,
                     cells_per_deg, surface="bilinear", refine=True,
                     textured=False, atlas=None, atlas_params=None,
-                    sampler="step", lat_hint_deg=45.0, lod_plan=None):
+                    sampler="step", lat_hint_deg=45.0, lod_plan=None,
+                    color_planes=None):
     """Render one panorama.
 
     Args:
@@ -507,6 +588,7 @@ def render_panorama(dem, params: RenderParams, *, width, height, nsteps,
         (horizonator.h:164, depth->range math horizonator-lib.c:978-1047).
     """
     p = params
+    tex_samples = None
     if sampler == "lod":
         from . import lod as _lod
         pyramid = dem if isinstance(dem, (tuple, list)) else None
@@ -519,9 +601,18 @@ def render_panorama(dem, params: RenderParams, *, width, height, nsteps,
         d_of = dists.d_of
     elif sampler == "window":
         from . import window as _window
-        tanel, run_max, dists, az = _window.march_window(
-            dem, p, width=width, k_cross=nsteps,
-            cells_per_deg=cells_per_deg, lat_hint_deg=lat_hint_deg)
+        if textured and color_planes is not None:
+            # in-kernel texture sampling: per-sample packed colors come out
+            # of the march and are routed to pixels by the resolve -- no
+            # atlas gathers anywhere on this path
+            tanel, run_max, dists, az, tex_samples = _window.march_window(
+                dem, p, width=width, k_cross=nsteps,
+                cells_per_deg=cells_per_deg, lat_hint_deg=lat_hint_deg,
+                color_planes=color_planes)
+        else:
+            tanel, run_max, dists, az = _window.march_window(
+                dem, p, width=width, k_cross=nsteps,
+                cells_per_deg=cells_per_deg, lat_hint_deg=lat_hint_deg)
         d_of = dists.d_of
     elif sampler == "crossing":
         from . import crossing as _crossing
@@ -559,7 +650,11 @@ def render_panorama(dem, params: RenderParams, *, width, height, nsteps,
     # search (see _resolve_rows).
     el_k = jnp.arctan(run_max)
     y_k = (1.0 - el_k * (az_ndc_per_rad * aspect)) * (height * 0.5) - 0.5
-    idx, alpha, ok = _resolve_rows(y_k, height)                   # (W,H)
+    tex_hw = None
+    if tex_samples is not None:
+        idx, alpha, ok, tex_hw = _resolve_rows(y_k, height, tex=tex_samples)
+    else:
+        idx, alpha, ok = _resolve_rows(y_k, height)               # (W,H)
     sky = idx >= ktotal
     idxc = jnp.minimum(idx, ktotal - 1)
 
@@ -592,16 +687,24 @@ def render_panorama(dem, params: RenderParams, *, width, height, nsteps,
         r = jnp.where(sky, 0, r8).astype(jnp.uint8)
         image_wh3 = jnp.stack([b, g, r], axis=-1)                 # (W,H,3)
     else:
-        from . import texture as _texture
-        # Surface grid coords of each hit -> texture sample.
-        cell_m_north = geometry.EARTH_RADIUS_M * DEG / cells_per_deg
-        cell_m_east = cell_m_north * p.cos_viewer_lat
-        sin_az = jnp.sin(az)[:, None]
-        cos_az = jnp.cos(az)[:, None]
-        i_hit = p.viewer_cell_i + d_hit * sin_az / cell_m_east
-        j_hit = p.viewer_cell_j + d_hit * cos_az / cell_m_north
-        tex_bgr = _texture.sample_atlas_bgr(atlas, atlas_params, i_hit, j_hit,
-                                            cells_per_deg)
+        if tex_hw is not None:
+            # routed in-kernel sample colors (packed 0x00RRGGBB -> BGR f32)
+            tex_bgr = jnp.stack(
+                [(tex_hw & 0xff).astype(jnp.float32),
+                 ((tex_hw >> 8) & 0xff).astype(jnp.float32),
+                 ((tex_hw >> 16) & 0xff).astype(jnp.float32)], axis=-1)
+        else:
+            from . import texture as _texture
+            # Surface grid coords of each hit -> full-res atlas gather
+            # (the exact-z12 path; slow on TPU, kept for fidelity runs)
+            cell_m_north = geometry.EARTH_RADIUS_M * DEG / cells_per_deg
+            cell_m_east = cell_m_north * p.cos_viewer_lat
+            sin_az = jnp.sin(az)[:, None]
+            cos_az = jnp.cos(az)[:, None]
+            i_hit = p.viewer_cell_i + d_hit * sin_az / cell_m_east
+            j_hit = p.viewer_cell_j + d_hit * cos_az / cell_m_north
+            tex_bgr = _texture.sample_atlas_bgr(atlas, atlas_params,
+                                                i_hit, j_hit, cells_per_deg)
         shade = jnp.stack([jnp.zeros_like(red), jnp.zeros_like(red), red],
                           axis=-1)
         # fragment.glsl:21: 0.7*texture + 0.3*shading.

@@ -61,21 +61,60 @@ def atlas_px_from_grid(i_pos, j_pos, ap: AtlasParams, cells_per_deg: int):
     return px, py
 
 
+def pack_atlas(atlas) -> jnp.ndarray:
+    """Pack a (Hat, Wat, 3) uint8 BGR atlas into ONE int32 per texel
+    (0x00RRGGBB, B in the low byte). Do this once per scene: TPU gathers
+    cost per ELEMENT, so one packed fetch replaces a 3-element row gather,
+    and no render-time u8->f32 conversion of the whole atlas is needed
+    (that conversion alone was ~1.3 GB of HBM traffic per frame)."""
+    a = atlas.astype(jnp.int32)
+    return (a[..., 2] << 16) | (a[..., 1] << 8) | a[..., 0]
+
+
+def _unpack_bgr(v):
+    b = (v & 0xff).astype(jnp.float32)
+    g = ((v >> 8) & 0xff).astype(jnp.float32)
+    r = ((v >> 16) & 0xff).astype(jnp.float32)
+    return jnp.stack([b, g, r], axis=-1)
+
+
+def atlas_to_grid_colors(atlas, ap: AtlasParams, n: int, cells_per_deg: int):
+    """Resample the atlas onto the DEM grid once per scene: (3, n, n)
+    float32 B/G/R planes, [c][j, i] with row 0 = SOUTH (DEM convention).
+
+    This feeds the window kernel's in-kernel texture sampling: colors ride
+    the same VMEM windows and hat weights as elevation, so the textured
+    render has ZERO atlas gathers per frame. The trade: texture resolution
+    becomes the DEM cell (~92 m at SRTM3) instead of z12 (~38 m) -- the
+    one-time resample below is the only full-res read. Exact for flat
+    colors (bilinear of a constant is the constant)."""
+    ii = jnp.arange(n, dtype=jnp.float32)
+    jj = jnp.arange(n, dtype=jnp.float32)
+    bgr = sample_atlas_bgr(atlas, ap,
+                           jnp.broadcast_to(ii[None, :], (n, n)),
+                           jnp.broadcast_to(jj[:, None], (n, n)),
+                           cells_per_deg)
+    return jnp.moveaxis(bgr, -1, 0)
+
+
 def sample_atlas_bgr(atlas, ap: AtlasParams, i_pos, j_pos, cells_per_deg: int):
-    """Bilinear atlas sample at DEM grid coords. atlas: (Hat, Wat, 3) uint8
-    BGR, row 0 = north. Returns float32 BGR in [0, 255]."""
+    """Bilinear atlas sample at DEM grid coords. atlas: packed int32 from
+    pack_atlas (preferred) or legacy (Hat, Wat, 3) uint8 BGR, row 0 = north.
+    Returns float32 BGR in [0, 255]."""
+    if atlas.ndim == 3:
+        atlas = pack_atlas(atlas)
     px, py = atlas_px_from_grid(i_pos, j_pos, ap, cells_per_deg)
     h, w = atlas.shape[0], atlas.shape[1]
     x0 = jnp.clip(jnp.floor(px - 0.5), 0, w - 2).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor(py - 0.5), 0, h - 2).astype(jnp.int32)
     fx = jnp.clip(px - 0.5 - x0, 0.0, 1.0)[..., None]
     fy = jnp.clip(py - 0.5 - y0, 0.0, 1.0)[..., None]
-    flat = atlas.reshape(-1, 3).astype(jnp.float32)
+    flat = atlas.reshape(-1)
     base = y0 * w + x0
-    c00 = jnp.take(flat, base, axis=0)
-    c10 = jnp.take(flat, base + 1, axis=0)
-    c01 = jnp.take(flat, base + w, axis=0)
-    c11 = jnp.take(flat, base + w + 1, axis=0)
+    c00 = _unpack_bgr(jnp.take(flat, base))
+    c10 = _unpack_bgr(jnp.take(flat, base + 1))
+    c01 = _unpack_bgr(jnp.take(flat, base + w))
+    c11 = _unpack_bgr(jnp.take(flat, base + w + 1))
     top = c00 + (c10 - c00) * fx
     bot = c01 + (c11 - c01) * fx
     return top + (bot - top) * fy

@@ -92,28 +92,44 @@ def _slice_roll(arr2d, start, size):
     return jnp.roll(sl, start_c - start, axis=0)
 
 
-def build_crossing_tables(dem, params: RenderParams, k_kernel: int):
-    """(4, n, k_kernel) float32 crossing tables for the window kernel:
-    table[d, x, m] is the elevation at cross-axis position x of the line
-    crossed at step m in direction d. The cross-axis is on sublanes so the
-    kernel's window DMA only needs 8-aligned (not 128-aligned) origins."""
-    n = dem.shape[0]
+def _build_tables_multi(planes, params: RenderParams, k_kernel: int):
+    """(4, P, n_pad, k_kernel) float32 crossing tables for a STACK of
+    grid-resident planes (plane 0 is always elevation; textured renders add
+    B/G/R color planes resampled to the DEM grid): table[d, p, x, m] is
+    plane p's value at cross-axis position x of the line crossed at step m
+    in direction d. The cross-axis is on sublanes so the kernel's window
+    DMA only needs 8-aligned (not 128-aligned) origins."""
+    n = planes.shape[1]
     cj, ci = params.viewer_cell_j, params.viewer_cell_i
     j0n = (jnp.floor(cj) + 1).astype(jnp.int32)
     j0s = (jnp.ceil(cj) - 1).astype(jnp.int32)
     i0e = (jnp.floor(ci) + 1).astype(jnp.int32)
     i0w = (jnp.ceil(ci) - 1).astype(jnp.int32)
 
-    t_n = _slice_roll(dem, j0n, k_kernel).T                     # rows j0n+m
-    t_s = _slice_roll(dem[::-1], (n - 1) - j0s, k_kernel).T     # rows j0s-m
-    demt = dem.T
-    t_e = _slice_roll(demt, i0e, k_kernel).T                    # cols i0e+m
-    t_w = _slice_roll(demt[::-1], (n - 1) - i0w, k_kernel).T    # cols i0w-m
-    tall = jnp.stack([t_n, t_s, t_e, t_w])
+    def per_plane(g):
+        t_n = _slice_roll(g, j0n, k_kernel).T                   # rows j0n+m
+        t_s = _slice_roll(g[::-1], (n - 1) - j0s, k_kernel).T   # rows j0s-m
+        gt = g.T
+        t_e = _slice_roll(gt, i0e, k_kernel).T                  # cols i0e+m
+        t_w = _slice_roll(gt[::-1], (n - 1) - i0w, k_kernel).T  # cols i0w-m
+        return jnp.stack([t_n, t_s, t_e, t_w])                  # (4, n, k)
+
+    if planes.shape[0] == 1:
+        # single plane: build (4, n, k) directly -- a vmap-then-squeeze
+        # materializes an extra full-size copy (~0.2 ms at the headline)
+        tall = per_plane(planes[0])[:, None]
+    else:
+        tall = jax.vmap(per_plane, in_axes=0, out_axes=1)(planes)  # 4,P,n,k
     n_pad = -(-n // 64) * 64                  # cross-axis: window DMA bound
     if n_pad != n:
-        tall = jnp.pad(tall, ((0, 0), (0, n_pad - n), (0, 0)))
+        tall = jnp.pad(tall, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
     return tall
+
+
+def build_crossing_tables(dem, params: RenderParams, k_kernel: int):
+    """(4, n, k_kernel) single-plane (elevation) tables; see
+    _build_tables_multi."""
+    return _build_tables_multi(dem[None], params, k_kernel)[:, 0]
 
 
 def _dir_id(geo):
@@ -126,9 +142,15 @@ def _dir_id(geo):
 
 def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
                    pcol_ref, tall_ref,             # inputs
-                   out_ref,                        # output
-                   win_ref, sem_ref,               # scratch
-                   *, win: int, tile_w: int, tile_k: int, n: int):
+                   *rest,                          # outs + scratch
+                   win: int, tile_w: int, tile_k: int, n: int,
+                   textured: bool):
+    if textured:
+        out_ref, outc_ref, win_ref, sem_ref = rest
+    else:
+        out_ref, win_ref, sem_ref = rest
+        outc_ref = None
+    n_planes = 4 if textured else 1
     wt = pl.program_id(0)
     kt = pl.program_id(1)
     d = pl.program_id(2)
@@ -136,13 +158,20 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
     @pl.when(d == 0)
     def _():
         out_ref[:] = jnp.full((tile_w, tile_k), NEG_BIG, jnp.float32)
+        if textured:
+            outc_ref[:] = jnp.zeros((tile_w, tile_k), jnp.int32)
 
     @pl.when(act_ref[wt, kt, d] > 0)
     def _():
         o = pl.multiple_of(orig_ref[wt, kt, d], 8)   # 8-aligned origin
-        dma = pltpu.make_async_copy(
-            tall_ref.at[d, pl.ds(o, win), pl.ds(kt * tile_k, tile_k)],
-            win_ref, sem_ref)
+        if textured:
+            src = tall_ref.at[d, pl.ds(0, n_planes), pl.ds(o, win),
+                              pl.ds(kt * tile_k, tile_k)]
+        else:
+            # untextured keeps the plane-free 2D window (measurably faster
+            # than a leading size-1 plane axis)
+            src = tall_ref.at[d, pl.ds(o, win), pl.ds(kt * tile_k, tile_k)]
+        dma = pltpu.make_async_copy(src, win_ref, sem_ref)
         dma.start()
 
         # per-column params (W_pad, 8): a, t, e, scale, axis0, sign, dirid
@@ -174,15 +203,24 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
 
         dma.wait()
 
-        def body(i, acc):
+        zero = jnp.zeros((tile_w, tile_k), jnp.float32)
+
+        def body(i, accs):
             base = i * 4
-            w4 = win_ref[pl.ds(base, 4), :]                    # (4, TK)
             basef = base.astype(jnp.float32)
+            if textured:
+                w4 = [win_ref[p, pl.ds(base, 4), :] for p in range(n_planes)]
+            else:
+                w4 = [win_ref[pl.ds(base, 4), :]]
+            accs = list(accs)
             for r in range(4):                                 # unrolled
+                # the hat weight is SHARED across planes: color planes cost
+                # one extra FMA each, not an extra |pos-row| evaluation
                 hat = jnp.maximum(
                     1.0 - jnp.abs(pos - (basef + float(r))), 0.0)
-                acc = acc + hat * w4[r:r + 1, :]
-            return acc
+                for p in range(n_planes):
+                    accs[p] = accs[p] + hat * w4[p][r:r + 1, :]
+            return tuple(accs)
 
         # The hat contraction walks only the rows this tile ACTUALLY spans
         # (act_ref carries ceil(extent/4), computed from the exact per-tile
@@ -191,11 +229,19 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
         # typical tile spans a fraction of it, so the dynamic bound cuts
         # the march's dominant loop to the tile's true extent.
         n_iter = jnp.minimum(act_ref[wt, kt, d], win // 4)
-        z = jax.lax.fori_loop(
-            0, n_iter, body, jnp.zeros((tile_w, tile_k), jnp.float32))
+        accs = jax.lax.fori_loop(
+            0, n_iter, body, tuple(zero for _ in range(n_planes)))
+        z = accs[0]
 
         tanel = jnp.where(valid, (z - vz) / dm, NEG_BIG)
         out_ref[:] = jnp.maximum(out_ref[:], tanel)
+        if textured:
+            # planes 1..3 are B, G, R in [0, 255]; each sample belongs to
+            # exactly one direction, so a masked overwrite accumulates
+            def u8(x):
+                return jnp.clip(jnp.round(x), 0, 255).astype(jnp.int32)
+            packed = (u8(accs[3]) << 16) | (u8(accs[2]) << 8) | u8(accs[1])
+            outc_ref[:] = jnp.where(valid, packed, outc_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("width", "k_cross",
@@ -203,21 +249,32 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
                                              "n_near", "interpret", "tile_w"))
 def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
                  lat_hint_deg=45.0, n_near=N_NEAR, interpret=None,
-                 tile_w=None):
+                 tile_w=None, color_planes=None):
     """Pallas-kernel crossing march on a raw (n, n) float32 DEM.
 
     Same contract as crossing.march_crossing: returns
     (tanel (W, n_near+K), run_max, dists, az).
+
+    color_planes: optional (3, n, n) float32 B/G/R texture colors resampled
+    onto the DEM grid (texture.atlas_to_grid_colors). When given, the
+    kernel samples them through the same VMEM windows with the SAME hat
+    weights as elevation (gather-free, in-kernel texture sampling) and a
+    fifth value is returned: tex (W, n_near+K) int32, each sample's packed
+    0x00RRGGBB color at its crossing position.
     """
     if interpret is None:
         # CPU backend (tests, virtual multi-chip meshes) has no Mosaic
         # compiler; fall back to the Pallas interpreter there.
         interpret = jax.default_backend() == "cpu"
     p = params
+    textured = color_planes is not None
     n_real = dem.shape[0]
     if n_real < TILE_K + 8:      # tiny scenes: pad (zeros = ocean, masked)
-        dem = jnp.pad(dem, ((0, TILE_K + 8 - n_real),
-                            (0, TILE_K + 8 - n_real)))
+        pad_n = TILE_K + 8 - n_real
+        dem = jnp.pad(dem, ((0, pad_n), (0, pad_n)))
+        if textured:
+            color_planes = jnp.pad(color_planes,
+                                   ((0, 0), (0, pad_n), (0, pad_n)))
     n = dem.shape[0]
     if tile_w is None:
         tile_w = pick_tile_w(width)
@@ -279,7 +336,12 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
     actives = jnp.stack(actives, axis=-1)
 
     # --- inputs ------------------------------------------------------------
-    tall = build_crossing_tables(dem.astype(jnp.float32), p, k_kernel)
+    planes = dem.astype(jnp.float32)[None]
+    if textured:
+        planes = jnp.concatenate([planes, color_planes.astype(jnp.float32)])
+    tall = _build_tables_multi(planes, p, k_kernel)     # (4, P, n_pad, k)
+    if not textured:
+        tall = tall[:, 0]                               # (4, n_pad, k)
     pcol = jnp.stack([
         geo.a, geo.t, geo.e, geo.scale,
         geo.axis0.astype(jnp.float32), geo.sign.astype(jnp.float32),
@@ -291,6 +353,17 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
         pcol = jnp.concatenate([pcol, pad], axis=0)
     fscal = jnp.stack([p.viewer_z, p.znear, p.zfar]).astype(jnp.float32)
 
+    n_planes = planes.shape[0]
+    out_spec = pl.BlockSpec((tile_w, TILE_K),
+                            lambda wt, kt, d, *_: (wt, kt),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((w_pad, k_kernel), jnp.float32)
+    if textured:
+        out_specs = (out_spec, out_spec)
+        out_shapes = (out_shape,
+                      jax.ShapeDtypeStruct((w_pad, k_kernel), jnp.int32))
+    else:
+        out_specs, out_shapes = out_spec, out_shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_wt, n_kt, 4),
@@ -298,23 +371,26 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # pcol, whole (tiny)
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((tile_w, TILE_K),
-                               lambda wt, kt, d, *_: (wt, kt),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((win, TILE_K), jnp.float32),
+            pltpu.VMEM((n_planes, win, TILE_K) if textured
+                       else (win, TILE_K), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
     kern = functools.partial(_window_kernel, win=win, tile_w=tile_w,
-                             tile_k=TILE_K, n=n_real)
-    tanel = pl.pallas_call(
+                             tile_k=TILE_K, n=n_real, textured=textured)
+    outs = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((w_pad, k_kernel), jnp.float32),
+        out_shape=out_shapes,
         interpret=interpret,
     )(origins, actives, fscal, pcol, tall)
-    tanel = tanel[:width]
+    if textured:
+        tanel, tex = (o[:width] for o in outs)
+    else:
+        tanel = outs[:width]
+        tex = None
 
     # --- near band (tiny; XLA gathers) ------------------------------------
     m_star = jnp.maximum(jnp.ceil(p.znear / geo.scale - geo.e), 0.0)
@@ -344,8 +420,26 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
               (dq >= p.znear) & (dq <= p.zfar) & (dq < near_hi[:, None]))
         tanel_q = jnp.where(vq, (zq - p.viewer_z) / dq, NEG_BIG)
         tanel = jnp.concatenate([tanel_q, tanel], axis=1)
+        if textured:
+            # near-band colors: bilinear on the grid color planes (tiny:
+            # (W, n_near) samples x 3 channels)
+            def bil(plane):
+                flatp = plane.reshape(-1)
+                c00 = jnp.take(flatp, j0 * n + i0)
+                c01 = jnp.take(flatp, j0 * n + i0 + 1)
+                c10 = jnp.take(flatp, (j0 + 1) * n + i0)
+                c11 = jnp.take(flatp, (j0 + 1) * n + i0 + 1)
+                top = c00 + (c01 - c00) * fi
+                bot = c10 + (c11 - c10) * fi
+                return jnp.clip(jnp.round(top + (bot - top) * fj),
+                                0, 255).astype(jnp.int32)
+            tex_q = ((bil(color_planes[2]) << 16)
+                     | (bil(color_planes[1]) << 8) | bil(color_planes[0]))
+            tex = jnp.concatenate([tex_q, tex], axis=1)
 
     run_max = jax.lax.cummax(tanel, axis=1)
     dists = CrossingDists(e=geo.e, scale=geo.scale, znear=p.znear,
                           near_hi=near_hi, n_near=n_near)
+    if textured:
+        return tanel, run_max, dists, geo.az, tex
     return tanel, run_max, dists, geo.az

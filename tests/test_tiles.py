@@ -190,6 +190,57 @@ def test_build_atlas_placeholder_on_failure(tmp_path, monkeypatch, capsys):
     assert "unavailable" in err
 
 
+def test_textured_inkernel_matches_exact_gather(tmp_path):
+    """The in-kernel textured path (colors resampled to the DEM grid,
+    sampled by the march kernel, routed by the resolve) must agree with the
+    exact per-pixel atlas-gather path on a smooth (linear-gradient) texture:
+    bilinear resample + lerp reproduce linear fields up to u8 rounding and
+    the resolve's subpixel horizon-tie sample choice."""
+    from horizonator_tpu import horizonator
+    from horizonator_tpu.dem import hgt
+
+    d = tmp_path / "dems"
+    edge = hgt.SRTM3_EDGE
+    rng = np.random.default_rng(5)
+    jj, ii = np.meshgrid(np.arange(edge), np.arange(edge), indexing="ij")
+    z = (400 + 250 * np.sin(ii / 31.0) * np.cos(jj / 43.0)).astype(np.int16)
+    hgt.write_hgt(d / "N34W118.hgt", z)
+
+    lat, lon = 34.40, -117.45
+    x_lo, y_lo = tile_xy_from_latlon(lat + 150 / 1200, lon - 150 / 1200, 12)
+    x_hi, y_hi = tile_xy_from_latlon(lat - 150 / 1200, lon + 150 / 1200, 12)
+
+    # gradient across the tile range: R varies with x, G with y, B constant
+    nx = x_hi - x_lo + 2
+    for x in range(x_lo - 1, x_hi + 2):
+        for y in range(y_lo - 1, y_hi + 2):
+            p = tiles.tile_path(str(tmp_path), "mapnik", 12, x, y)
+            p.parent.mkdir(parents=True, exist_ok=True)
+            base_r = int(30 + 180 * (x - x_lo + 1) / nx)
+            col = np.zeros((256, 256, 3), np.uint8)
+            col[..., 0] = base_r
+            col[..., 1] = np.linspace(40, 200, 256)[:, None].astype(np.uint8)
+            col[..., 2] = 120
+            Image.fromarray(col).save(p)
+
+    kw = dict(render_texture=True, dir_dems=str(d), dir_tiles=str(tmp_path),
+              allow_downloads=False, render_radius_cells=150, nsteps=192)
+    h_fast = horizonator(lat, lon, 128, 64, **kw)
+    h_exact = horizonator(lat, lon, 128, 64, texture_quality="exact", **kw)
+    assert h_fast._color_planes is not None
+    assert h_exact._color_planes is None
+
+    img_f, rng_f = h_fast.render(-60, 60, zfar=9000.0)
+    img_e, rng_e = h_exact.render(-60, 60, zfar=9000.0)
+    np.testing.assert_array_equal(rng_f, rng_e)      # geometry identical
+    vis = rng_f > 0
+    assert vis.any()
+    diff = np.abs(img_f[vis].astype(int) - img_e[vis].astype(int))
+    # smooth texture: small u8 rounding + occasional tie-sample differences
+    assert np.percentile(diff, 99) <= 3, np.percentile(diff, 99)
+    assert np.median(diff) <= 1
+
+
 def test_peaks_parse():
     elements = [
         {"lat": 34.0, "lon": -117.0,
