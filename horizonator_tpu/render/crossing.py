@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import geometry
-from .raymarch import RenderParams, _unpack_pair
+from .raymarch import RenderParams, _scan_shift, _unpack_pair
 
 DEG = math.pi / 180.0
 NEG_BIG = -3.0e38
@@ -279,7 +279,7 @@ def march_crossing(scene: CrossingScene, params: RenderParams, *,
         tanel_q = jnp.where(vq, (zq - p.viewer_z) / dq, NEG_BIG)
         tanel = jnp.concatenate([tanel_q, tanel], axis=1)
 
-    run_max = jax.lax.cummax(tanel, axis=1)
+    run_max = _scan_shift(tanel, jnp.maximum, NEG_BIG)
     dists = CrossingDists(e=geo.e, scale=geo.scale, znear=p.znear,
                           near_hi=near_hi, n_near=n_near)
     return tanel, run_max, dists, geo.az

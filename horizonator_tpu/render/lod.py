@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import geometry
-from .raymarch import RenderParams
+from .raymarch import RenderParams, _scan_shift
 from .crossing import NEG_BIG, N_NEAR
 
 DEG = math.pi / 180.0
@@ -183,7 +183,7 @@ def march_lod(pyramid, params: RenderParams, *, width, plan, cells_per_deg,
         scales.append(dists_l.scale)
 
     tanel = jnp.concatenate(segs, axis=1)
-    run_max = jax.lax.cummax(tanel, axis=1)
+    run_max = _scan_shift(tanel, jnp.maximum, NEG_BIG)
     dists = LodDists(e=jnp.stack(es), scale=jnp.stack(scales),
                      znear=p.znear, near_hi=near_hi, n_near=n_near,
                      k_lo=tuple(s.k_lo for s in plan),

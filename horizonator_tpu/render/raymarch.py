@@ -259,6 +259,31 @@ def _resolve_merge2(m, t_y):
 
 
 _ROWQ = 256.0         # pixel-row quantization of the resolve keys (1/256 px)
+_ROWQ_BITS = 8        # log2(_ROWQ): threshold keys encode their row exactly
+assert _ROWQ == float(1 << _ROWQ_BITS)
+
+
+def _scan_shift(x, op, fill, reverse=False):
+    """Inclusive Hillis-Steele scan along axis 1 via static shifts.
+
+    lax.cummax/cummin/cumsum lower to multi-pass reduce-windows on this TPU
+    backend (measured: the resolve's three scans cost ~1.4 ms of the 4096x
+    1024 frame while the bitonic merge's 11 hand-written stages fuse to
+    ~0.3 ms). Writing the scan as log2(N) pad+slice+op stages puts it in
+    the same XLA-fusable form as the merge.
+    """
+    w, n = x.shape
+    d = 1
+    while d < n:
+        if reverse:
+            sh = jnp.concatenate(
+                [x[:, d:], jnp.full((w, d), fill, x.dtype)], axis=1)
+        else:
+            sh = jnp.concatenate(
+                [jnp.full((w, d), fill, x.dtype), x[:, :-d]], axis=1)
+        x = op(x, sh)
+        d <<= 1
+    return x
 
 
 def _butterfly_route_front(packed, n_pow2, rank_bits, extra=None):
@@ -359,9 +384,9 @@ def _resolve_rows(y_k, height, tex=None):
       pass 1 sorts ONE packed int key (row * 64 | is_threshold) -- the
       threshold rows are the integers 0..H-1, ties break so that an
       exactly-equal sample counts as crossing;
-      idx falls out of position arithmetic (idx = K - pos + rank, rank via
-      one cumsum -- and rank IS the destination row, since thresholds sort
-      in ascending-row order);
+      idx falls out of position arithmetic (idx = K - pos + rank, where
+      rank -- a threshold's index among thresholds = its destination row --
+      is read straight off its own key field, no scan needed);
       the refine brackets are the neighboring SAMPLE KEYS themselves
       (forward cummax / reverse cummin), so alpha is computed before the
       unsort and pass 2 carries a single packed (idx | alpha16) payload.
@@ -419,15 +444,19 @@ def _resolve_rows(y_k, height, tex=None):
 
     is_thr = (sk & 1) == 1
     pos = jax.lax.broadcasted_iota(jnp.int32, (w, n), 1)
-    rank = jnp.cumsum(is_thr.astype(jnp.int32), axis=1) - 1     # = dest row
+    # A threshold's rank among thresholds (= its destination row) needs no
+    # scan: all H thresholds are present with distinct ascending keys, and
+    # the key encodes the row exactly (key_t = (h << _ROWQ_BITS) << 1 | 1),
+    # so the j-th threshold in merged order IS row j = its own key field.
+    rank = jnp.where(is_thr, (sk >> 1) >> _ROWQ_BITS, 0)
     # samples with row > threshold-row sit AFTER it; they are exactly the
     # ones with run_max below the threshold tangent
     idxv = (k - pos + rank).astype(jnp.int32)
 
-    skey = sk >> 1                                              # row * 64
-    y_cur = jax.lax.cummax(jnp.where(is_thr, -big, skey), axis=1)
-    y_prev = jax.lax.cummin(jnp.where(is_thr, big, skey), axis=1,
-                            reverse=True)
+    skey = sk >> 1                                              # row * _ROWQ
+    y_cur = _scan_shift(jnp.where(is_thr, -big, skey), jnp.maximum, -big)
+    y_prev = _scan_shift(jnp.where(is_thr, big, skey), jnp.minimum, big,
+                         reverse=True)
 
     y_thr = rank.astype(jnp.float32) * _ROWQ
     denom = (y_prev - y_cur).astype(jnp.float32)
@@ -443,10 +472,12 @@ def _resolve_rows(y_k, height, tex=None):
         is_s = ~is_thr
         rg = (texm >> 8) & 0xffff
         b8 = texm & 0xff
-        cur_rg = jax.lax.cummax(
-            jnp.where(is_s, (pos << 16) | rg, jnp.int32(-1)), axis=1)
-        cur_b = jax.lax.cummax(
-            jnp.where(is_s, (pos << 8) | b8, jnp.int32(-1)), axis=1)
+        cur_rg = _scan_shift(
+            jnp.where(is_s, (pos << 16) | rg, jnp.int32(-1)), jnp.maximum,
+            jnp.int32(-1))
+        cur_b = _scan_shift(
+            jnp.where(is_s, (pos << 8) | b8, jnp.int32(-1)), jnp.maximum,
+            jnp.int32(-1))
         tex_thr = jnp.where(cur_rg >= 0,
                             ((cur_rg & 0xffff) << 8) | (cur_b & 0xff), 0)
 
@@ -542,7 +573,7 @@ def march_tanel(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
                (j_pos >= 0) & (j_pos <= n - 1))
     z = _sample_surface(dem_packed, n, i_pos, j_pos, surface)
     tanel = jnp.where(in_grid, (z - p.viewer_z) / dk, -3.0e38)
-    run_max = jax.lax.cummax(tanel, axis=1)
+    run_max = _scan_shift(tanel, jnp.maximum, -3.0e38)
     return tanel, run_max, d, az
 
 

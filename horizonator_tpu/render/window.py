@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .raymarch import RenderParams
+from .raymarch import RenderParams, _scan_shift
 from .crossing import crossing_geometry, CrossingDists, NEG_BIG, N_NEAR
 
 DEG = math.pi / 180.0
@@ -92,6 +92,14 @@ def _slice_roll(arr2d, start, size):
     return jnp.roll(sl, start_c - start, axis=0)
 
 
+def _slice_roll_cols(arr2d, start, size):
+    """Column analog of _slice_roll: result[:, m] = arr2d[:, start + m]."""
+    n = arr2d.shape[1]
+    start_c = jnp.clip(start, 0, max(n - size, 0))
+    sl = jax.lax.dynamic_slice(arr2d, (0, start_c), (arr2d.shape[0], size))
+    return jnp.roll(sl, start_c - start, axis=1)
+
+
 def _build_tables_multi(planes, params: RenderParams, k_kernel: int):
     """(4, P, n_pad, k_kernel) float32 crossing tables for a STACK of
     grid-resident planes (plane 0 is always elevation; textured renders add
@@ -109,9 +117,12 @@ def _build_tables_multi(planes, params: RenderParams, k_kernel: int):
     def per_plane(g):
         t_n = _slice_roll(g, j0n, k_kernel).T                   # rows j0n+m
         t_s = _slice_roll(g[::-1], (n - 1) - j0s, k_kernel).T   # rows j0s-m
-        gt = g.T
-        t_e = _slice_roll(gt, i0e, k_kernel).T                  # cols i0e+m
-        t_w = _slice_roll(gt[::-1], (n - 1) - i0w, k_kernel).T  # cols i0w-m
+        # E/W tables want [x, m] = g[x, i0 +- m]: a COLUMN slice of g --
+        # no transpose at all (the earlier transpose-slice-transpose form
+        # made XLA materialize a full-grid transpose, ~0.1 ms at the
+        # headline grid).
+        t_e = _slice_roll_cols(g, i0e, k_kernel)                # cols i0e+m
+        t_w = _slice_roll_cols(g[:, ::-1], (n - 1) - i0w, k_kernel)
         return jnp.stack([t_n, t_s, t_e, t_w])                  # (4, n, k)
 
     if planes.shape[0] == 1:
@@ -437,7 +448,7 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
                      | (bil(color_planes[1]) << 8) | bil(color_planes[0]))
             tex = jnp.concatenate([tex_q, tex], axis=1)
 
-    run_max = jax.lax.cummax(tanel, axis=1)
+    run_max = _scan_shift(tanel, jnp.maximum, NEG_BIG)
     dists = CrossingDists(e=geo.e, scale=geo.scale, znear=p.znear,
                           near_hi=near_hi, n_near=n_near)
     if textured:
