@@ -309,12 +309,14 @@ class horizonator:
             znear=f(znear), zfar=f(zfar), znear_color=f(znear), zfar_color=f(zfar))
         if self.sampler == "window":
             from .render.window import march_window
-            _, run_max, _, az = march_window(
+            tanel, _, _, az = march_window(
                 self._dem, params, width=width,
                 k_cross=self._auto_nsteps(znear, zfar),
                 cells_per_deg=self.mosaic.cells_per_deg,
                 lat_hint_deg=self._lat_hint())
-            tan_el = run_max[:, -1]
+            # full-column horizon = plain max; the running-max scan
+            # dead-codes out (it cost ~0.45 ms at headline widths)
+            tan_el = jnp.max(tanel, axis=1)
         elif self.sampler == "crossing":
             from .render.crossing import horizon_crossing
             az, tan_el = horizon_crossing(

@@ -129,25 +129,25 @@ def horizon_sweep(dem, params_batch: RenderParams, *, width, nsteps,
         from ..render.window import march_window
 
         def one_w(p):
-            _, run_max, _, _ = march_window(
+            tanel, _, _, _ = march_window(
                 dem, p, width=width, k_cross=nsteps,
                 cells_per_deg=cells_per_deg, lat_hint_deg=lat_hint_deg)
-            return run_max[:, -1]
+            return jnp.max(tanel, axis=1)   # scan dead-codes out
         return jax.lax.map(one_w, params_batch)
     if sampler == "crossing":
         from ..render.crossing import march_crossing
 
         def one(p):
-            _, run_max, _, _ = march_crossing(
+            tanel, _, _, _ = march_crossing(
                 dem, p, width=width, k_cross=nsteps,
                 cells_per_deg=cells_per_deg)
-            return run_max[:, -1]
+            return jnp.max(tanel, axis=1)
     else:
         def one(p):
-            _, run_max, _, _ = march_tanel(
+            tanel, _, _, _ = march_tanel(
                 dem, p, width=width, nsteps=nsteps,
                 cells_per_deg=cells_per_deg, surface=surface)
-            return run_max[:, -1]
+            return jnp.max(tanel, axis=1)
     return jax.vmap(one)(params_batch)
 
 

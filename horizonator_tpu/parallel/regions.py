@@ -87,10 +87,10 @@ def make_region_sharded_horizon(mesh: Mesh, *, width, k_cross, cells_per_deg,
             p_local = _wedge_params(p_local, jax.lax.axis_index(az_axis),
                                     n_az)
         scene = pack_scene(local)
-        _, run_max, _, az = march_crossing(
+        tanel, _, _, az = march_crossing(
             scene, p_local, width=w_local, k_cross=k_cross,
             cells_per_deg=cells_per_deg, j_hi=j_hi)
-        h = run_max[:, -1]
+        h = jnp.max(tanel, axis=1)
         return az, jax.lax.pmax(h, axis)
 
     out_col = P(az_axis) if az_axis else P()

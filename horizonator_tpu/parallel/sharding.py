@@ -127,10 +127,10 @@ def horizon_batch(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
     viewshed sweeps. vmap over viewpoints; wrap in shard_map over "batch" for
     multi-chip sweeps."""
     def one(p):
-        _, run_max, _, az = march_tanel(
+        tanel, _, _, az = march_tanel(
             dem, p, width=width, nsteps=nsteps, cells_per_deg=cells_per_deg,
             surface=surface)
-        return az, run_max[:, -1]
+        return az, jnp.max(tanel, axis=1)
     return jax.vmap(one)(params)
 
 
@@ -147,11 +147,11 @@ def make_sharded_horizon(mesh: Mesh, *, width, nsteps, cells_per_deg,
         az_idx = jax.lax.axis_index("az")
 
         def one(p):
-            _, run_max, _, az = march_tanel(
+            tanel, _, _, az = march_tanel(
                 dem, _wedge_params(p, az_idx, n_az),
                 width=w_local, nsteps=nsteps, cells_per_deg=cells_per_deg,
                 surface=surface)
-            return az, run_max[:, -1]
+            return az, jnp.max(tanel, axis=1)
         return jax.vmap(one)(params)
 
     sharded = shard_map(

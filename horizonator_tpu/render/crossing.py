@@ -288,7 +288,7 @@ def march_crossing(scene: CrossingScene, params: RenderParams, *,
 def horizon_crossing(scene: CrossingScene, params: RenderParams, *,
                      width, k_cross, cells_per_deg):
     """Per-column horizon (az, tan_el) via the crossing march."""
-    _, run_max, _, az = march_crossing(
+    tanel, _, _, az = march_crossing(
         scene, params, width=width, k_cross=k_cross,
         cells_per_deg=cells_per_deg)
-    return az, run_max[:, -1]
+    return az, jnp.max(tanel, axis=1)   # running-max scan dead-codes out

@@ -532,6 +532,180 @@ def _resolve_rows(y_k, height, tex=None):
     return idx, alpha_out, ok
 
 
+def _butterfly_stages(v, extras, dest_shift, msb_first):
+    """One self-routing butterfly pass over the lane axis.
+
+    v (W, N) int32, N a power of two: marked entries (sign bit 0) carry a
+    destination field in bits [dest_shift, ...]; unmarked entries are -1
+    (sign-bit sentinel, so payloads keep the other 31 bits). ``extras``
+    ride the same swaps.
+
+    Two self-routing regimes (each property-tested exhaustively; general
+    bidirectional monotone routings do NOT self-route -- tested too):
+      msb_first=False (inverse butterfly, LSB-first): CONCENTRATION --
+        marked entries at any positions, destinations = their ranks
+        0..m-1 (Nassimi-Sahni).
+      msb_first=True (butterfly, MSB-first): EXPANSION -- marked entries
+        compacted at the front (positions 0..m-1), destinations strictly
+        ascending (hence dest_j >= j).
+    A monotone scatter with arbitrary sparse destinations = concentrate
+    (ranks) then expand (destinations).
+    """
+    w, n = v.shape
+    bits = (n - 1).bit_length()
+    ex = list(extras)
+    order = reversed(range(bits)) if msb_first else range(bits)
+    for b in order:
+        s = 1 << b
+        v4 = v.reshape(w, n // (2 * s), 2, s)
+        va, vb = v4[:, :, 0, :], v4[:, :, 1, :]
+        a_hi = (va >= 0) & (((va >> (dest_shift + b)) & 1) == 1)
+        b_lo = (vb >= 0) & (((vb >> (dest_shift + b)) & 1) == 0)
+        swap = a_hi | b_lo
+        v = jnp.stack([jnp.where(swap, vb, va), jnp.where(swap, va, vb)],
+                      axis=2).reshape(w, n)
+        for i, e in enumerate(ex):
+            e4 = e.reshape(w, n // (2 * s), 2, s)
+            ea, eb = e4[:, :, 0, :], e4[:, :, 1, :]
+            ex[i] = jnp.stack([jnp.where(swap, eb, ea),
+                               jnp.where(swap, ea, eb)],
+                              axis=2).reshape(w, n)
+    return v, ex
+
+
+def _fill_forward(main, extras, fills):
+    """Forward-fill sentinel (-1) slots of ``main`` from the nearest
+    non-sentinel entry above (log2(H) jump stages); extras follow the same
+    mask so (main, extras) tuples stay consistent."""
+    w, h = main.shape
+    ex = list(extras)
+    d = 1
+    while d < h:
+        empty = main < 0
+        sh_m = jnp.concatenate(
+            [jnp.full((w, d), jnp.int32(-1), jnp.int32), main[:, :-d]],
+            axis=1)
+        main = jnp.where(empty, sh_m, main)
+        for i, e in enumerate(ex):
+            sh_e = jnp.concatenate(
+                [jnp.full((w, d), fills[i], e.dtype), e[:, :-d]], axis=1)
+            ex[i] = jnp.where(empty, sh_e, e)
+        d <<= 1
+    return main, ex
+
+
+def _resolve_scatter(y_k, height, tex=None, monotone=True):
+    """Scatter-and-fill resolve: the cheapest first-crossing search.
+
+    Same contract as _resolve_rows (and bit-identical idx), but instead of
+    merging K sample keys with H threshold keys (K+H-wide bitonic merge +
+    bracket scans + unsort), it exploits that each first-crossing sample
+    covers a CONTIGUOUS run of pixel rows:
+
+      sample k covers rows [s_k, s_{k-1}) where s_k = ceil(yq_k / 256)
+      (yq = quantized non-increasing horizon rows; the tie rule "an
+      exactly-equal sample counts as crossing" is ceil's);
+
+    so the whole resolve is: mark each first-of-run sample (s_k < s_{k-1},
+    giving strictly-decreasing destinations = a monotone routing), scatter
+    the marked samples to their start rows with TWO oblivious butterfly
+    passes -- concentrate to ranks (LSB-first), expand ranks to rows
+    (MSB-first); a single pass cannot self-route sparse destinations
+    (property-tested in tests/test_resolve.py) -- then forward-fill each
+    sample's payload down to the next marked row. No merge, no threshold
+    keys, no bracket scans: the (K+H)-wide sorted problem becomes a
+    K-wide pass + an H-wide pass, and alpha comes out at full f32
+    precision (the packed unsort quantized it to 9 bits).
+
+    The exact bracketing rows (yq_k and yq_{k-1}) ride the butterfly as
+    payloads, so alpha = (yq_prev - 256*h) / (yq_prev - yq_k) is computed
+    per pixel after the fill -- identical ints to _resolve_rows' scans.
+
+    monotone=False runs the row-space running min internally (equivalent to
+    computing run_max before the row map, since the row map is monotone).
+
+    Requires 2*ceil(log2(K+1)) + ceil(log2(H)) <= 31 (rank + idx + dest
+    coexist in the phase-1 packing); callers fall back to _resolve_rows
+    otherwise.
+    """
+    w, k = y_k.shape
+    h = height
+    kb = max(k.bit_length(), 1)           # idx field AND phase-1 rank field
+    hb = max((h - 1).bit_length(), 1)     # destination-row field
+    if 2 * kb + hb > 31:
+        raise ValueError("resolve_scatter bit budget exceeded")
+
+    yq = jnp.clip(jnp.round(y_k * _ROWQ), -2.0 ** 30, 2.0 ** 30)
+    yq = jnp.clip(yq.astype(jnp.int32), -(2 ** 30) + 1, 2 ** 30 - 1)
+    if not monotone:
+        yq = _scan_shift(yq, jnp.minimum, jnp.int32(2 ** 30 - 1))
+    big = jnp.int32(2 ** 30)
+    yprev = jnp.concatenate(
+        [jnp.full((w, 1), big, jnp.int32), yq[:, :-1]], axis=1)
+
+    # start row of each sample's covered run; ceil via arithmetic shift
+    s = (yq + (1 << _ROWQ_BITS) - 1) >> _ROWQ_BITS
+    sp = (yprev + (1 << _ROWQ_BITS) - 1) >> _ROWQ_BITS
+    sc = jnp.clip(s, 0, h)
+    scp = jnp.clip(sp, 0, h)
+    mark = sc < scp                       # first of its run; dest < h free
+    kk = jax.lax.broadcasted_iota(jnp.int32, (w, k), 1)
+    # phase-1 rank = position among marked in ascending-dest order; dests
+    # (start rows) DESCEND with k, so rank = #marked strictly after k
+    cum = _scan_shift(mark.astype(jnp.int32), jnp.add, jnp.int32(0))
+    rank = cum[:, -1:] - cum
+    # phase-1 packing: [rank | dest | idx]; unmarked = -1
+    main = jnp.where(mark, (rank << (hb + kb)) | (sc << kb) | kk,
+                     jnp.int32(-1))
+    extras = [yq, yprev] + ([tex.astype(jnp.int32)] if tex is not None
+                            else [])
+
+    def pad_to(a, n, fill):
+        if a.shape[1] == n:
+            return a
+        if a.shape[1] > n:
+            return a[:, :n]
+        return jnp.concatenate(
+            [a, jnp.full((w, n - a.shape[1]), fill, a.dtype)], axis=1)
+
+    # phase 1 (width = pow2(K)): reverse k so ranks ascend with position,
+    # then CONCENTRATE marked entries to the front (LSB-first inverse
+    # butterfly; dest field = rank).
+    k_pow2 = 1 << (k - 1).bit_length()
+    arr = pad_to(main[:, ::-1], k_pow2, jnp.int32(-1))
+    exarr = [pad_to(e[:, ::-1], k_pow2, jnp.int32(0)) for e in extras]
+    arr, exarr = _butterfly_stages(arr, exarr, hb + kb, msb_first=False)
+
+    # phase 2 (width = pow2(H)): entries now at front positions = ranks;
+    # EXPAND to their start rows (MSB-first butterfly; dest field = row).
+    h_pow2 = 1 << (h - 1).bit_length()
+    arr = pad_to(arr, h_pow2, jnp.int32(-1))
+    exarr = [pad_to(e, h_pow2, jnp.int32(0)) for e in exarr]
+    mask = (1 << kb) - 1
+    arr2 = jnp.where(arr >= 0,
+                     (((arr >> kb) & ((1 << hb) - 1)) << kb) | (arr & mask),
+                     jnp.int32(-1))
+    routed, routed_ex = _butterfly_stages(arr2, exarr, kb, msb_first=True)
+
+    filled, ex_f = _fill_forward(routed[:, :h],
+                                 [e[:, :h] for e in routed_ex],
+                                 fills=[jnp.int32(0)] * len(routed_ex))
+
+    present = filled >= 0
+    idx = jnp.where(present, filled & mask, jnp.int32(k))
+    yqk = ex_f[0]
+    yqp = ex_f[1]
+    rows256 = (jax.lax.broadcasted_iota(jnp.int32, (w, h), 1)
+               << _ROWQ_BITS)
+    denom = (yqp - yqk).astype(jnp.float32)
+    okv = present & (yqp < big) & (denom > 0)
+    alpha = jnp.clip((yqp - rows256).astype(jnp.float32)
+                     / jnp.where(denom > 0, denom, 1.0), 0.0, 1.0)
+    if tex is not None:
+        return idx, alpha, okv, ex_f[2]
+    return idx, alpha, okv
+
+
 def _as_packed(dem):
     """Accept either an (N, N) float32 grid or a pre-packed (N, N-1) int32
     plane from pack_dem_pairs. Returns (packed, N)."""
@@ -675,15 +849,23 @@ def render_panorama(dem, params: RenderParams, *, width, height, nsteps,
     el_ndc = 1.0 - (2.0 * y + 1.0) / height
     el = el_ndc / az_ndc_per_rad / aspect                         # (H,)
 
-    # First sample covering each pixel: map each running-max horizon to its
+    # First sample covering each pixel: map each horizon tangent to its
     # continuous pixel row (the exact inverse of the el grid above) and
     # resolve in row space -- the cheapest gather-free first-crossing
-    # search (see _resolve_rows).
-    el_k = jnp.arctan(run_max)
+    # search. The fused Pallas resolve (resolve_window) takes the RAW rows
+    # and monotonizes in VMEM (the running max commutes with the monotone
+    # row map bitwise, and the XLA shift-scan it replaces costs ~0.45 ms of
+    # the headline frame; run_max then dead-codes out of the march). The
+    # XLA fallbacks take the running-max rows as before.
+    from .resolve_window import resolve_fits, resolve_window
+    use_kernel = tex_samples is None and resolve_fits(ktotal, height)
+    el_k = jnp.arctan(tanel if use_kernel else run_max)
     y_k = (1.0 - el_k * (az_ndc_per_rad * aspect)) * (height * 0.5) - 0.5
     tex_hw = None
     if tex_samples is not None:
         idx, alpha, ok, tex_hw = _resolve_rows(y_k, height, tex=tex_samples)
+    elif use_kernel:
+        idx, alpha, ok = resolve_window(y_k, height, monotone=False)
     else:
         idx, alpha, ok = _resolve_rows(y_k, height)               # (W,H)
     sky = idx >= ktotal

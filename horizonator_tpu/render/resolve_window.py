@@ -1,0 +1,222 @@
+"""Pallas TPU kernel for the resolve: the whole first-crossing search in VMEM.
+
+The resolve (raymarch._resolve_rows) is ~45 shuffle stages over (W, K+H)
+int32 arrays -- a bitonic valley merge, two bracket scans, and a butterfly
+unsort. In XLA every few stages round-trip HBM: measured ~1.9 ms at the
+4096x1024 headline for ~0.1 ms of ideal traffic, and a VMEM-resident
+roll+minmax stage measures ~0.5 G lane-ops/s-class on v5e (see
+benchmarks/profile_resolve.py + git history), putting the fused cost at
+~0.5-0.9 ms. This kernel runs the complete pipeline per 64-column block
+with every intermediate in VMEM:
+
+  1. quantize horizon rows to 1/256 px int keys (samples: LSB 0);
+  2. (optionally) running-min over the step axis = run_max in row space;
+  3. merge with the implicit threshold keys (rows 0..H-1, LSB 1) by
+     Batcher's bitonic-valley merge -- log2(N) roll/min/max stages;
+  4. brackets by forward-cummax / reverse-cummin shift scans; idx and the
+     threshold's own row fall out of its key (rank = key >> 9);
+  5. pack (rank | idx | alpha | ok) into one int32 and self-route every
+     threshold to its pixel row with the LSB-first inverse butterfly
+     (dense rank destinations -- the proven Nassimi-Sahni regime).
+
+Output decode matches raymarch._resolve_rows' packed branch bit-for-bit
+(alpha quantized to the same spare-bit budget), so the kernel and the XLA
+resolve are interchangeable; tests/test_resolve.py asserts equality and the
+TPU smoke test compares Mosaic against the interpreter on the real chip.
+
+Mosaic notes (CLAUDE.md): lane-axis shuffles use pltpu.roll with positive
+static shifts only (shift n-s for a left roll); scan stages mask the
+wrapped lanes every stage (values at the array ends are not scan
+identities after stage 1); all lane-dim slices are at offset 0 with
+128-multiple lengths.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .raymarch import _ROWQ_BITS
+
+TILE_W = 64
+_BIG = 2 ** 30
+
+
+def _plan(k: int, height: int):
+    """(kp, hb, kb, a_bits, n2) for the packed layout, or None if the
+    single-int32 budget cannot hold (rank | idx | alpha>=5b | ok)."""
+    kp = -(-k // 128) * 128
+    hb = max((height - 1).bit_length(), 1)
+    kb = max(kp.bit_length(), 1)
+    a_bits = 31 - hb - kb - 1
+    n2 = 1 << (kp + height - 1).bit_length()
+    return kp, hb, kb, a_bits, n2
+
+
+def resolve_fits(k: int, height: int) -> bool:
+    kp, hb, kb, a_bits, n2 = _plan(k, height)
+    return a_bits >= 5 and height % 128 == 0 and height >= 128
+
+
+def _resolve_kernel(y_ref, out_ref, *, kp, k_real, h, n2, kb, a_bits,
+                    monotone):
+    tw = y_ref.shape[0]
+    big = jnp.int32(_BIG)
+
+    # 1. quantize rows (identical clips to _resolve_rows)
+    yq = jnp.clip(jnp.round(y_ref[:] * float(1 << _ROWQ_BITS)),
+                  -2.0 ** 30, 2.0 ** 30)
+    yq = jnp.clip(yq.astype(jnp.int32), -(_BIG - 1), _BIG - 1)
+
+    # 2. running min over k (= run_max in row space; skipped when the
+    # caller already fed monotone rows). Lane padding is on the LEFT
+    # (callers pad with +huge rows): the sample segment must stay
+    # non-increasing for the valley merge below, and leading maximal pads
+    # are also the running min's identity.
+    if not monotone:
+        lane_k = jax.lax.broadcasted_iota(jnp.int32, (tw, kp), 1)
+        d = 1
+        while d < kp:
+            r = pltpu.roll(yq, shift=d, axis=1)
+            yq = jnp.where(lane_k >= d, jnp.minimum(yq, r), yq)
+            d <<= 1
+
+    # 3. merged valley: [samples desc | thresholds asc | pads MAX]
+    key_s = yq << 1
+    if kp != k_real:
+        # leading pad lanes get threshold parity (key 2^31-1, like the
+        # tail pads): the bracket scans skip them -- as real samples they
+        # would fake a bracketing value for top thresholds -- and their
+        # huge rank keeps them off the router
+        lane_k = jax.lax.broadcasted_iota(jnp.int32, (tw, kp), 1)
+        key_s = jnp.where(lane_k >= kp - k_real, key_s, key_s | 1)
+    lane_t = jax.lax.broadcasted_iota(jnp.int32, (tw, h), 1)
+    key_t = (lane_t << (_ROWQ_BITS + 1)) | 1
+    parts = [key_s, key_t]
+    pad_cnt = n2 - kp - h
+    if pad_cnt:
+        # pads are threshold-parity (odd) so the bracket scans skip them
+        # and their huge rank routes them to the sentinel
+        parts.append(jnp.full((tw, pad_cnt), jnp.int32(2 ** 31 - 1),
+                              jnp.int32))
+    v = jnp.concatenate(parts, axis=1)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tw, n2), 1)
+
+    # 4. bitonic merge of the valley
+    s = n2 // 2
+    while s >= 1:
+        fwd = pltpu.roll(v, shift=n2 - s, axis=1)      # v[i+s] -> i
+        bwd = pltpu.roll(v, shift=s, axis=1)           # v[i-s] -> i
+        low = (lane & s) == 0
+        part = jnp.where(low, fwd, bwd)
+        v = jnp.where(low, jnp.minimum(v, part), jnp.maximum(v, part))
+        s //= 2
+
+    # 5. rank (= a threshold's destination row, read off its own key),
+    # idx by position arithmetic
+    is_thr = (v & 1) == 1
+    skey = v >> 1
+    rank = skey >> _ROWQ_BITS
+    idxv = k_real - lane + rank
+
+    # 6. bracket scans; wrapped lanes masked every stage (after stage 1
+    # the array ends hold running values, not scan identities)
+    x = jnp.where(is_thr, -big, skey)
+    d = 1
+    while d < n2:
+        r = pltpu.roll(x, shift=d, axis=1)
+        x = jnp.maximum(x, jnp.where(lane >= d, r, -big))
+        d <<= 1
+    y_cur = x
+    x = jnp.where(is_thr, big, skey)
+    d = 1
+    while d < n2:
+        r = pltpu.roll(x, shift=n2 - d, axis=1)
+        x = jnp.minimum(x, jnp.where(lane < n2 - d, r, big))
+        d <<= 1
+    y_prev = x
+
+    # 7. alpha + single-int32 packing (y_thr = skey at thresholds)
+    denom = (y_prev - y_cur).astype(jnp.float32)
+    okv = (y_cur > -big) & (y_prev < big) & (denom > 0)
+    alpha = jnp.clip((y_prev - skey).astype(jnp.float32)
+                     / jnp.where(denom > 0, denom, 1.0), 0.0, 1.0)
+    amax = (1 << a_bits) - 1
+    aq = jnp.round(alpha * amax).astype(jnp.int32)
+    idxc = jnp.clip(idxv, 0, (1 << kb) - 1)
+    dshift = kb + a_bits + 1
+    packed = jnp.where(is_thr & (rank < h),
+                       (rank << dshift) | (idxc << (a_bits + 1))
+                       | (aq << 1) | okv.astype(jnp.int32),
+                       jnp.int32(-1))
+
+    # 8. LSB-first inverse-butterfly concentration to dense rank dests
+    for bi in range((n2 - 1).bit_length()):
+        s = 1 << bi
+        fwd = pltpu.roll(packed, shift=n2 - s, axis=1)
+        bwd = pltpu.roll(packed, shift=s, axis=1)
+        low = (lane & s) == 0
+        part = jnp.where(low, fwd, bwd)
+        av = jnp.where(low, packed, part)
+        bv = jnp.where(low, part, packed)
+        if dshift + bi <= 30:
+            a_hi = (av >= 0) & (((av >> (dshift + bi)) & 1) == 1)
+            b_lo = (bv >= 0) & (((bv >> (dshift + bi)) & 1) == 0)
+            swap = a_hi | b_lo
+        else:
+            swap = bv >= 0          # dest bit bi is 0 for every real dest
+        packed = jnp.where(swap, part, packed)
+
+    out_ref[:] = packed[:, :h]
+
+
+@functools.partial(jax.jit, static_argnames=("height", "monotone",
+                                             "interpret", "tile_w"))
+def resolve_window(y_k, height, *, monotone=True, interpret=None,
+                   tile_w=TILE_W):
+    """Fused-resolve entry: y_k (W, K) f32 horizon rows (non-increasing
+    along k when monotone=True, raw otherwise) -> (idx, alpha, ok), each
+    (W, H), matching raymarch._resolve_rows' packed branch bit-for-bit.
+    Check resolve_fits(K, H) first."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    w, k = y_k.shape
+    kp, hb, kb, a_bits, n2 = _plan(k, height)
+    if a_bits < 5:
+        raise ValueError("resolve_window bit budget exceeded; use "
+                         "_resolve_rows")
+    if kp != k:
+        # LEFT pad with below-everything rows: keeps the sample segment
+        # non-increasing (a right pad would break the merge's valley) and
+        # the pads' maximal keys sort to the merged tail, counted by no
+        # threshold.
+        y_k = jnp.pad(y_k, ((0, 0), (kp - k, 0)),
+                      constant_values=3.0e38)
+    w_pad = -(-w // tile_w) * tile_w
+    if w_pad != w:
+        y_k = jnp.pad(y_k, ((0, w_pad - w), (0, 0)),
+                      constant_values=3.0e38)
+
+    kern = functools.partial(_resolve_kernel, kp=kp, k_real=k, h=height,
+                             n2=n2, kb=kb, a_bits=a_bits, monotone=monotone)
+    pu = pl.pallas_call(
+        kern,
+        grid=(w_pad // tile_w,),
+        in_specs=[pl.BlockSpec((tile_w, kp), lambda wt: (wt, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tile_w, height), lambda wt: (wt, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((w_pad, height), jnp.int32),
+        interpret=interpret,
+    )(y_k)[:w]
+
+    amax = (1 << a_bits) - 1
+    idx = (pu >> (a_bits + 1)) & ((1 << kb) - 1)
+    alpha = ((pu >> 1) & amax).astype(jnp.float32) / amax
+    ok = (pu & 1) == 1
+    return idx, alpha, ok

@@ -132,3 +132,125 @@ def test_wide_image_fallback_path_matches_packed():
         assert ((a >= 0) & (a <= 1)).all()
         i = np.asarray(idx)
         assert (np.diff(i, axis=1) <= 0).all()   # idx non-increasing in y
+
+
+def test_scatter_resolve_matches_rows_resolve():
+    # the production scatter+fill resolve == the merge-based resolve:
+    # idx bit-identical, alpha within the packed path's 9-bit quantization
+    from horizonator_tpu.render.raymarch import _resolve_scatter
+    m, _, aspect, _ = _data(w=16, k=70, h=48, seed=7)
+    el_k = jnp.arctan(m)
+    y_k = (1.0 - el_k * aspect) * (48 * 0.5) - 0.5
+    i_r, a_r, ok_r = _resolve_rows(y_k, 48)
+    i_s, a_s, ok_s = _resolve_scatter(y_k, 48)
+    np.testing.assert_array_equal(np.asarray(i_r), np.asarray(i_s))
+    np.testing.assert_array_equal(np.asarray(ok_r), np.asarray(ok_s))
+    okm = np.asarray(ok_r)
+    d = np.abs(np.asarray(a_r) - np.asarray(a_s))[okm]
+    assert d.max() <= 1.0 / 511 + 1e-6          # rows packs alpha to 9 bits
+
+
+def test_scatter_resolve_huge_rows_and_clamps():
+    from horizonator_tpu.render.raymarch import _resolve_scatter
+    k, h = 64, 32
+    base = np.linspace(40.0, -10.0, k, dtype=np.float32)
+    rows = np.stack([
+        base,
+        np.concatenate([[5.0e6] * 8, base[8:]]),            # huge head
+        np.full(k, 5.0e6, np.float32),                      # all sky-ward
+        np.concatenate([[2.0 ** 30 / 256.0] * 4, base[4:]]),
+        np.linspace(-300.0, -400.0, k, dtype=np.float32),   # all above top
+        np.linspace(4000.0, 31.5, k, dtype=np.float32),     # bottom-heavy
+    ]).astype(np.float32)
+    rows = np.minimum.accumulate(rows, axis=1)              # monotone input
+    idx, alpha, ok = _resolve_scatter(jnp.asarray(rows), h)
+    np.testing.assert_array_equal(np.asarray(idx), _oracle_idx(rows, h))
+    a = np.asarray(alpha)
+    assert ((a >= 0) & (a <= 1)).all()
+
+
+def test_scatter_resolve_nonmonotone_input():
+    # monotone=False runs the row-space running min internally == resolving
+    # the running max of tanel
+    from horizonator_tpu.render.raymarch import _resolve_scatter
+    rng = np.random.default_rng(5)
+    y = (rng.normal(size=(8, 100)) * 30 + 40).astype(np.float32)
+    ym = np.minimum.accumulate(y, axis=1)
+    i1, a1, o1 = _resolve_scatter(jnp.asarray(y), 64, monotone=False)
+    i2, a2, o2 = _resolve_scatter(jnp.asarray(ym), 64)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_scatter_resolve_tex_payload_routing():
+    # each pixel row gets exactly its first-crossing sample's payload
+    from horizonator_tpu.render.raymarch import _resolve_scatter
+    rng = np.random.default_rng(9)
+    w, k, h = 6, 50, 40
+    y = np.minimum.accumulate(
+        (rng.normal(size=(w, k)) * 20 + 20).astype(np.float32), axis=1)
+    tex = rng.integers(0, 1 << 24, size=(w, k)).astype(np.int32)
+    idx, alpha, ok, tex_out = _resolve_scatter(
+        jnp.asarray(y), h, tex=jnp.asarray(tex))
+    i = np.asarray(idx)
+    t = np.asarray(tex_out)
+    for c in range(w):
+        for r in range(h):
+            if i[c, r] < k:
+                assert t[c, r] == tex[c, i[c, r]]
+
+
+def test_resolve_window_kernel_matches_rows():
+    # the fused Pallas resolve (interpret mode here; Mosaic parity is
+    # covered by the TPU smoke test) == _resolve_rows' packed branch:
+    # idx and ok bit-identical, alpha equal up to the two paths'
+    # (different) spare-bit quantization budgets
+    from horizonator_tpu.render.resolve_window import (resolve_fits,
+                                                       resolve_window)
+    m, _, aspect, _ = _data(w=20, k=90, h=128, seed=11)
+    el_k = jnp.arctan(m)
+    y_k = (1.0 - el_k * aspect) * (128 * 0.5) - 0.5
+    assert resolve_fits(90, 128)
+    i_r, a_r, ok_r = _resolve_rows(y_k, 128)
+    i_w, a_w, ok_w = resolve_window(y_k, 128)
+    np.testing.assert_array_equal(np.asarray(i_r), np.asarray(i_w))
+    np.testing.assert_array_equal(np.asarray(ok_r), np.asarray(ok_w))
+    okm = np.asarray(ok_r)
+    d = np.abs(np.asarray(a_r) - np.asarray(a_w))[okm]
+    assert d.max() <= 1.0 / 255  # both budgets are >= 8 alpha bits here
+
+
+def test_resolve_window_kernel_huge_rows():
+    from horizonator_tpu.render.resolve_window import resolve_window
+    k, h = 64, 128
+    base = np.linspace(140.0, -10.0, k, dtype=np.float32)
+    rows = np.stack([
+        base,
+        np.concatenate([[5.0e6] * 8, base[8:]]),
+        np.full(k, 5.0e6, np.float32),
+        np.concatenate([[2.0 ** 30 / 256.0] * 4, base[4:]]),
+        np.linspace(-300.0, -400.0, k, dtype=np.float32),
+    ]).astype(np.float32)
+    rows = np.minimum.accumulate(rows, axis=1)
+    i_r, a_r, ok_r = _resolve_rows(jnp.asarray(rows), h)
+    i_w, a_w, ok_w = resolve_window(jnp.asarray(rows), h)
+    np.testing.assert_array_equal(np.asarray(i_r), np.asarray(i_w))
+    np.testing.assert_array_equal(np.asarray(i_w), _oracle_idx(rows, h))
+    np.testing.assert_array_equal(np.asarray(ok_r), np.asarray(ok_w))
+    okm = np.asarray(ok_r)
+    d = np.abs(np.asarray(a_r) - np.asarray(a_w))[okm]
+    assert d.size == 0 or d.max() <= 1.0 / 255
+
+
+def test_resolve_window_kernel_nonmonotone():
+    # monotone=False folds the running max into the kernel
+    from horizonator_tpu.render.resolve_window import resolve_window
+    rng = np.random.default_rng(13)
+    y = (rng.normal(size=(12, 150)) * 30 + 50).astype(np.float32)
+    ym = np.minimum.accumulate(y, axis=1)
+    i1, a1, o1 = resolve_window(jnp.asarray(y), 128, monotone=False)
+    i2, a2, o2 = resolve_window(jnp.asarray(ym), 128)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))

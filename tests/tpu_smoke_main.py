@@ -73,6 +73,25 @@ def main():
         print(f"march tile_w={tile_w}: Mosaic == interpreter "
               f"(max err {err:.2e})", file=sys.stderr)
 
+    # fused resolve kernel: Mosaic vs interpreter must agree BITWISE
+    # (idx, quantized alpha, ok) on identical input rows
+    from horizonator_tpu.render.resolve_window import (resolve_fits,
+                                                       resolve_window)
+    rng2 = np.random.default_rng(5)
+    y = np.minimum.accumulate(
+        (rng2.normal(size=(512, 200)) * 40 + 60).astype(np.float32), axis=1)
+    yd = jax.device_put(jnp.asarray(y), dev)
+    assert resolve_fits(200, 128)
+    for monotone in (True, False):
+        outs_m = resolve_window(yd, 128, monotone=monotone, interpret=False)
+        outs_i = resolve_window(yd, 128, monotone=monotone, interpret=True)
+        for name, a, b in zip(("idx", "alpha", "ok"), outs_m, outs_i):
+            if not np.array_equal(np.asarray(a), np.asarray(b)):
+                print(f"TPU_SMOKE_FAIL: resolve {name} mismatch "
+                      f"(monotone={monotone})")
+                return 1
+    print("resolve kernel: Mosaic == interpreter (bitwise)", file=sys.stderr)
+
     # full render (exercises the resolve's butterfly route on-chip)
     img, rngs = render_panorama(dem, p, width=512, height=128, nsteps=k,
                                 cells_per_deg=1200, sampler="window",
