@@ -47,19 +47,21 @@ _BIG = 2 ** 30
 
 
 def _plan(k: int, height: int):
-    """(kp, hb, kb, a_bits, n2) for the packed layout, or None if the
-    single-int32 budget cannot hold (rank | idx | alpha>=5b | ok)."""
+    """(kp, hp, hb, kb, a_bits, n2) for the packed layout. The row axis is
+    padded to a 128-multiple hp: the extra bottom thresholds sort after
+    every real one, count no samples anyone else would, and are sliced
+    off -- so any image height is exact."""
     kp = -(-k // 128) * 128
-    hb = max((height - 1).bit_length(), 1)
+    hp = max(-(-height // 128) * 128, 128)
+    hb = max((hp - 1).bit_length(), 1)
     kb = max(kp.bit_length(), 1)
     a_bits = 31 - hb - kb - 1
-    n2 = 1 << (kp + height - 1).bit_length()
-    return kp, hb, kb, a_bits, n2
+    n2 = 1 << (kp + hp - 1).bit_length()
+    return kp, hp, hb, kb, a_bits, n2
 
 
 def resolve_fits(k: int, height: int) -> bool:
-    kp, hb, kb, a_bits, n2 = _plan(k, height)
-    return a_bits >= 5 and height % 128 == 0 and height >= 128
+    return _plan(k, height)[4] >= 5
 
 
 def _resolve_kernel(y_ref, out_ref, *, kp, k_real, h, n2, kb, a_bits,
@@ -186,7 +188,7 @@ def resolve_window(y_k, height, *, monotone=True, interpret=None,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     w, k = y_k.shape
-    kp, hb, kb, a_bits, n2 = _plan(k, height)
+    kp, hp, hb, kb, a_bits, n2 = _plan(k, height)
     if a_bits < 5:
         raise ValueError("resolve_window bit budget exceeded; use "
                          "_resolve_rows")
@@ -202,18 +204,18 @@ def resolve_window(y_k, height, *, monotone=True, interpret=None,
         y_k = jnp.pad(y_k, ((0, w_pad - w), (0, 0)),
                       constant_values=3.0e38)
 
-    kern = functools.partial(_resolve_kernel, kp=kp, k_real=k, h=height,
+    kern = functools.partial(_resolve_kernel, kp=kp, k_real=k, h=hp,
                              n2=n2, kb=kb, a_bits=a_bits, monotone=monotone)
     pu = pl.pallas_call(
         kern,
         grid=(w_pad // tile_w,),
         in_specs=[pl.BlockSpec((tile_w, kp), lambda wt: (wt, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((tile_w, height), lambda wt: (wt, 0),
+        out_specs=pl.BlockSpec((tile_w, hp), lambda wt: (wt, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((w_pad, height), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((w_pad, hp), jnp.int32),
         interpret=interpret,
-    )(y_k)[:w]
+    )(y_k)[:w, :height]
 
     amax = (1 << a_bits) - 1
     idx = (pu >> (a_bits + 1)) & ((1 << kb) - 1)

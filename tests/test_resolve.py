@@ -254,3 +254,19 @@ def test_resolve_window_kernel_nonmonotone():
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_resolve_window_kernel_unaligned_height():
+    # row-axis padding to the next 128-multiple is exact for any H
+    from horizonator_tpu.render.resolve_window import (resolve_fits,
+                                                       resolve_window)
+    m, _, aspect, _ = _data(w=12, k=80, h=100, seed=17)
+    el_k = jnp.arctan(m)
+    for h in (100, 37, 130):
+        y_k = (1.0 - el_k * aspect) * (h * 0.5) - 0.5
+        assert resolve_fits(80, h)
+        i_r, a_r, ok_r = _resolve_rows(y_k, h)
+        i_w, a_w, ok_w = resolve_window(y_k, h)
+        assert i_w.shape == (12, h)
+        np.testing.assert_array_equal(np.asarray(i_r), np.asarray(i_w))
+        np.testing.assert_array_equal(np.asarray(ok_r), np.asarray(ok_w))
