@@ -858,14 +858,18 @@ def render_panorama(dem, params: RenderParams, *, width, height, nsteps,
     # the headline frame; run_max then dead-codes out of the march). The
     # XLA fallbacks take the running-max rows as before.
     from .resolve_window import resolve_fits, resolve_window
-    use_kernel = tex_samples is None and resolve_fits(ktotal, height)
+    use_kernel = resolve_fits(ktotal, height)
     el_k = jnp.arctan(tanel if use_kernel else run_max)
     y_k = (1.0 - el_k * (az_ndc_per_rad * aspect)) * (height * 0.5) - 0.5
     tex_hw = None
-    if tex_samples is not None:
+    if use_kernel:
+        if tex_samples is not None:
+            idx, alpha, ok, tex_hw = resolve_window(
+                y_k, height, tex=tex_samples, monotone=False)
+        else:
+            idx, alpha, ok = resolve_window(y_k, height, monotone=False)
+    elif tex_samples is not None:
         idx, alpha, ok, tex_hw = _resolve_rows(y_k, height, tex=tex_samples)
-    elif use_kernel:
-        idx, alpha, ok = resolve_window(y_k, height, monotone=False)
     else:
         idx, alpha, ok = _resolve_rows(y_k, height)               # (W,H)
     sky = idx >= ktotal

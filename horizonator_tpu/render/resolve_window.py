@@ -4,10 +4,10 @@ The resolve (raymarch._resolve_rows) is ~45 shuffle stages over (W, K+H)
 int32 arrays -- a bitonic valley merge, two bracket scans, and a butterfly
 unsort. In XLA every few stages round-trip HBM: measured ~1.9 ms at the
 4096x1024 headline for ~0.1 ms of ideal traffic, and a VMEM-resident
-roll+minmax stage measures ~0.5 G lane-ops/s-class on v5e (see
+roll+minmax stage measures ~560 G elem-stages/s (see
 benchmarks/profile_resolve.py + git history), putting the fused cost at
-~0.5-0.9 ms. This kernel runs the complete pipeline per 64-column block
-with every intermediate in VMEM:
+~0.9 ms. This kernel runs the complete pipeline per 64-column block with
+every intermediate in VMEM:
 
   1. quantize horizon rows to 1/256 px int keys (samples: LSB 0);
   2. (optionally) running-min over the step axis = run_max in row space;
@@ -19,16 +19,25 @@ with every intermediate in VMEM:
      threshold to its pixel row with the LSB-first inverse butterfly
      (dense rank destinations -- the proven Nassimi-Sahni regime).
 
-Output decode matches raymarch._resolve_rows' packed branch bit-for-bit
-(alpha quantized to the same spare-bit budget), so the kernel and the XLA
-resolve are interchangeable; tests/test_resolve.py asserts equality and the
-TPU smoke test compares Mosaic against the interpreter on the real chip.
+Textured renders additionally carry each sample's packed 0xRRGGBB color
+through the merge (key-value compare-exchange), deliver it to thresholds
+with a forward fill (the sample immediately preceding a threshold in
+merged order IS its first-crossing sample, up to adjacent equal-key ties),
+and route it alongside the packed result.
+
+Output decode matches raymarch._resolve_rows' packed branch (idx/ok
+bit-identical; alpha equal up to the two paths' spare-bit quantization
+budgets), so the kernel and the XLA resolve are interchangeable;
+tests/test_resolve.py asserts equality and the TPU smoke test compares
+Mosaic against the interpreter bitwise on the real chip.
 
 Mosaic notes (CLAUDE.md): lane-axis shuffles use pltpu.roll with positive
 static shifts only (shift n-s for a left roll); scan stages mask the
 wrapped lanes every stage (values at the array ends are not scan
-identities after stage 1); all lane-dim slices are at offset 0 with
-128-multiple lengths.
+identities after stage 1); lane padding of the sample axis must go on the
+LEFT (the merge needs the valley shape) with threshold parity (the scans
+must skip pads); the row axis pads to a 128-multiple with inert extra
+bottom thresholds, so any image height is exact.
 """
 
 from __future__ import annotations
@@ -64,8 +73,13 @@ def resolve_fits(k: int, height: int) -> bool:
     return _plan(k, height)[4] >= 5
 
 
-def _resolve_kernel(y_ref, out_ref, *, kp, k_real, h, n2, kb, a_bits,
-                    monotone):
+def _resolve_kernel(y_ref, *rest, kp, k_real, h, n2, kb, a_bits, monotone,
+                    textured):
+    if textured:
+        tex_ref, out_ref, outtex_ref = rest
+    else:
+        (out_ref,) = rest
+        tex_ref = outtex_ref = None
     tw = y_ref.shape[0]
     big = jnp.int32(_BIG)
 
@@ -106,16 +120,29 @@ def _resolve_kernel(y_ref, out_ref, *, kp, k_real, h, n2, kb, a_bits,
         parts.append(jnp.full((tw, pad_cnt), jnp.int32(2 ** 31 - 1),
                               jnp.int32))
     v = jnp.concatenate(parts, axis=1)
+    if textured:
+        texm = jnp.concatenate(
+            [tex_ref[:], jnp.zeros((tw, n2 - kp), jnp.int32)], axis=1)
+    else:
+        texm = None
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (tw, n2), 1)
 
-    # 4. bitonic merge of the valley
+    # 4. bitonic merge of the valley (key-value when carrying colors)
     s = n2 // 2
     while s >= 1:
         fwd = pltpu.roll(v, shift=n2 - s, axis=1)      # v[i+s] -> i
         bwd = pltpu.roll(v, shift=s, axis=1)           # v[i-s] -> i
         low = (lane & s) == 0
         part = jnp.where(low, fwd, bwd)
+        if textured:
+            # ties keep self on both ends, so (key, tex) pairs stay paired
+            # (boolean algebra, not where: Mosaic cannot select between
+            # i1 vectors -- "Unsupported target bitwidth for truncation")
+            took = (low & (part < v)) | (~low & (part > v))
+            tpart = jnp.where(low, pltpu.roll(texm, shift=n2 - s, axis=1),
+                              pltpu.roll(texm, shift=s, axis=1))
+            texm = jnp.where(took, tpart, texm)
         v = jnp.where(low, jnp.minimum(v, part), jnp.maximum(v, part))
         s //= 2
 
@@ -142,6 +169,18 @@ def _resolve_kernel(y_ref, out_ref, *, kp, k_real, h, n2, kb, a_bits,
         x = jnp.minimum(x, jnp.where(lane < n2 - d, r, big))
         d <<= 1
     y_prev = x
+
+    if textured:
+        # deliver each threshold the nearest sample's color at or before
+        # it in merged order (= its first-crossing sample, up to adjacent
+        # equal-key ties): forward fill of sample colors
+        t = jnp.where(is_thr, jnp.int32(-1), texm)
+        d = 1
+        while d < n2:
+            r = pltpu.roll(t, shift=d, axis=1)
+            t = jnp.where(t < 0, jnp.where(lane >= d, r, jnp.int32(-1)), t)
+            d <<= 1
+        tex_thr = jnp.maximum(t, 0)
 
     # 7. alpha + single-int32 packing (y_thr = skey at thresholds)
     denom = (y_prev - y_cur).astype(jnp.float32)
@@ -173,17 +212,25 @@ def _resolve_kernel(y_ref, out_ref, *, kp, k_real, h, n2, kb, a_bits,
         else:
             swap = bv >= 0          # dest bit bi is 0 for every real dest
         packed = jnp.where(swap, part, packed)
+        if textured:
+            tp = jnp.where(low, pltpu.roll(tex_thr, shift=n2 - s, axis=1),
+                           pltpu.roll(tex_thr, shift=s, axis=1))
+            tex_thr = jnp.where(swap, tp, tex_thr)
 
     out_ref[:] = packed[:, :h]
+    if textured:
+        outtex_ref[:] = tex_thr[:, :h]
 
 
 @functools.partial(jax.jit, static_argnames=("height", "monotone",
                                              "interpret", "tile_w"))
-def resolve_window(y_k, height, *, monotone=True, interpret=None,
+def resolve_window(y_k, height, *, tex=None, monotone=True, interpret=None,
                    tile_w=TILE_W):
     """Fused-resolve entry: y_k (W, K) f32 horizon rows (non-increasing
     along k when monotone=True, raw otherwise) -> (idx, alpha, ok), each
-    (W, H), matching raymarch._resolve_rows' packed branch bit-for-bit.
+    (W, H), matching raymarch._resolve_rows' packed branch (idx/ok
+    bit-identical). With ``tex`` (W, K) int32 per-sample packed colors, a
+    fourth (W, H) int32 output routes each pixel's winning sample color.
     Check resolve_fits(K, H) first."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -192,6 +239,7 @@ def resolve_window(y_k, height, *, monotone=True, interpret=None,
     if a_bits < 5:
         raise ValueError("resolve_window bit budget exceeded; use "
                          "_resolve_rows")
+    textured = tex is not None
     if kp != k:
         # LEFT pad with below-everything rows: keeps the sample segment
         # non-increasing (a right pad would break the merge's valley) and
@@ -199,26 +247,42 @@ def resolve_window(y_k, height, *, monotone=True, interpret=None,
         # threshold.
         y_k = jnp.pad(y_k, ((0, 0), (kp - k, 0)),
                       constant_values=3.0e38)
+        if textured:
+            tex = jnp.pad(tex.astype(jnp.int32), ((0, 0), (kp - k, 0)))
     w_pad = -(-w // tile_w) * tile_w
     if w_pad != w:
         y_k = jnp.pad(y_k, ((0, w_pad - w), (0, 0)),
                       constant_values=3.0e38)
+        if textured:
+            tex = jnp.pad(tex, ((0, w_pad - w), (0, 0)))
 
     kern = functools.partial(_resolve_kernel, kp=kp, k_real=k, h=hp,
-                             n2=n2, kb=kb, a_bits=a_bits, monotone=monotone)
-    pu = pl.pallas_call(
+                             n2=n2, kb=kb, a_bits=a_bits, monotone=monotone,
+                             textured=textured)
+    in_spec = pl.BlockSpec((tile_w, kp), lambda wt: (wt, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile_w, hp), lambda wt: (wt, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((w_pad, hp), jnp.int32)
+    call = pl.pallas_call(
         kern,
         grid=(w_pad // tile_w,),
-        in_specs=[pl.BlockSpec((tile_w, kp), lambda wt: (wt, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((tile_w, hp), lambda wt: (wt, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((w_pad, hp), jnp.int32),
+        in_specs=[in_spec] * (2 if textured else 1),
+        out_specs=(out_spec, out_spec) if textured else out_spec,
+        out_shape=(out_shape, out_shape) if textured else out_shape,
         interpret=interpret,
-    )(y_k)[:w, :height]
+    )
+    if textured:
+        pu, ptex = call(y_k, tex.astype(jnp.int32))
+        tex_out = ptex[:w, :height]
+    else:
+        pu = call(y_k)
+    pu = pu[:w, :height]
 
     amax = (1 << a_bits) - 1
     idx = (pu >> (a_bits + 1)) & ((1 << kb) - 1)
     alpha = ((pu >> 1) & amax).astype(jnp.float32) / amax
     ok = (pu & 1) == 1
+    if textured:
+        return idx, alpha, ok, tex_out
     return idx, alpha, ok

@@ -270,3 +270,30 @@ def test_resolve_window_kernel_unaligned_height():
         assert i_w.shape == (12, h)
         np.testing.assert_array_equal(np.asarray(i_r), np.asarray(i_w))
         np.testing.assert_array_equal(np.asarray(ok_r), np.asarray(ok_w))
+
+
+def test_resolve_window_kernel_tex_routing():
+    # textured kernel: each pixel row receives its first-crossing sample's
+    # color (adjacent equal-quantized-key ties excepted -- there any member
+    # of the tie run is sub-quantum-equivalent, so use distinct keys here)
+    from horizonator_tpu.render.resolve_window import resolve_window
+    rng = np.random.default_rng(23)
+    w, k, h = 8, 60, 130
+    y = np.sort(rng.uniform(-20.0, h + 20.0, size=(w, k)).astype(np.float32),
+                axis=1)[:, ::-1].copy()
+    # separate keys by > 1 quantum so the tie rule never kicks in
+    y = np.round(y * 16.0) / 16.0
+    y = np.minimum.accumulate(y, axis=1)
+    tex = rng.integers(0, 1 << 24, size=(w, k)).astype(np.int32)
+    idx, alpha, ok, tex_out = resolve_window(
+        jnp.asarray(y), h, tex=jnp.asarray(tex))
+    i = np.asarray(idx)
+    t = np.asarray(tex_out)
+    uniq = np.abs(np.diff(np.round(y * 256.0), axis=1)) >= 2
+    for c in range(w):
+        for r in range(h):
+            if i[c, r] < k:
+                kk = i[c, r]
+                if (kk == 0 or uniq[c, kk - 1]) and (kk == k - 1
+                                                     or uniq[c, kk]):
+                    assert t[c, r] == tex[c, kk], (c, r, kk)

@@ -92,6 +92,21 @@ def main():
                 return 1
     print("resolve kernel: Mosaic == interpreter (bitwise)", file=sys.stderr)
 
+    # textured resolve: color payload through merge + fill + route
+    tex = jnp.asarray(
+        rng2.integers(0, 1 << 24, size=(512, 200)).astype(np.int32))
+    texd = jax.device_put(tex, dev)
+    outs_m = resolve_window(yd, 128, tex=texd, monotone=False,
+                            interpret=False)
+    outs_i = resolve_window(yd, 128, tex=texd, monotone=False,
+                            interpret=True)
+    for name, a, b in zip(("idx", "alpha", "ok", "tex"), outs_m, outs_i):
+        if not np.array_equal(np.asarray(a), np.asarray(b)):
+            print(f"TPU_SMOKE_FAIL: textured resolve {name} mismatch")
+            return 1
+    print("textured resolve kernel: Mosaic == interpreter (bitwise)",
+          file=sys.stderr)
+
     # full render (exercises the resolve's butterfly route on-chip)
     img, rngs = render_panorama(dem, p, width=512, height=128, nsteps=k,
                                 cells_per_deg=1200, sampler="window",
