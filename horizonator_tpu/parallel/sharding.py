@@ -105,11 +105,10 @@ def make_sharded_renderer(mesh: Mesh, *, width, height, nsteps, cells_per_deg,
             return jax.lax.map(one, params)
         return jax.vmap(one)(params)
 
-    kw = {}
-    if sampler in ("window", "lod"):
-        # pallas_call outputs carry no varying-mesh-axes annotation yet;
-        # the wedge partition is correct by construction (disjoint columns)
-        kw = dict(check_vma=False)
+    # pallas_call bodies don't propagate varying-mesh-axes annotations
+    # (and EVERY sampler now resolves through the fused Pallas kernel);
+    # the wedge partition is correct by construction (disjoint columns)
+    kw = dict(check_vma=False)
     sharded = shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(), P("batch")),

@@ -263,6 +263,9 @@ def resolve_window(y_k, height, *, tex=None, monotone=True, interpret=None,
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((tile_w, hp), lambda wt: (wt, 0),
                             memory_space=pltpu.VMEM)
+    # NOTE: under shard_map, wrap with check_vma=False (as parallel/
+    # sharding.py does) -- pallas_call bodies don't propagate the
+    # varying-mesh-axes annotations jax 0.9's checker wants
     out_shape = jax.ShapeDtypeStruct((w_pad, hp), jnp.int32)
     call = pl.pallas_call(
         kern,

@@ -125,3 +125,11 @@ def test_sharded_window_sampler_matches_single():
     assert np.array_equal(a < 0, b < 0)
     vis = a > 0
     np.testing.assert_allclose(a[vis], b[vis], rtol=1e-5, atol=0.01)
+
+
+def test_graft_dryrun_multichip_gate():
+    """The driver's multi-chip gate, run in-suite so a renderer change that
+    breaks sharded compilation (e.g. pallas-in-shard_map vma checking,
+    regressed once) fails here instead of at round end."""
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
