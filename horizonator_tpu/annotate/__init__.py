@@ -49,7 +49,8 @@ def build_annotation_scene(image_bgr: np.ndarray, range_image: np.ndarray,
                            pois: list[Poi],
                            lat: float, lon: float,
                            az_deg0: float, az_deg1: float,
-                           ele_m: float) -> AnnotationScene:
+                           ele_m: float,
+                           curv: float = 0.0) -> AnnotationScene:
     """Assemble the drawing-primitive scene (the backend-free 90% of
     annotator.c's annotate())."""
     h, w = range_image.shape
@@ -86,7 +87,7 @@ def build_annotation_scene(image_bgr: np.ndarray, range_image: np.ndarray,
             range_image,
             [p.lat for p in pois], [p.lon for p in pois],
             [p.ele_m for p in pois],
-            lat, lon, ele_m, az_deg0, az_deg1, height_out)
+            lat, lon, ele_m, az_deg0, az_deg1, height_out, curv=curv)
         kept = [(pois[i], float(px[i]), float(py[i]))
                 for i in range(len(pois)) if keep[i]]
         if kept:
@@ -117,12 +118,12 @@ def annotate(out_filename: str, image_bgr, range_image, *,
              pois: list[Poi] | None = None,
              lat: float, lon: float,
              az_deg0: float, az_deg1: float,
-             ele_m: float) -> None:
+             ele_m: float, curv: float = 0.0) -> None:
     """Write an annotated panorama to .pdf or .svg (annotator.c:142-205
     contract: the extension picks the backend)."""
     scene = build_annotation_scene(
         np.asarray(image_bgr), np.asarray(range_image), cut_off_bottom_px,
-        pois or [], lat, lon, az_deg0, az_deg1, ele_m)
+        pois or [], lat, lon, az_deg0, az_deg1, ele_m, curv=curv)
     low = out_filename.lower()
     if low.endswith(".pdf"):
         from .pdf import write_pdf

@@ -27,7 +27,7 @@ def project_and_occlusion_test(range_image: np.ndarray,
                                poi_lat, poi_lon, poi_ele,
                                lat: float, lon: float, ele_m: float,
                                az_deg0: float, az_deg1: float,
-                               height_out: int):
+                               height_out: int, curv: float = 0.0):
     """Returns (keep mask, x, y_label) arrays over the POIs.
 
     ``y_label`` is the fuzz-adjusted crosshair row (crosshair_y + best fuzz),
@@ -45,7 +45,7 @@ def project_and_occlusion_test(range_image: np.ndarray,
     cos_lat = math.cos(math.radians(lat))
     x, y, range_have, vis = geometry.project(
         lat, cos_lat, lon, ele_m, poi_lat, poi_lon, poi_ele,
-        math.radians(az_deg0), math.radians(az_deg1), w, h)
+        math.radians(az_deg0), math.radians(az_deg1), w, h, curv=curv)
     x = np.asarray(x, np.float64)
     y = np.asarray(y, np.float64)
     range_have = np.asarray(range_have, np.float64)

@@ -50,7 +50,8 @@ class horizonator:
                  *,
                  nsteps=None, surface="bilinear", refine=True,
                  oversample=1.5, sampler="auto", device=None,
-                 texture_on_error="raise", texture_quality="grid"):
+                 texture_on_error="raise", texture_quality="grid",
+                 curvature="none"):
         if render_radius_cells < 0 and render_radius_m < 0:
             render_radius_cells = RADIUS_CELLS_DEFAULT_PY  # horizonator-pywrap.c:65,98-99
         elif render_radius_cells > 0 and render_radius_m > 0:
@@ -59,6 +60,11 @@ class horizonator:
 
         self.width = int(width)
         self.height = int(height)
+        # beyond-reference: earth-curvature/refraction correction of
+        # apparent elevations ('none' = exact reference parity)
+        self.curvature = curvature
+        self._curv = geometry.curvature_coeff(curvature)
+
         self.render_texture = bool(render_texture)
         self.surface = surface
         self.refine = bool(refine)
@@ -208,7 +214,8 @@ class horizonator:
             cos_viewer_lat=f(math.cos(math.radians(self.viewer_lat))),
             az_rad0=f(math.radians(az_deg0)), az_rad1=f(math.radians(az_deg1)),
             znear=f(znear), zfar=f(zfar),
-            znear_color=f(znear_color), zfar_color=f(zfar_color))
+            znear_color=f(znear_color), zfar_color=f(zfar_color),
+            curv=f(self._curv))
 
         nsteps = self._auto_nsteps(znear, zfar)
         sampler = self.sampler
@@ -269,7 +276,8 @@ class horizonator:
                 az_rad0=f(math.radians(az_deg0)),
                 az_rad1=f(math.radians(az_deg1)),
                 znear=f(znear), zfar=f(zfar),
-                znear_color=f(znear), zfar_color=f(zfar)))
+                znear_color=f(znear), zfar_color=f(zfar),
+                curv=f(self._curv)))
         sampler = self.sampler if self.sampler != "lod" else "window"
         imgs, rngs = _rb(self._dem, stack_params(ps),
                          width=self.width, height=self.height,
@@ -306,7 +314,8 @@ class horizonator:
             viewer_cell_i=f(ci), viewer_cell_j=f(cj), viewer_z=f(self.viewer_z),
             cos_viewer_lat=f(math.cos(math.radians(self.viewer_lat))),
             az_rad0=f(math.radians(az_deg0)), az_rad1=f(math.radians(az_deg1)),
-            znear=f(znear), zfar=f(zfar), znear_color=f(znear), zfar_color=f(zfar))
+            znear=f(znear), zfar=f(zfar), znear_color=f(znear),
+            zfar_color=f(zfar), curv=f(self._curv))
         if self.sampler == "window":
             from .render.window import march_window
             tanel, _, _, az = march_window(

@@ -36,6 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tiles", type=str, default=None, metavar="NAME=FMT")
     p.add_argument("--texture", action="store_true")
     p.add_argument("--SRTM1", action="store_true")
+    p.add_argument("--curvature", choices=["none", "spherical", "refracted"],
+                   default="none",
+                   help="correct apparent elevations for earth curvature "
+                        "(and standard atmospheric refraction); the "
+                        "reference renders on a flat tangent plane = none")
     p.add_argument("--allow-tile-downloads", action="store_true",
                    dest="allow_downloads")
     p.add_argument("--znear", type=float, default=100.0)
@@ -92,6 +97,8 @@ def main(argv=None) -> int:
             vargs += ["--SRTM1"]
         if args.texture:
             vargs += ["--texture"]
+        if args.curvature != "none":
+            vargs += ["--curvature", args.curvature]
         return viewer.main(vargs)
 
     suffix = args.image.lower()[-4:]
@@ -129,7 +136,8 @@ def main(argv=None) -> int:
                     tiles_name=tiles_name, tiles_url_fmt=tiles_url_fmt,
                     allow_downloads=args.allow_downloads,
                     render_radius_m=args.zfar,     # standalone.c:437
-                    nsteps=args.nsteps, surface=args.surface)
+                    nsteps=args.nsteps, surface=args.surface,
+                    curvature=args.curvature)
 
     image, ranges = h.render(args.az_center_deg - az_radius,
                              args.az_center_deg + az_radius,
@@ -149,7 +157,7 @@ def main(argv=None) -> int:
                  lat=h.viewer_lat, lon=h.viewer_lon,
                  az_deg0=args.az_center_deg - az_radius,
                  az_deg1=args.az_center_deg + az_radius,
-                 ele_m=h.viewer_z)
+                 ele_m=h.viewer_z, curv=h._curv)
     return 0
 
 

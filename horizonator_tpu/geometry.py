@@ -69,14 +69,38 @@ def en_to_latlon(east, north, lat_viewer, cos_lat_viewer, lon_viewer):
     return lat, lon
 
 
+EARTH_CURV_SPHERICAL = None   # filled below (needs EARTH_RADIUS_M)
+REFRACTION_K_STD = 0.13       # standard terrestrial refraction coefficient
+
+
+def curvature_coeff(mode):
+    """Apparent-elevation drop rate 1/(2 R_effective) in 1/m for
+    RenderParams.curv / project(curv=...).
+
+    'none' (or None/0): the reference's flat tangent plane -- exact parity.
+    'spherical': geometric earth curvature, 1/(2R).
+    'refracted': curvature minus standard atmospheric refraction,
+        (1 - k)/(2R) with k = 0.13 -- what terrestrial panoramas actually
+        show. A float passes through as an explicit coefficient.
+    """
+    if mode in (None, "none", 0, 0.0, False):
+        return 0.0
+    if mode == "spherical":
+        return 1.0 / (2.0 * EARTH_RADIUS_M)
+    if mode == "refracted":
+        return (1.0 - REFRACTION_K_STD) / (2.0 * EARTH_RADIUS_M)
+    return float(mode)
+
+
 def project(lat_viewer, cos_lat_viewer, lon_viewer, ele_viewer,
-            lat, lon, ele, az_rad0, az_rad1, width, height):
+            lat, lon, ele, az_rad0, az_rad1, width, height, curv=0.0):
     """Project a world point into the panorama.
 
     Returns (x, y, range_enh, visible) where ``visible`` is a bool mask for
     |az_ndc|<=1 and |el_ndc|<=1 (the reference returns false instead,
     horizonator-lib.c:1097-1155). range_enh is the 3D slant range in meters.
-    Fully vectorized: lat/lon/ele may be arrays.
+    Fully vectorized: lat/lon/ele may be arrays. ``curv`` must match the
+    render's RenderParams.curv for annotations/picks to line up.
     """
     east, north = latlon_to_en(lat, lon, lat_viewer, cos_lat_viewer, lon_viewer)
     dist_sq_ne = east * east + north * north
@@ -86,7 +110,9 @@ def project(lat_viewer, cos_lat_viewer, lon_viewer, ele_viewer,
     distance_ne = jnp.sqrt(dist_sq_ne)
     range_enh = jnp.sqrt(dist_sq_ne + h * h)
     aspect = width / height
-    el_ndc = jnp.arctan2(h, distance_ne) * aspect * az_ndc_per_rad
+    # apparent elevation: tan el = h/d - d*curv (atan2 form keeps d=0 safe)
+    el_ndc = (jnp.arctan2(h - dist_sq_ne * curv, distance_ne)
+              * aspect * az_ndc_per_rad)
     y = (-el_ndc + 1.0) / 2.0 * height - 0.5
     visible = (jnp.abs(az_ndc) <= 1.0) & (jnp.abs(el_ndc) <= 1.0)
     return x, y, range_enh, visible

@@ -125,6 +125,8 @@ def horizon_sweep(dem, params_batch: RenderParams, *, width, nsteps,
     lat_hint_deg sizes its VMEM cross-axis window -- pass the viewer
     latitude, or the kernel silently underestimates the fan above ~50 deg
     and drops valid samples."""
+    from ..parallel.sharding import broadcast_params_batch
+    params_batch = broadcast_params_batch(params_batch)
     if sampler == "window":
         from ..render.window import march_window
 

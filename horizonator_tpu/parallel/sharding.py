@@ -39,6 +39,17 @@ def stack_params(params_list) -> RenderParams:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
 
 
+def broadcast_params_batch(params: RenderParams) -> RenderParams:
+    """Broadcast scalar leaves to the batch shape so vmap/lax.map/shard_map
+    can map every leaf: a hand-built batch commonly leaves defaulted fields
+    (e.g. ``curv``) as rank-0 scalars."""
+    b = jnp.shape(jnp.asarray(params.viewer_cell_i))
+    def fix(x):
+        x = jnp.asarray(x, jnp.float32)
+        return jnp.broadcast_to(x, b) if x.ndim == 0 and len(b) else x
+    return jax.tree.map(fix, params)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "nsteps", "cells_per_deg", "surface",
@@ -57,6 +68,7 @@ def render_batch(dem, params: RenderParams, *, width, height, nsteps,
         dem, p, width=width, height=height, nsteps=nsteps,
         cells_per_deg=cells_per_deg, surface=surface, refine=refine,
         sampler=sampler, lat_hint_deg=lat_hint_deg, lod_plan=lod_plan)
+    params = broadcast_params_batch(params)
     if sampler in ("window", "lod"):
         return jax.lax.map(fn, params)
     return jax.vmap(fn)(params)
@@ -130,7 +142,7 @@ def horizon_batch(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
             dem, p, width=width, nsteps=nsteps, cells_per_deg=cells_per_deg,
             surface=surface)
         return az, jnp.max(tanel, axis=1)
-    return jax.vmap(one)(params)
+    return jax.vmap(one)(broadcast_params_batch(params))
 
 
 def make_sharded_horizon(mesh: Mesh, *, width, nsteps, cells_per_deg,
@@ -175,4 +187,4 @@ def render_path(dem, params_path: RenderParams, *, width, height, nsteps,
         dem, p, width=width, height=height, nsteps=nsteps,
         cells_per_deg=cells_per_deg, surface=surface, refine=refine,
         sampler=sampler, lat_hint_deg=lat_hint_deg, lod_plan=lod_plan)
-    return jax.lax.map(fn, params_path)
+    return jax.lax.map(fn, broadcast_params_batch(params_path))

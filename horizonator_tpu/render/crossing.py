@@ -248,7 +248,7 @@ def march_crossing(scene: CrossingScene, params: RenderParams, *,
     v = jnp.take(hv, flat)
     z0, z1 = _unpack_pair(v)
     z = z0 + (z1 - z0) * frac
-    tanel = jnp.where(valid, (z - p.viewer_z) / d, NEG_BIG)
+    tanel = jnp.where(valid, (z - p.viewer_z) / d - d * p.curv, NEG_BIG)
 
     # Near band: n_near bilinear samples over [znear, first crossing at or
     # beyond znear) -- crossings inside znear are clipped, so the band must
@@ -276,7 +276,8 @@ def march_crossing(scene: CrossingScene, params: RenderParams, *,
         zq = ztop + (zbot - ztop) * fj
         vq = ((iq >= 0) & (iq <= ni - 1) & (jq >= 0) & (jq <= j_hi_f) &
               (dq >= p.znear) & (dq <= p.zfar) & (dq < near_hi[:, None]))
-        tanel_q = jnp.where(vq, (zq - p.viewer_z) / dq, NEG_BIG)
+        tanel_q = jnp.where(vq, (zq - p.viewer_z) / dq - dq * p.curv,
+                            NEG_BIG)
         tanel = jnp.concatenate([tanel_q, tanel], axis=1)
 
     run_max = _scan_shift(tanel, jnp.maximum, NEG_BIG)

@@ -62,7 +62,7 @@ def _project_vertices(dem, params: RenderParams, *, width, height,
         p.az_rad0, p.az_rad1)
     azu = geometry.unwrap_near_rad(az, az_center)
     az_ndc = (azu - az_center) * az_ndc_per_rad
-    el = jnp.arctan2(h, d_ne)
+    el = jnp.arctan2(h - d_ne * d_ne * p.curv, d_ne)
     aspect = width / height
     el_ndc = el * az_ndc_per_rad * aspect
 

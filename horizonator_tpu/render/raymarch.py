@@ -57,6 +57,13 @@ class RenderParams(NamedTuple):
     zfar: jax.Array
     znear_color: jax.Array     # shading ramp extents, meters
     zfar_color: jax.Array
+    # Earth-curvature / refraction correction, 1/(2 R_effective) in 1/m
+    # (geometry.curvature_coeff): apparent tan(el) of a point at horizontal
+    # distance d drops by curv*d. 0 = the reference's flat tangent plane
+    # (vertex.glsl:63-88 -- its error analysis EXCLUDES curvature, ~125 m
+    # apparent-height error at its default 40 km zfar). Beyond-reference
+    # feature; default off preserves exact parity.
+    curv: jax.Array | float = 0.0
 
 
 def pack_dem_pairs(dem):
@@ -746,7 +753,7 @@ def march_tanel(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
     in_grid = ((i_pos >= 0) & (i_pos <= n - 1) &
                (j_pos >= 0) & (j_pos <= n - 1))
     z = _sample_surface(dem_packed, n, i_pos, j_pos, surface)
-    tanel = jnp.where(in_grid, (z - p.viewer_z) / dk, -3.0e38)
+    tanel = jnp.where(in_grid, (z - p.viewer_z) / dk - dk * p.curv, -3.0e38)
     run_max = _scan_shift(tanel, jnp.maximum, -3.0e38)
     return tanel, run_max, d, az
 

@@ -197,6 +197,7 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
         vz = fscal_ref[0]
         znear = fscal_ref[1]
         zfar = fscal_ref[2]
+        curv = fscal_ref[3]    # earth-curvature drop rate, 0 = flat
 
         of = o.astype(jnp.float32)
 
@@ -244,7 +245,7 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
             0, n_iter, body, tuple(zero for _ in range(n_planes)))
         z = accs[0]
 
-        tanel = jnp.where(valid, (z - vz) / dm, NEG_BIG)
+        tanel = jnp.where(valid, (z - vz) / dm - dm * curv, NEG_BIG)
         out_ref[:] = jnp.maximum(out_ref[:], tanel)
         if textured:
             # planes 1..3 are B, G, R in [0, 255]; each sample belongs to
@@ -362,7 +363,10 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
         pad = jnp.zeros((pad_cols, 8), jnp.float32)
         pad = pad.at[:, 6].set(-1.0)
         pcol = jnp.concatenate([pcol, pad], axis=0)
-    fscal = jnp.stack([p.viewer_z, p.znear, p.zfar]).astype(jnp.float32)
+    fscal = jnp.stack([jnp.asarray(p.viewer_z, jnp.float32),
+                       jnp.asarray(p.znear, jnp.float32),
+                       jnp.asarray(p.zfar, jnp.float32),
+                       jnp.asarray(p.curv, jnp.float32)])
 
     n_planes = planes.shape[0]
     out_spec = pl.BlockSpec((tile_w, TILE_K),
@@ -429,7 +433,8 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
         zq = ztop + (zbot - ztop) * fj
         vq = ((iq >= 0) & (iq <= n_real - 1) & (jq >= 0) & (jq <= n_real - 1) &
               (dq >= p.znear) & (dq <= p.zfar) & (dq < near_hi[:, None]))
-        tanel_q = jnp.where(vq, (zq - p.viewer_z) / dq, NEG_BIG)
+        tanel_q = jnp.where(vq, (zq - p.viewer_z) / dq - dq * p.curv,
+                            NEG_BIG)
         tanel = jnp.concatenate([tanel_q, tanel], axis=1)
         if textured:
             # near-band colors: bilinear on the grid color planes (tiny:

@@ -301,6 +301,9 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=400)
     p.add_argument("--dirdems", type=str, default=None)
     p.add_argument("--SRTM1", action="store_true")
+    p.add_argument("--curvature",
+                   choices=["none", "spherical", "refracted"],
+                   default="none")
     p.add_argument("--texture", action="store_true")
     p.add_argument("--dirtiles", type=str, default=None)
     p.add_argument("--allow-tile-downloads", action="store_true",
@@ -321,6 +324,7 @@ def main(argv=None) -> int:
               dir_dems=args.dirdems, dir_tiles=args.dirtiles,
               allow_downloads=args.allow_downloads,
               render_radius_m=args.zfar,
+              curvature=args.curvature,
               # per-tile failures become gray placeholders + warnings
               # (reference GUI behavior, orb_osmlayer.cpp:146-155)
               texture_on_error="placeholder")
