@@ -257,13 +257,20 @@ class horizonator:
         return tuple(out) if len(out) > 1 else out[0]
 
     def render_batch(self, az_deg0, az_deg1, lats, lons, *, ele_m=None,
-                     znear=ZNEAR_DEFAULT, zfar=ZFAR_DEFAULT):
+                     znear=ZNEAR_DEFAULT, zfar=ZFAR_DEFAULT,
+                     znear_color=-1.0, zfar_color=-1.0):
         """TPU extension: render many viewpoints in ONE dispatch.
 
         lats/lons: sequences of viewer positions (auto elevation unless
-        ele_m gives explicit elevations). Returns (images (B,H,W,3) uint8
+        ele_m gives explicit elevations). znear_color/zfar_color bound the
+        shading ramp exactly as in render() (default: the clip values,
+        horizonator-pywrap.c:194-195). Returns (images (B,H,W,3) uint8
         BGR, ranges (B,H,W) float32)."""
         from .parallel import render_batch as _rb, stack_params
+        if znear_color < 0.0:
+            znear_color = znear
+        if zfar_color < 0.0:
+            zfar_color = zfar
         f = jnp.float32
         ps = []
         for b, (la, lo) in enumerate(zip(lats, lons)):
@@ -276,7 +283,7 @@ class horizonator:
                 az_rad0=f(math.radians(az_deg0)),
                 az_rad1=f(math.radians(az_deg1)),
                 znear=f(znear), zfar=f(zfar),
-                znear_color=f(znear), zfar_color=f(zfar),
+                znear_color=f(znear_color), zfar_color=f(zfar_color),
                 curv=f(self._curv)))
         sampler = self.sampler if self.sampler != "lod" else "window"
         imgs, rngs = _rb(self._dem, stack_params(ps),

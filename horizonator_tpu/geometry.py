@@ -89,6 +89,10 @@ def curvature_coeff(mode):
         return 1.0 / (2.0 * EARTH_RADIUS_M)
     if mode == "refracted":
         return (1.0 - REFRACTION_K_STD) / (2.0 * EARTH_RADIUS_M)
+    if isinstance(mode, str):
+        raise ValueError(
+            f"unknown curvature mode {mode!r}: expected 'none', 'spherical', "
+            "'refracted', or a numeric coefficient in 1/m")
     return float(mode)
 
 

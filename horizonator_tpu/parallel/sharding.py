@@ -45,7 +45,7 @@ def broadcast_params_batch(params: RenderParams) -> RenderParams:
     (e.g. ``curv``) as rank-0 scalars."""
     b = jnp.shape(jnp.asarray(params.viewer_cell_i))
     def fix(x):
-        x = jnp.asarray(x, jnp.float32)
+        x = jnp.asarray(x)   # preserve the leaf's dtype (no forced f32 cast)
         return jnp.broadcast_to(x, b) if x.ndim == 0 and len(b) else x
     return jax.tree.map(fix, params)
 

@@ -388,7 +388,8 @@ def _resolve_rows(y_k, height, tex=None):
     whose horizon row reached at or above it; counting in row space lets
     the merge drop every payload:
 
-      pass 1 sorts ONE packed int key (row * 64 | is_threshold) -- the
+      pass 1 sorts ONE packed int key (row * _ROWQ | is_threshold,
+      _ROWQ = 256: rows quantized to 1/256 px) -- the
       threshold rows are the integers 0..H-1, ties break so that an
       exactly-equal sample counts as crossing;
       idx falls out of position arithmetic (idx = K - pos + rank, where
@@ -603,6 +604,16 @@ def _fill_forward(main, extras, fills):
 
 def _resolve_scatter(y_k, height, tex=None, monotone=True):
     """Scatter-and-fill resolve: the cheapest first-crossing search.
+
+    EXPERIMENTAL / bench-only: not wired into render_panorama. The
+    production resolve is the fused Pallas kernel (resolve_window.py);
+    the XLA fallback is _resolve_rows. This path cannot replace the
+    fallback: it needs 2*kb + hb <= 31 while the kernel only needs
+    kb + hb <= 25, so every configuration that overflows the kernel's
+    budget overflows this one harder. It is kept (and property-tested in
+    tests/test_resolve.py) as the full-precision-alpha oracle and as the
+    candidate base for a future scan-free tanel-space resolve (see
+    CLAUDE.md "known future work" item 2).
 
     Same contract as _resolve_rows (and bit-identical idx), but instead of
     merging K sample keys with H threshold keys (K+H-wide bitonic merge +

@@ -69,8 +69,17 @@ def _plan(k: int, height: int):
     return kp, hp, hb, kb, a_bits, n2
 
 
+# The kernel holds ~6 live (TILE_W, n2) int32 buffers (keys, lane iota,
+# roll temporaries, plus the textured payload); v5e VMEM is ~16 MB/core, so
+# n2 is capped at 4096 (~6.3 MB live) -- beyond that Mosaic compilation can
+# fail at render time. Oversized K/H (e.g. a user-forced huge --nsteps)
+# falls back to the XLA resolve instead of crashing in the compiler.
+_N2_MAX = 4096
+
+
 def resolve_fits(k: int, height: int) -> bool:
-    return _plan(k, height)[4] >= 5
+    plan = _plan(k, height)
+    return plan[4] >= 5 and plan[5] <= _N2_MAX
 
 
 def _resolve_kernel(y_ref, *rest, kp, k_real, h, n2, kb, a_bits, monotone,

@@ -46,9 +46,9 @@ _PAGE = """<!DOCTYPE html>
 <span id="busy"></span></div>
 <script>
 let S = null;           // view state from the server
-const map = L.map('map');
-L.tileLayer('https://tile.openstreetmap.org/{z}/{x}/{y}.png',
-            {maxZoom:18, attribution:'&copy; OSM'}).addTo(map);
+const map = L.map('map', {minZoom:__ZOOM_MIN__, maxZoom:__ZOOM_MAX__});
+L.tileLayer('__TILE_URL__',
+            {maxZoom:__ZOOM_MAX__, attribution:'&copy; OSM'}).addTo(map);
 let viewerMarker = null, pickMarker = null, demRect = null, fovLines = null;
 let gpxDrawn = false;
 
@@ -144,11 +144,30 @@ new ResizeObserver(() => {
 """
 
 
+def leaflet_tile_url(tiles_url_fmt: str | None = None) -> str:
+    """Slippy-tile URL template for the Leaflet client.
+
+    With a ``--tiles NAME=FMT`` format string, the reference's printf-style
+    ``%d/%d/%d`` placeholders (z, x, y order, horizonator.cc:448-457)
+    convert to Leaflet's ``{z}/{x}/{y}``; otherwise the
+    ``osm::tileserver`` settings.xml entry is used (the same source the
+    reference map widget reads, orb_settings.cpp:41)."""
+    if tiles_url_fmt:
+        url = tiles_url_fmt
+        for repl in ("{z}", "{x}", "{y}"):
+            url = url.replace("%d", repl, 1)
+        return url
+    from .settings import Settings
+    server = Settings().get("osm::tileserver",
+                            "https://tile.openstreetmap.org/")
+    return server.rstrip("/") + "/{z}/{x}/{y}.png"
+
+
 class ViewerState:
     """Server-side scene: one horizonator instance + camera."""
 
     def __init__(self, h, az_center, az_radius, znear, zfar, gpx=None,
-                 texture_failed=False):
+                 texture_failed=False, tiles_url_fmt=None):
         self.h = h
         self.az_center = float(az_center)
         self.az_radius = float(az_radius)
@@ -157,6 +176,14 @@ class ViewerState:
         self.gpx = gpx or []      # list of [(lat, lon), ...] polylines
         self.debug = False        # horizon-profile overlay (the 'w' key)
         self.texture_failed = bool(texture_failed)
+        # map-client config: tile URL + zoom limits from settings.xml
+        # (osm::zoommin/zoommax, orb_settings.cpp:42-43 -> the map widget's
+        # viewport clamps; here they bound the Leaflet view)
+        from .settings import Settings
+        s = Settings()
+        self.tile_url = leaflet_tile_url(tiles_url_fmt)
+        self.zoom_min = s.get("osm::zoommin", 0, type=int)
+        self.zoom_max = s.get("osm::zoommax", 18, type=int)
         self.lock = threading.Lock()
         self.png = b""
 
@@ -253,7 +280,11 @@ def make_handler(state: ViewerState):
 
         def do_GET(self):
             if self.path == "/" or self.path.startswith("/index"):
-                self._send(200, _PAGE.encode(), "text/html; charset=utf-8")
+                page = (_PAGE
+                        .replace("__TILE_URL__", state.tile_url)
+                        .replace("__ZOOM_MIN__", str(state.zoom_min))
+                        .replace("__ZOOM_MAX__", str(state.zoom_max)))
+                self._send(200, page.encode(), "text/html; charset=utf-8")
             elif self.path.startswith("/pano.png"):
                 self._send(200, state.png, "image/png")
             elif self.path.startswith("/api/state"):
@@ -306,6 +337,11 @@ def main(argv=None) -> int:
                    default="none")
     p.add_argument("--texture", action="store_true")
     p.add_argument("--dirtiles", type=str, default=None)
+    p.add_argument("--tiles", type=str, default=None, metavar="NAME=FMT",
+                   help="tile set name and printf-style URL format "
+                        "(z, x, y %%d placeholders), like the reference "
+                        "GUI's --tiles (horizonator.cc:448-457); also "
+                        "drives the slippy-map layer")
     p.add_argument("--allow-tile-downloads", action="store_true",
                    dest="allow_downloads")
     p.add_argument("--znear", type=float, default=ZNEAR_DEFAULT)
@@ -320,8 +356,15 @@ def main(argv=None) -> int:
         from .gpx import load_gpx
         gpx = load_gpx(args.gpx)
 
+    tiles_name = tiles_url_fmt = None
+    if args.tiles:
+        if "=" not in args.tiles:
+            p.error("--tiles wants NAME=FMT")
+        tiles_name, tiles_url_fmt = args.tiles.split("=", 1)
+
     kw = dict(render_texture=args.texture, SRTM1=args.SRTM1,
               dir_dems=args.dirdems, dir_tiles=args.dirtiles,
+              tiles_name=tiles_name, tiles_url_fmt=tiles_url_fmt,
               allow_downloads=args.allow_downloads,
               render_radius_m=args.zfar,
               curvature=args.curvature,
@@ -343,7 +386,8 @@ def main(argv=None) -> int:
         h = horizonator(args.lat, args.lon, args.width, args.height, **kw)
     state = ViewerState(h, args.az_center, args.az_radius,
                         args.znear, args.zfar, gpx=gpx,
-                        texture_failed=texture_failed)
+                        texture_failed=texture_failed,
+                        tiles_url_fmt=tiles_url_fmt)
     state.render({})
     serve(state, args.port)
     return 0

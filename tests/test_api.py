@@ -195,3 +195,19 @@ def test_render_batch_method(dem_dir):
     np.testing.assert_array_equal(imgs[0], img1)
     np.testing.assert_array_equal(rngs[0], rng1)
     assert not np.array_equal(imgs[0], imgs[1])
+
+
+def test_render_batch_color_ramp_kwargs(h):
+    imgs_d, rngs_d = h.render_batch(-60, 60, [34.40], [-117.45])
+    # pin the ramp to a tiny window: everything visible saturates red
+    imgs_c, rngs_c = h.render_batch(-60, 60, [34.40], [-117.45],
+                                    znear_color=1.0, zfar_color=2.0)
+    np.testing.assert_array_equal(rngs_d, rngs_c)   # ranges unaffected
+    vis = rngs_c[0] > 0
+    assert (imgs_c[0][..., 2][vis] == 255).all()
+    assert not (imgs_d[0][..., 2][vis] == 255).all()
+    # and it matches the single render with the same ramp (explicit camera:
+    # other tests in this module may have moved the shared fixture's viewer)
+    img1, _ = h.render(-60, 60, lat=34.40, lon=-117.45,
+                       znear_color=1.0, zfar_color=2.0)
+    np.testing.assert_array_equal(imgs_c[0], img1)

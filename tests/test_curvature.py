@@ -178,3 +178,10 @@ def test_api_curvature_modes(tmp_path):
     # refraction-corrected sky is a (weak) superset: terrain only drops
     assert imgs["refracted"].sum() <= imgs["none"].sum()
     assert imgs["none"].any()
+
+
+def test_unknown_mode_raises_with_valid_modes_named():
+    with pytest.raises(ValueError, match="spherical"):
+        geometry.curvature_coeff("Spherical")   # typo'd case
+    with pytest.raises(ValueError, match="refracted"):
+        geometry.curvature_coeff("bogus")

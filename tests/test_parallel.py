@@ -133,3 +133,18 @@ def test_graft_dryrun_multichip_gate():
     regressed once) fails here instead of at round end."""
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_broadcast_params_preserves_dtype_and_batched_leaves():
+    from horizonator_tpu.parallel.sharding import broadcast_params_batch
+    ps = stack_params([make_params(100.0, 100.0), make_params(110.0, 90.0)])
+    # a hand-built batch commonly leaves defaulted scalar fields rank-0;
+    # broadcasting must not force-cast other dtypes to float32
+    ps = ps._replace(curv=jnp.bfloat16(0.5))
+    fixed = broadcast_params_batch(ps)
+    assert fixed.curv.shape == (2,)
+    assert fixed.curv.dtype == jnp.bfloat16
+    # already-batched leaves pass through untouched
+    assert fixed.viewer_cell_i.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(fixed.viewer_cell_i),
+                                  np.asarray(ps.viewer_cell_i))

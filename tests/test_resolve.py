@@ -297,3 +297,14 @@ def test_resolve_window_kernel_tex_routing():
                 if (kk == 0 or uniq[c, kk - 1]) and (kk == k - 1
                                                      or uniq[c, kk]):
                     assert t[c, r] == tex[c, kk], (c, r, kk)
+
+
+def test_resolve_fits_caps_vmem_footprint():
+    from horizonator_tpu.render.resolve_window import resolve_fits, _plan
+    # headline config stays on the kernel
+    assert resolve_fits(580, 1024)
+    # a user-forced huge --nsteps (e.g. SRTM1 without LOD) must fall back to
+    # the XLA resolve instead of failing in the Mosaic compiler: the merged
+    # width n2 would need several multi-MiB VMEM buffers live at once
+    assert not resolve_fits(10240, 1024)
+    assert _plan(10240, 1024)[5] > 4096

@@ -131,3 +131,20 @@ def test_pick_endpoint(server):
     # top: sky
     j = _post(url, "/api/pick", {"x": 0.5, "y": 0.02})
     assert not j["hit"]
+
+
+def test_leaflet_tile_url_conversion():
+    from horizonator_tpu.viewer import leaflet_tile_url
+    # printf-style %d/%d/%d (z, x, y) -> Leaflet {z}/{x}/{y}
+    assert (leaflet_tile_url("https://ex.org/t/%d/%d/%d.png")
+            == "https://ex.org/t/{z}/{x}/{y}.png")
+    # default: settings.xml osm::tileserver + standard path
+    assert leaflet_tile_url(None).endswith("/{z}/{x}/{y}.png")
+
+
+def test_page_substitutes_tile_url_and_zoom_limits(server):
+    url, state = server
+    body, _ = _get(url, "/")
+    assert b"__TILE_URL__" not in body and b"__ZOOM_MAX__" not in body
+    assert state.tile_url.encode() in body
+    assert f"maxZoom:{state.zoom_max}".encode() in body
