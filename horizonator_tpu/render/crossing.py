@@ -176,6 +176,12 @@ class CrossingDists(NamedTuple):
     znear: jax.Array     # scalar
     near_hi: jax.Array   # (W,) top of the near band, max(e*scale, znear)
     n_near: int
+    # march_window only: int32 count of (tile, direction) kernel instances
+    # whose position span exceeded the static VMEM window -- nonzero means
+    # valid samples were silently masked (a wrong lat_hint_deg undersized
+    # the window) and the horizon may be lowered. 0 == all samples covered.
+    # Asserted zero in tests and the TPU smoke run.
+    dropped: jax.Array | None = None
 
     def d_of(self, idx):
         """Sample distance for (W, ...) integer sample indices."""

@@ -115,6 +115,9 @@ class LodDists(NamedTuple):
     n_near: int
     k_lo: tuple          # static per-level
     seg_len: tuple
+    # summed march_window dropped-tile counters across levels (see
+    # crossing.CrossingDists.dropped); 0 == every level's window covered
+    dropped: jax.Array | None = None
 
     def d_of(self, idx):
         q = self.n_near
@@ -155,6 +158,7 @@ def march_lod(pyramid, params: RenderParams, *, width, plan, cells_per_deg,
     es = []
     scales = []
     near_hi = None
+    dropped = jnp.int32(0)
     for si, spec in enumerate(plan):
         dem_l = pyramid[spec.level]
         p_l = _scaled_params(p, spec.level)
@@ -181,11 +185,13 @@ def march_lod(pyramid, params: RenderParams, *, width, plan, cells_per_deg,
         segs.append(seg)
         es.append(dists_l.e)
         scales.append(dists_l.scale)
+        dropped = dropped + dists_l.dropped
 
     tanel = jnp.concatenate(segs, axis=1)
     run_max = _scan_shift(tanel, jnp.maximum, NEG_BIG)
     dists = LodDists(e=jnp.stack(es), scale=jnp.stack(scales),
                      znear=p.znear, near_hi=near_hi, n_near=n_near,
                      k_lo=tuple(s.k_lo for s in plan),
-                     seg_len=tuple(s.k_len for s in plan))
+                     seg_len=tuple(s.k_len for s in plan),
+                     dropped=dropped)
     return tanel, run_max, dists, az

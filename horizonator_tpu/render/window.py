@@ -265,7 +265,11 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
     """Pallas-kernel crossing march on a raw (n, n) float32 DEM.
 
     Same contract as crossing.march_crossing: returns
-    (tanel (W, n_near+K), run_max, dists, az).
+    (tanel (W, n_near+K), run_max, dists, az). ``dists.dropped`` carries
+    the window self-guard: a nonzero count means ``lat_hint_deg``
+    undersized the static VMEM window for some (tile, direction) and valid
+    samples were masked out (tests and the TPU smoke assert it is 0 --
+    pass the real viewer latitude).
 
     color_planes: optional (3, n, n) float32 B/G/R texture colors resampled
     onto the DEM grid (texture.atlas_to_grid_colors). When given, the
@@ -322,6 +326,7 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
         dir_pad.reshape(n_wt, 1, tile_w, 1), post.shape)
     origins = []
     actives = []
+    dropped = jnp.int32(0)
     for d in range(4):
         sel = jnp.where(dir_t == d, post, jnp.inf)
         mn = jnp.min(sel, axis=(2, 3))                         # (n_wt, n_kt)
@@ -342,6 +347,14 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
         extent = jnp.clip(jnp.floor(mx_safe).astype(jnp.int32) + 2 - o,
                           0, win)
         n_iter = (extent + 3) >> 2
+        # Self-guard against an undersized static window (the silent
+        # dropped-sample failure class): the kernel masks pos <= win-1, so
+        # a tile whose true span exceeds the window loses its farthest
+        # samples. Count such tiles (same strict criterion as the mask;
+        # mx == o+win-1 exactly is still covered). Free: mx is already
+        # computed for the extent bound.
+        dropped = dropped + jnp.sum(
+            (act & (mx_safe > (o + win - 1))).astype(jnp.int32))
         origins.append(jnp.where(act, o, 0))
         actives.append(jnp.where(act, n_iter, 0))
     origins = jnp.stack(origins, axis=-1)                      # (n_wt,n_kt,4)
@@ -455,7 +468,7 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
 
     run_max = _scan_shift(tanel, jnp.maximum, NEG_BIG)
     dists = CrossingDists(e=geo.e, scale=geo.scale, znear=p.znear,
-                          near_hi=near_hi, n_near=n_near)
+                          near_hi=near_hi, n_near=n_near, dropped=dropped)
     if textured:
         return tanel, run_max, dists, geo.az, tex
     return tanel, run_max, dists, geo.az

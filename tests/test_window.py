@@ -138,3 +138,56 @@ class TestWindowKernel:
         assert im[vis][:, 1].astype(int).sum() > 0
         # sky stays pure blue
         assert np.all(im[~vis] == np.array([255, 0, 0], np.uint8))
+
+
+class TestWindowGuard:
+    """The static-VMEM-window self-guard (dists.dropped)."""
+
+    def _march(self, dem, p, width, k, hint):
+        _, rm, dists, _ = march_window(dem, p, width=width, k_cross=k,
+                                       cells_per_deg=CPD, lat_hint_deg=hint)
+        return np.asarray(rm[:, -1]), int(dists.dropped)
+
+    def test_correct_hint_drops_nothing(self):
+        dem = make_dem(256)
+        vz = float(np.asarray(dem)[127:129, 128:130].max()) + 2.0
+        p = params_for(dem, 128.3, 127.6, vz)
+        k = k_cross_for(15000.0, CPD, 34.0, n=256)
+        _, dropped = self._march(dem, p, 512, k, 34.0)
+        assert dropped == 0
+
+    def test_wrong_lat_hint_fails_loudly(self):
+        # Viewer at latitude 85 with a step budget k sized for the equator
+        # (k_cross_for(lat=0)): near the row-dominance boundary the N
+        # crossing table's t swings across [-1, 1] within the one 64-column
+        # tile centered on north (az window shifted so north is mid-tile),
+        # so far samples span ~2 * zfar/cell_n positions -- beyond the
+        # lat-0-sized window. The guard must report dropped tiles instead
+        # of silently lowering horizons. A tall ridge is planted inside the
+        # dropped position range (az ~4 deg, d ~21 km).
+        n = 512
+        dem_np = np.array(make_dem(n, rough=4.0))
+        jj, ii = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        dem_np += 2500.0 * np.exp(-((ii - 437) ** 2 + (jj - 482) ** 2)
+                                  / (2 * 6.0 ** 2)).astype(np.float32)
+        dem = jnp.asarray(dem_np)
+        vz = float(dem_np[255:257, 256:258].max()) + 2.0
+        p = params_for(dem, 256.3, 255.6, vz, az0=-168.75, az1=191.25,
+                       zfar=23000.0, lat=85.0)
+        k = k_cross_for(23000.0, CPD, 0.0, n=n)   # deliberately lat-0 budget
+        h_bad, dropped_bad = self._march(dem, p, 1024, k, 0.0)
+        assert dropped_bad > 0
+
+        # the correct hint covers everything and matches the gather oracle
+        h_good, dropped_good = self._march(dem, p, 1024, k, 85.0)
+        assert dropped_good == 0
+        _, rm_c, _, _ = march_crossing(pack_scene(dem), p, width=1024,
+                                       k_cross=k, cells_per_deg=CPD)
+        hc = np.asarray(rm_c[:, -1])
+        vis = hc > -1e30
+        assert ((hc > -1e30) == (h_good > -1e30)).all()
+        assert np.abs(hc[vis] - h_good[vis]).max() < 6e-3
+        # and the undersized window really did lower horizons: the ridge
+        # vanishes from the wrong-hint march (the failure the guard
+        # exists to catch)
+        assert (h_bad < h_good - 1e-3).any()

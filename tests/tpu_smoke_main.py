@@ -54,12 +54,16 @@ def main():
     # march: Mosaic vs interpreter, same device, must agree bitwise for the
     # horizon and everywhere for the full tanel plane
     for tile_w in (64, 16):
-        _, rm_mosaic, _, _ = march_window(
+        _, rm_mosaic, dists_m, _ = march_window(
             dem, p, width=512, k_cross=k, cells_per_deg=1200,
             lat_hint_deg=34.0, interpret=False, tile_w=tile_w)
         _, rm_interp, _, _ = march_window(
             dem, p, width=512, k_cross=k, cells_per_deg=1200,
             lat_hint_deg=34.0, interpret=True, tile_w=tile_w)
+        if int(dists_m.dropped) != 0:
+            print(f"TPU_SMOKE_FAIL: window guard reports "
+                  f"{int(dists_m.dropped)} dropped tiles (tile_w={tile_w})")
+            return 1
         a = np.asarray(rm_mosaic[:, -1])
         b = np.asarray(rm_interp[:, -1])
         vis = b > -1e30
