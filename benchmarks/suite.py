@@ -212,9 +212,28 @@ def config6(iters):
             round(sec * 1e3, 3), "unit": "ms/viewpoint"}
 
 
+def config7(iters):
+    """GIS viewshed raster: viewshed_grid on the window kernel -- one
+    800x800-cell visibility raster (full 360 deg, 20 km) per dispatch."""
+    import functools
+    import jax
+    from horizonator_tpu.ops import viewshed_grid
+    from horizonator_tpu.render.crossing import k_cross_for
+    n = 1200
+    dem = jax.device_put(synth_dem(n))
+    p = make_params(n, znear=50.0, zfar=20000.0)
+    nsteps = k_cross_for(20000.0, 1200, 34.3, n=n)
+    fn = functools.partial(viewshed_grid, width=720, nsteps=nsteps,
+                           cells_per_deg=1200, out_halfwidth=400,
+                           sampler="window", lat_hint_deg=34.3)
+    sec = timed_chain(fn, dem, p, iters=iters)
+    return {"config": 7, "metric": "viewshed_grid_800x800_window", "value":
+            round(sec * 1e3, 3), "unit": "ms/raster"}
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,3,4,5,6")
+    ap.add_argument("--configs", default="1,2,3,4,5,6,7")
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
     import jax
@@ -222,7 +241,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     log(f"device: {jax.devices()[0]}")
     fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
-           6: config6}
+           6: config6, 7: config7}
     for c in [int(x) for x in args.configs.split(",")]:
         t0 = time.perf_counter()
         out = fns[c](args.iters)

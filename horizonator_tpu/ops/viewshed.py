@@ -30,19 +30,33 @@ DEG = math.pi / 180.0
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "nsteps", "cells_per_deg", "surface"))
+    jax.jit, static_argnames=("width", "nsteps", "cells_per_deg", "surface",
+                              "sampler", "lat_hint_deg"))
 def viewshed_polar(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
-                   surface="bilinear"):
+                   surface="bilinear", sampler="step", lat_hint_deg=45.0):
     """Polar visibility field for one viewpoint.
 
-    Returns (visible (W, K) bool, tanel (W, K), d (K,), az (W,)): sample k of
+    Returns (visible (W, K) bool, tanel (W, K), d, az (W,)): sample k of
     column x is visible from the viewer iff no nearer sample in that azimuth
     reaches a higher elevation angle (strictly: tanel >= running max of
     everything before it; the first sample is always visible).
+
+    sampler: 'step' (uniform distance steps; d is (K,) shared across
+    columns), 'crossing' (supercover DDA; dem must be a CrossingScene or a
+    float32 grid), or 'window' (the gather-free Pallas kernel, the fast TPU
+    path -- pass the viewer latitude as lat_hint_deg). For the crossing
+    samplers K = n_near + nsteps and d is (W, K): per-column near-band +
+    grid-crossing distances.
     """
+    if sampler in ("crossing", "window"):
+        visible, tanel, d, az, _ = _polar_with_dists(
+            dem, params, width=width, nsteps=nsteps,
+            cells_per_deg=cells_per_deg, surface=surface, sampler=sampler,
+            lat_hint_deg=lat_hint_deg)
+        return visible, tanel, d, az
     tanel, run_max, d, az = march_tanel(
-        dem, params, width=width, nsteps=nsteps, cells_per_deg=cells_per_deg,
-        surface=surface)
+        dem, params, width=width, nsteps=nsteps,
+        cells_per_deg=cells_per_deg, surface=surface)
     prev_max = jnp.concatenate(
         [jnp.full((tanel.shape[0], 1), -3.0e38, tanel.dtype),
          run_max[:, :-1]], axis=1)
@@ -54,20 +68,32 @@ def viewshed_polar(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
 
 @functools.partial(
     jax.jit, static_argnames=("width", "nsteps", "cells_per_deg", "surface",
-                              "out_halfwidth"))
+                              "out_halfwidth", "sampler", "lat_hint_deg"))
 def viewshed_grid(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
-                  surface="bilinear", out_halfwidth=None):
+                  surface="bilinear", out_halfwidth=None, sampler="step",
+                  lat_hint_deg=45.0):
     """GIS-style visibility raster around the viewer.
 
     Evaluates the polar visibility at each output CELL's own (az, dist)
     (gather from the polar field -- scatter-free), so every cell of the
     (2*out_halfwidth)^2 window around the viewer gets a boolean.
     Cells nearer than znear or beyond zfar are False.
+
+    sampler: as in viewshed_polar; 'window' runs the gather-free Pallas
+    march (the fast TPU path -- the distance->sample-index inversion then
+    uses the per-column crossing parameterization instead of the uniform
+    step grid).
     """
     p = params
-    visible, _, _, _ = viewshed_polar(
-        dem, p, width=width, nsteps=nsteps, cells_per_deg=cells_per_deg,
-        surface=surface)
+    if sampler in ("crossing", "window"):
+        visible, tanel, _, _, dists = _polar_with_dists(
+            dem, p, width=width, nsteps=nsteps, cells_per_deg=cells_per_deg,
+            surface=surface, sampler=sampler, lat_hint_deg=lat_hint_deg)
+    else:
+        visible, _, _, _ = viewshed_polar(
+            dem, p, width=width, nsteps=nsteps, cells_per_deg=cells_per_deg,
+            surface=surface)
+        dists = None
 
     hw = out_halfwidth
     if hw is None:
@@ -88,14 +114,65 @@ def viewshed_grid(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
     x = (az_u - az_center) * az_ndc_per_rad        # ndc
     xcol = jnp.round((x + 1.0) / 2.0 * width - 0.5).astype(jnp.int32)
     in_az = (x >= -1.0) & (x <= 1.0)
-    step = (p.zfar - p.znear) / nsteps
-    kidx = jnp.round((dist - p.znear) / step - 0.5).astype(jnp.int32)
     in_r = (dist >= p.znear) & (dist <= p.zfar)
-
     xc = jnp.clip(xcol, 0, width - 1)
-    kc = jnp.clip(kidx, 0, nsteps - 1)
+
+    if dists is None:
+        step = (p.zfar - p.znear) / nsteps
+        kidx = jnp.round((dist - p.znear) / step - 0.5).astype(jnp.int32)
+        kc = jnp.clip(kidx, 0, nsteps - 1)
+    else:
+        # nearest crossing sample of the cell's own column: the march's
+        # distances are d = (m + e) * scale (plus the n_near-sample uniform
+        # near band below the first crossing). Rather than gathering the
+        # (W,) e/scale/near_hi tables per cell (TPU gathers cost per
+        # element), re-evaluate the closed-form DDA parameterization at
+        # each cell's COLUMN azimuth -- identical formulas to the march,
+        # pure VPU math. n_near comes from the static constant (the
+        # nested-jit return traces the NamedTuple's int leaf):
+        # _polar_with_dists marches with the default near-band size.
+        from ..render.crossing import N_NEAR as q, crossing_geometry_at
+        ktot = visible.shape[1]
+        az_col = az_center + ((2.0 * (xc.astype(jnp.float32) + 0.5) / width)
+                              - 1.0) / az_ndc_per_rad
+        geo_c = crossing_geometry_at(p, az_col, cells_per_deg)
+        e_x, sc_x = geo_c.e, geo_c.scale
+        m_star = jnp.maximum(jnp.ceil(p.znear / sc_x - e_x), 0.0)
+        nh_x = jnp.maximum((m_star + e_x) * sc_x, p.znear)
+        stepn = jnp.maximum(nh_x - p.znear, 1e-6) / max(q, 1)
+        k_near = jnp.clip(jnp.round((dist - p.znear) / stepn), 0,
+                          max(q - 1, 0)).astype(jnp.int32)
+        m = jnp.clip(jnp.round(dist / sc_x - e_x), 0,
+                     ktot - q - 1).astype(jnp.int32)
+        kc = jnp.where(dist < nh_x, k_near, q + m)
+
     vis = visible[xc, kc] & in_az & in_r
     return vis
+
+
+def _polar_with_dists(dem, params, *, width, nsteps, cells_per_deg, surface,
+                      sampler, lat_hint_deg):
+    """viewshed_polar for the crossing samplers, also returning the
+    CrossingDists (viewshed_grid needs the per-column distance map)."""
+    if sampler == "window":
+        from ..render.window import march_window
+        tanel, run_max, dists, az = march_window(
+            dem, params, width=width, k_cross=nsteps,
+            cells_per_deg=cells_per_deg, lat_hint_deg=lat_hint_deg)
+    else:
+        from ..render.crossing import CrossingScene, pack_scene, \
+            march_crossing
+        scene = dem if isinstance(dem, CrossingScene) else pack_scene(dem)
+        tanel, run_max, dists, az = march_crossing(
+            scene, params, width=width, k_cross=nsteps,
+            cells_per_deg=cells_per_deg)
+    prev_max = jnp.concatenate(
+        [jnp.full((tanel.shape[0], 1), -3.0e38, tanel.dtype),
+         run_max[:, :-1]], axis=1)
+    visible = (tanel >= prev_max) & (tanel > -1.0e38)
+    d = dists.d_of(jnp.broadcast_to(
+        jnp.arange(tanel.shape[1], dtype=jnp.int32)[None, :], tanel.shape))
+    return visible, tanel, d, az, dists
 
 
 def _window(p):

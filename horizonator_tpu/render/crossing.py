@@ -105,6 +105,16 @@ def crossing_geometry(params: RenderParams, *, width, cells_per_deg) -> Crossing
     x = jnp.arange(width, dtype=jnp.float32)
     az_ndc = (x + 0.5) / width * 2.0 - 1.0
     az = az_center + az_ndc / az_ndc_per_rad
+    return crossing_geometry_at(params, az, cells_per_deg)
+
+
+def crossing_geometry_at(params: RenderParams, az,
+                         cells_per_deg) -> CrossingGeom:
+    """crossing_geometry for explicit azimuths (any shape): the same
+    closed-form parameterization the march uses, evaluated anywhere --
+    e.g. viewshed_grid inverts distance -> sample index per output cell
+    with pure VPU math instead of gathering the per-column tables."""
+    p = params
 
     cell_n = geometry.EARTH_RADIUS_M * DEG / cells_per_deg
     cell_e = cell_n * p.cos_viewer_lat
