@@ -1,10 +1,12 @@
 """DEM-region sharding: mosaics larger than one chip's HBM.
 
-SURVEY.md section 5.8(c): shard the elevation grid itself across devices in
-row bands, exchanging a ONE-ROW halo -- the same overlap convention the
-reference's tile mosaic uses between adjacent .hgt files (dem.c:161-171,
-285-291) -- and combine per-band horizon contributions with a max
-all-reduce.
+SURVEY.md section 5.8(c), complete: shard the elevation grid itself across
+devices in row bands, exchanging a ONE-ROW halo -- the same overlap
+convention the reference's tile mosaic uses between adjacent .hgt files
+(dem.c:161-171, 285-291) -- and combine per-band contributions with a max
+all-reduce. Two entry points: ``make_region_sharded_horizon`` (skyline
+only) and ``make_region_sharded_renderer`` (the full (image, ranges)
+render contract, bitwise-equal to the single-device crossing render).
 
 Why this is exact: the horizon along a ray is max over samples of the
 elevation angle, and the crossing march's samples partition cleanly by the
@@ -38,7 +40,8 @@ try:
 except ImportError:                    # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-from ..render.crossing import pack_scene, march_crossing
+from ..render.crossing import pack_scene, march_crossing, NEG_BIG
+from ..render.raymarch import resolve_to_image, _scan_shift
 
 
 def make_region_sharded_horizon(mesh: Mesh, *, width, k_cross, cells_per_deg,
@@ -60,36 +63,10 @@ def make_region_sharded_horizon(mesh: Mesh, *, width, k_cross, cells_per_deg,
     w_local = width // n_az
 
     def local_fn(dem_band, params):
-        # dem_band: (nb, n) -- this device's rows [idx*nb, (idx+1)*nb)
-        nb = dem_band.shape[0]
-        idx = jax.lax.axis_index(axis)
-
-        # halo: receive the NEXT band's first row. The last band has no real
-        # row beyond the grid's north edge; it still appends a (zero) row so
-        # every device runs the same shapes, but marks it INVALID via j_hi
-        # below -- matching the unsharded march, which masks everything
-        # beyond row n-1 (rather than interpolating toward fabricated data).
-        first_row = dem_band[0:1, :]
-        perm = [(i, (i - 1) % r) for i in range(r)]
-        halo = jax.lax.ppermute(first_row, axis, perm)
-        halo = jnp.where(idx == r - 1, jnp.zeros_like(halo), halo)
-        local = jnp.concatenate([dem_band, halo], axis=0)      # (nb+1, n)
-        j_hi = jnp.where(idx == r - 1, jnp.float32(nb - 1), jnp.float32(nb))
-
-        # Rectangular local grid (nb+1 rows x n cols): march_crossing
-        # supports it directly; samples outside the band are masked by the
-        # local row bound and computed by the owning neighbor instead.
-        p_local = params._replace(
-            viewer_cell_j=params.viewer_cell_j
-            - (idx * nb).astype(jnp.float32))
-        if az_axis:
-            from .sharding import _wedge_params
-            p_local = _wedge_params(p_local, jax.lax.axis_index(az_axis),
-                                    n_az)
-        scene = pack_scene(local)
-        tanel, _, _, az = march_crossing(
-            scene, p_local, width=w_local, k_cross=k_cross,
-            cells_per_deg=cells_per_deg, j_hi=j_hi)
+        tanel, _, az, _ = _banded_march(
+            dem_band, params, width=w_local, k_cross=k_cross,
+            cells_per_deg=cells_per_deg, axis=axis, r=r, az_axis=az_axis,
+            n_az=n_az)
         h = jnp.max(tanel, axis=1)
         return az, jax.lax.pmax(h, axis)
 
@@ -98,4 +75,87 @@ def make_region_sharded_horizon(mesh: Mesh, *, width, k_cross, cells_per_deg,
         local_fn, mesh=mesh,
         in_specs=(P(axis, None), P()),
         out_specs=(out_col, out_col))
+    return jax.jit(sharded)
+
+
+def _banded_march(dem_band, params, *, width, k_cross, cells_per_deg,
+                  axis, r, az_axis, n_az):
+    """The shared band-local march: halo exchange + j-shifted crossing
+    march, returning (tanel (W_local, K) with only this band's samples
+    valid, dists, az, params-with-wedged-azimuth).
+
+    dem_band: (nb, n), this device's rows [idx*nb, (idx+1)*nb). The halo
+    is the NEXT band's first row (ppermute); the last band has no real row
+    beyond the grid's north edge, so it appends a zero row for shape
+    uniformity but marks it INVALID via march_crossing's j_hi -- matching
+    the unsharded march, which masks everything beyond row n-1 rather than
+    interpolating toward fabricated data. The viewer_cell_j shift is an
+    integer row count, so local step indices coincide with global step
+    indices and e/scale/near_hi are band-invariant."""
+    nb = dem_band.shape[0]
+    idx = jax.lax.axis_index(axis)
+
+    first_row = dem_band[0:1, :]
+    perm = [(i, (i - 1) % r) for i in range(r)]
+    halo = jax.lax.ppermute(first_row, axis, perm)
+    halo = jnp.where(idx == r - 1, jnp.zeros_like(halo), halo)
+    local = jnp.concatenate([dem_band, halo], axis=0)          # (nb+1, n)
+    j_hi = jnp.where(idx == r - 1, jnp.float32(nb - 1), jnp.float32(nb))
+
+    p_img = params
+    if az_axis:
+        from .sharding import _wedge_params
+        p_img = _wedge_params(params, jax.lax.axis_index(az_axis), n_az)
+    # global params + integer row offset (NOT a shifted viewer_cell_j): the
+    # march's geometry stays bitwise the single-device geometry; only the
+    # band-local row indexing shifts (march_crossing j_offset docstring)
+    scene = pack_scene(local)
+    tanel, _, dists, az = march_crossing(
+        scene, p_img, width=width, k_cross=k_cross,
+        cells_per_deg=cells_per_deg, j_hi=j_hi, j_offset=idx * nb)
+    return tanel, dists, az, p_img
+
+
+def make_region_sharded_renderer(mesh: Mesh, *, width, height, k_cross,
+                                 cells_per_deg, refine=True, axis="region",
+                                 az_axis=None):
+    """Region-sharded FULL panorama (SURVEY.md 5.8c complete): fn(dem
+    (n, n) f32 [n % R == 0], params) -> (image (H, W, 3) u8 BGR, ranges
+    (H, W) f32) equal to the single-device crossing render.
+
+    Each device holds one row band (+1 ppermute'd halo row, the
+    reference's tile-overlap convention dem.c:161-171, 285-291) and
+    marches only the samples whose interpolation stencil lies in its band:
+    band step indices coincide with global step indices (the j shift is an
+    integer number of rows), so the per-sample tanel arrays partition
+    exactly and ONE pmax reassembles the full march bitwise. The resolve +
+    image assembly (raymarch.resolve_to_image) then runs on the combined
+    array -- redundantly per region rank, or on 1/n_az of the columns each
+    when ``az_axis`` names a second mesh axis (memory scales with the
+    region axis, compute with the az axis).
+    """
+    r = mesh.shape[axis]
+    n_az = mesh.shape[az_axis] if az_axis else 1
+    if width % n_az:
+        raise ValueError(f"width {width} not divisible by az axis {n_az}")
+    w_local = width // n_az
+
+    def local_fn(dem_band, params):
+        tanel, dists, az, p_img = _banded_march(
+            dem_band, params, width=w_local, k_cross=k_cross,
+            cells_per_deg=cells_per_deg, axis=axis, r=r, az_axis=az_axis,
+            n_az=n_az)
+        tanel = jax.lax.pmax(tanel, axis)
+        run_max = _scan_shift(tanel, jnp.maximum, NEG_BIG)
+        return resolve_to_image(
+            tanel, run_max, dists.d_of, az, p_img, width=w_local,
+            height=height, cells_per_deg=cells_per_deg, refine=refine)
+
+    img_spec = P(None, az_axis, None) if az_axis else P(None, None, None)
+    rng_spec = P(None, az_axis) if az_axis else P(None, None)
+    sharded = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis, None), P()),
+        out_specs=(img_spec, rng_spec),
+        check_vma=False)   # pallas resolve body under shard_map
     return jax.jit(sharded)

@@ -13,8 +13,9 @@ is the TPU-native design that replaces it:
   shader exploits to cull seam triangles (geometry.glsl:21-27) -- so the only
   "collective" is the implicit all-gather of disjoint output shards;
 - both compose on a 2D ``Mesh(("batch", "az"))`` via shard_map, with the DEM
-  replicated (DEM-region sharding with halo rows is the planned follow-on for
-  mosaics larger than one chip's HBM).
+  replicated. For mosaics larger than one chip's HBM, regions.py shards the
+  DEM itself into row bands with a one-row ppermute halo (horizon AND full
+  panorama renderers).
 """
 
 from __future__ import annotations

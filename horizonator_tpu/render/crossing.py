@@ -207,7 +207,8 @@ N_NEAR = 4
 
 
 def march_crossing(scene: CrossingScene, params: RenderParams, *,
-                   width, k_cross, cells_per_deg, n_near=N_NEAR, j_hi=None):
+                   width, k_cross, cells_per_deg, n_near=N_NEAR, j_hi=None,
+                   j_offset=None):
     """The (W, n_near + K) march: near-band bilinear samples, then the grid
     crossings.
 
@@ -216,6 +217,14 @@ def march_crossing(scene: CrossingScene, params: RenderParams, *,
     physically present. Region sharding uses this to mark its appended halo
     row as sample-storage-only on the LAST band, whose halo is fabricated
     (there is no real row beyond the grid's north edge).
+
+    ``j_offset`` (traced int32 scalar, default 0): the scene's first row in
+    GLOBAL grid coordinates. The geometry is evaluated with the caller's
+    (global) viewer_cell_j and the offset is subtracted from row
+    coordinates only at indexing/masking time -- in-band f32 ``x - k``
+    with integer k and 0 <= result <= x is exact, so a row band's samples
+    are BITWISE the global march's (shifting viewer_cell_j instead
+    reassociates the f32 geometry and drifts frac by ulps).
 
     Returns (tanel, run_max, dists, az) with ``dists.d_of(idx)`` mapping
     resolve indices back to distances.
@@ -235,6 +244,16 @@ def march_crossing(scene: CrossingScene, params: RenderParams, *,
     axis_int = geo.axis0[:, None] + geo.sign[:, None] * mi       # (W, K) int
     cross = geo.a[:, None] + m * geo.t[:, None]                  # (W, K) f32
     d = (m + geo.e[:, None]) * geo.scale[:, None]                # (W, K)
+
+    if j_offset is not None:
+        offs = jnp.asarray(j_offset, jnp.int32)
+        offs_f = offs.astype(jnp.float32)
+        jd_ = geo.j_dom[:, None]
+        # row coordinates shift into band-local space: the AXIS for
+        # row-dominant columns (integer, exact), the CROSS for
+        # column-dominant ones (f32, exact in-band per the note above)
+        axis_int = axis_int - jnp.where(jd_, offs, 0)
+        cross = jnp.where(jd_, cross, cross - offs_f)
 
     jd = geo.j_dom[:, None]
     # Per-column grid extents: row-dominant columns step rows (axis bound
@@ -281,6 +300,9 @@ def march_crossing(scene: CrossingScene, params: RenderParams, *,
         cos_az = jnp.cos(geo.az)[:, None]
         iq = p.viewer_cell_i + dq * sin_az / geo.cell_m_east
         jq = p.viewer_cell_j + dq * cos_az / geo.cell_m_north
+        if j_offset is not None:
+            # same exact-in-band shift as the crossings above
+            jq = jq - jnp.asarray(j_offset, jnp.int32).astype(jnp.float32)
         i0 = jnp.clip(jnp.floor(iq), 0, ni - 2).astype(jnp.int32)
         j0 = jnp.clip(jnp.floor(jq), 0, nj - 2).astype(jnp.int32)
         fi = jnp.clip(iq - i0, 0.0, 1.0)

@@ -856,6 +856,30 @@ def render_panorama(dem, params: RenderParams, *, width, height, nsteps,
             return p.znear + (idx.astype(jnp.float32) + 0.5) * step
     else:
         raise ValueError(f"unknown sampler {sampler!r}")
+    return resolve_to_image(
+        tanel, run_max, d_of, az, p, width=width, height=height,
+        cells_per_deg=cells_per_deg, refine=refine, textured=textured,
+        atlas=atlas, atlas_params=atlas_params, tex_samples=tex_samples)
+
+
+def resolve_to_image(tanel, run_max, d_of, az, params, *, width, height,
+                     cells_per_deg, refine=True, textured=False, atlas=None,
+                     atlas_params=None, tex_samples=None):
+    """The render tail shared by render_panorama and the region-sharded
+    renderer (parallel/regions.py): first-crossing resolve in pixel-row
+    space + range conversion + image assembly.
+
+    Takes the march products -- per-sample elevation tangents ``tanel``
+    (W, K) with invalid = -big, their running max, the index->distance map
+    ``d_of``, and per-column azimuths -- and produces the reference's
+    output contract: (image (H, W, 3) u8 BGR top-row-first, ranges (H, W)
+    f32 slant meters, invisible/sky = -1; horizonator.h:155-169). Region
+    sharding reuses it on a pmax-combined tanel: row bands partition the
+    march's samples exactly (step indices are shared across bands), so the
+    combined array is bitwise the single-device march's and everything
+    downstream is unchanged.
+    """
+    p = params
     ktotal = run_max.shape[1]
 
     # Pixel-row elevation angles: top row first, square angular pixels

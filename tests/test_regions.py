@@ -112,3 +112,49 @@ def test_region_x_az_2d_mesh():
     vis = t1 > -1e30
     assert np.array_equal(t1 > -1e30, t2 > -1e30)
     np.testing.assert_allclose(t1[vis], t2[vis], rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("mesh_kw", [
+    dict(r=(4,), names=("region",), az_axis=None),
+    dict(r=(8,), names=("region",), az_axis=None),
+    dict(r=(4, 2), names=("region", "az"), az_axis="az"),
+])
+def test_region_sharded_full_panorama_matches_single(mesh_kw):
+    """The full (image, ranges) contract from a row-band-sharded DEM: the
+    pmax-combined tanel is bitwise the single-device march's, so the
+    render must match the sampler='crossing' single-device render
+    EXACTLY (same resolve on identical input)."""
+    from horizonator_tpu.parallel.regions import make_region_sharded_renderer
+    from horizonator_tpu.render import render_panorama
+
+    dem = make_dem(256, rough=6.0)
+    d_np = np.asarray(dem)
+    vz = float(d_np[127:129, 128:130].max()) + 2.0
+    p = params_for(dem, 128.3, 127.6, vz, zfar=12000.0)
+    k = k_cross_for(12000.0, CPD, 34.0, n=256)
+    width, height = 256, 96
+
+    img1, rng1 = render_panorama(dem, p, width=width, height=height,
+                                 nsteps=k, cells_per_deg=CPD,
+                                 sampler="crossing")
+
+    shape = mesh_kw["r"]
+    devs = np.array(jax.devices()[:int(np.prod(shape))]).reshape(shape)
+    mesh = Mesh(devs, mesh_kw["names"])
+    fn = make_region_sharded_renderer(mesh, width=width, height=height,
+                                      k_cross=k, cells_per_deg=CPD,
+                                      az_axis=mesh_kw["az_axis"])
+    img2, rng2 = fn(dem, p)
+    assert img2.shape == (height, width, 3)
+    if mesh_kw["az_axis"] is None:
+        # identical resolve input -> bitwise identical outputs
+        np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+        np.testing.assert_array_equal(np.asarray(rng1), np.asarray(rng2))
+    else:
+        # wedge-local azimuth arithmetic reassociates in f32 (same
+        # tolerance as test_parallel's az-wedge renderer)
+        r_s, r_1 = np.asarray(rng2), np.asarray(rng1)
+        vis_agree = (r_s > 0) == (r_1 > 0)
+        assert (~vis_agree).mean() < 0.002
+        np.testing.assert_allclose(r_s[vis_agree], r_1[vis_agree],
+                                   rtol=5e-3, atol=1.0)
