@@ -231,9 +231,38 @@ def config7(iters):
             round(sec * 1e3, 3), "unit": "ms/raster"}
 
 
+def config8(iters):
+    """Textured fly-through: config 4's 60-frame path with the in-kernel
+    texture (batch-path texture parity -- the reference textures every
+    render call, horizonator-pywrap.c:175-182)."""
+    import functools
+    import jax, jax.numpy as jnp
+    from horizonator_tpu.parallel import render_path, stack_params
+    from horizonator_tpu.render.crossing import k_cross_for
+    n = 3400
+    dem = jax.device_put(synth_dem(n))
+    k = k_cross_for(40000.0, 1200, 34.3, n=n)
+    rng = np.random.default_rng(3)
+    colors = jax.device_put(jnp.asarray(
+        rng.integers(0, 255, (3, n, n)).astype(np.float32)))
+    frames = stack_params(
+        [make_params(n, az0=-60 + 0.5 * i, az1=60 + 0.5 * i, zfar=40000.0)
+         ._replace(viewer_cell_i=jnp.float32(1700 + 3 * i),
+                   viewer_cell_j=jnp.float32(1700 + 2 * i))
+         for i in range(60)])
+    fn = functools.partial(render_path, width=1920, height=480, nsteps=k,
+                           cells_per_deg=1200, sampler="window",
+                           lat_hint_deg=34.3, textured=True)
+    sec = timed(lambda dem, colors, ps: fn(dem, ps, color_planes=colors),
+                dem, colors, frames, iters=iters)
+    fps = 60 / sec
+    return {"config": 8, "metric": "flythrough_textured_1920x480_fps",
+            "value": round(fps, 1), "unit": "fps"}
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,3,4,5,6,7")
+    ap.add_argument("--configs", default="1,2,3,4,5,6,7,8")
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
     import jax
@@ -241,7 +270,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     log(f"device: {jax.devices()[0]}")
     fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
-           6: config6, 7: config7}
+           6: config6, 7: config7, 8: config8}
     for c in [int(x) for x in args.configs.split(",")]:
         t0 = time.perf_counter()
         out = fns[c](args.iters)

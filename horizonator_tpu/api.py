@@ -256,16 +256,46 @@ class horizonator:
             out.append(ranges_np)
         return tuple(out) if len(out) > 1 else out[0]
 
+    def _batch_render_plan(self, znear, zfar):
+        """(dem, sampler, nsteps, lod_plan) for a batch/path render: the
+        same auto-LOD switch render() performs at long clip ranges (a
+        300 km SRTM1 batch must not compile the flat march)."""
+        nsteps = self._auto_nsteps(znear, zfar)
+        sampler = self.sampler if self.sampler != "lod" else "window"
+        dem = self._dem
+        lod_plan = None
+        if sampler == "window" and nsteps > 1536:
+            from .render.lod import lod_plan as _mk_plan, build_pyramid
+            lod_plan = _mk_plan(zfar, self.width, self.mosaic.cells_per_deg,
+                                self.viewer_lat, self.mosaic.grid.shape[0])
+            nlev = 1 + max(s.level for s in lod_plan)
+            if self._pyramid is None or len(self._pyramid) < nlev:
+                self._pyramid = tuple(
+                    jax.device_put(x)
+                    for x in build_pyramid(self._dem, nlev))
+            dem = self._pyramid
+            sampler = "lod"
+        return dem, sampler, nsteps, lod_plan
+
     def render_batch(self, az_deg0, az_deg1, lats, lons, *, ele_m=None,
                      znear=ZNEAR_DEFAULT, zfar=ZFAR_DEFAULT,
-                     znear_color=-1.0, zfar_color=-1.0):
+                     znear_color=-1.0, zfar_color=-1.0, mesh=None):
         """TPU extension: render many viewpoints in ONE dispatch.
 
         lats/lons: sequences of viewer positions (auto elevation unless
         ele_m gives explicit elevations). znear_color/zfar_color bound the
         shading ramp exactly as in render() (default: the clip values,
-        horizonator-pywrap.c:194-195). Returns (images (B,H,W,3) uint8
-        BGR, ranges (B,H,W) float32)."""
+        horizonator-pywrap.c:194-195). Textured instances texture every
+        batch element (reference render() parity). Long clip ranges switch
+        to the LOD march exactly as render() does.
+
+        ``mesh``: multi-chip dispatch. Pass a jax.sharding.Mesh with a
+        "batch" axis (and optionally an "az" axis -- image columns then
+        shard into azimuth wedges), or "auto" to put every visible device
+        on the batch axis. The viewpoint list is padded to a multiple of
+        the batch axis and sliced back.
+
+        Returns (images (B,H,W,3) uint8 BGR, ranges (B,H,W) float32)."""
         from .parallel import render_batch as _rb, stack_params
         if znear_color < 0.0:
             znear_color = znear
@@ -285,14 +315,35 @@ class horizonator:
                 znear=f(znear), zfar=f(zfar),
                 znear_color=f(znear_color), zfar_color=f(zfar_color),
                 curv=f(self._curv)))
-        sampler = self.sampler if self.sampler != "lod" else "window"
-        imgs, rngs = _rb(self._dem, stack_params(ps),
-                         width=self.width, height=self.height,
-                         nsteps=self._auto_nsteps(znear, zfar),
-                         cells_per_deg=self.mosaic.cells_per_deg,
-                         surface=self.surface, refine=self.refine,
-                         sampler=sampler, lat_hint_deg=self._lat_hint())
-        return np.asarray(imgs), np.asarray(rngs)
+        dem, sampler, nsteps, lod_plan = self._batch_render_plan(znear, zfar)
+        textured = self.render_texture and self._color_planes is not None
+        kw = dict(width=self.width, height=self.height, nsteps=nsteps,
+                  cells_per_deg=self.mosaic.cells_per_deg,
+                  surface=self.surface, refine=self.refine,
+                  sampler=sampler, lat_hint_deg=self._lat_hint(),
+                  lod_plan=lod_plan, textured=textured)
+        cp = self._color_planes if textured else None
+
+        if mesh is None:
+            imgs, rngs = _rb(dem, stack_params(ps), color_planes=cp, **kw)
+            return np.asarray(imgs), np.asarray(rngs)
+
+        # multi-chip: batch axis (+ optional azimuth wedges) via shard_map
+        from jax.sharding import Mesh
+        from .parallel import make_sharded_renderer
+        if mesh == "auto":
+            devs = np.array(jax.devices()).reshape(-1, 1)
+            mesh = Mesh(devs, ("batch", "az"))
+        elif "az" not in mesh.shape:
+            # a batch-only mesh: add a size-1 wedge axis
+            mesh = Mesh(mesh.devices.reshape(-1, 1), ("batch", "az"))
+        n_batch = mesh.shape["batch"]
+        b_real = len(ps)
+        while len(ps) % n_batch:
+            ps.append(ps[-1])       # pad: repeat the last viewpoint
+        fn = make_sharded_renderer(mesh, **kw)
+        imgs, rngs = fn(dem, stack_params(ps), color_planes=cp)
+        return (np.asarray(imgs)[:b_real], np.asarray(rngs)[:b_real])
 
     def pick(self, x, y):
         """Pixel of the LAST render -> (lat, lon), or None for sky

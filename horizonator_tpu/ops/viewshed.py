@@ -233,7 +233,7 @@ def horizon_sweep(dem, params_batch: RenderParams, *, width, nsteps,
 def viewshed_sweep(dem, viewpoints_ij, *, viewer_height_m=2.0, width=256,
                    nsteps=None, cells_per_deg=1200, znear=50.0, zfar=20000.0,
                    cos_viewer_lat=1.0, batch=256, surface="bilinear",
-                   sampler="crossing", lat_deg=None):
+                   sampler="crossing", lat_deg=None, mesh=None):
     """Sweep many viewpoints over a DEM region (host-side driver).
 
     viewpoints_ij: (N, 2) float cell coords. Renders in fixed-size batches to
@@ -241,6 +241,12 @@ def viewshed_sweep(dem, viewpoints_ij, *, viewer_height_m=2.0, width=256,
     Viewer elevation = terrain + viewer_height_m (sampled bilinearly).
     Default sampler 'crossing' (the fast path); 'step' for the uniform-step
     oracle (surface= applies there).
+
+    ``mesh``: a jax.sharding.Mesh with a "batch" axis -- each dispatch's
+    viewpoint batch shards across its devices (the config-5 10k-viewpoint
+    sweep scaled over a pod slice). ``batch`` must be a multiple of the
+    axis size; the DEM replicates (shard it separately with
+    parallel.regions when it exceeds one chip's HBM).
     """
     import numpy as np
 
@@ -265,6 +271,25 @@ def viewshed_sweep(dem, viewpoints_ij, *, viewer_height_m=2.0, width=256,
     elif nsteps is None:
         nsteps = 512
 
+    sweep = functools.partial(
+        horizon_sweep, width=width, nsteps=nsteps,
+        cells_per_deg=cells_per_deg, surface=surface, sampler=sampler,
+        lat_hint_deg=lat_hint_deg)
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map          # jax >= 0.8
+        except ImportError:                    # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+        if batch % mesh.shape["batch"]:
+            raise ValueError(
+                f"batch {batch} not divisible by mesh batch axis "
+                f"{mesh.shape['batch']}")
+        sweep = jax.jit(shard_map(
+            sweep, mesh=mesh, in_specs=(P(), P("batch")),
+            out_specs=P("batch"),
+            check_vma=False))   # pallas window kernel under shard_map
+
     f = jnp.float32
     outs = []
     nview = pts.shape[0]
@@ -284,8 +309,6 @@ def viewshed_sweep(dem, viewpoints_ij, *, viewer_height_m=2.0, width=256,
             zfar=jnp.full((batch,), zfar, jnp.float32),
             znear_color=jnp.full((batch,), znear, jnp.float32),
             zfar_color=jnp.full((batch,), zfar, jnp.float32))
-        outs.append(horizon_sweep(dem_packed, params, width=width,
-                                  nsteps=nsteps, cells_per_deg=cells_per_deg,
-                                  surface=surface, sampler=sampler,
-                                  lat_hint_deg=lat_hint_deg))
+        from ..parallel.sharding import broadcast_params_batch
+        outs.append(sweep(dem_packed, broadcast_params_batch(params)))
     return jnp.concatenate(outs, axis=0)[:nview]

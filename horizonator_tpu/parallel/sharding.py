@@ -54,21 +54,27 @@ def broadcast_params_batch(params: RenderParams) -> RenderParams:
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "nsteps", "cells_per_deg", "surface",
-                     "refine", "sampler", "lat_hint_deg", "lod_plan"))
+                     "refine", "sampler", "lat_hint_deg", "lod_plan",
+                     "textured"))
 def render_batch(dem, params: RenderParams, *, width, height, nsteps,
                  cells_per_deg, surface="bilinear", refine=True,
-                 sampler="step", lat_hint_deg=45.0, lod_plan=None):
+                 sampler="step", lat_hint_deg=45.0, lod_plan=None,
+                 textured=False, color_planes=None):
     """Single-device batch render over a stacked RenderParams batch.
     Returns (images (B,H,W,3) u8, ranges (B,H,W) f32).
 
     The 'step'/'crossing' samplers batch with vmap; the Pallas-kernel
     samplers ('window', 'lod') run the batch as one fused sequential loop
     (lax.map) -- one dispatch either way, so per-viewpoint host latency is
-    amortized identically."""
+    amortized identically. ``textured``/``color_planes``: the in-kernel
+    texture path (window sampler), shared by every viewpoint in the batch
+    -- the reference textures every .render() call
+    (horizonator-pywrap.c:175-182), so batches must too."""
     fn = lambda p: render_panorama(
         dem, p, width=width, height=height, nsteps=nsteps,
         cells_per_deg=cells_per_deg, surface=surface, refine=refine,
-        sampler=sampler, lat_hint_deg=lat_hint_deg, lod_plan=lod_plan)
+        sampler=sampler, lat_hint_deg=lat_hint_deg, lod_plan=lod_plan,
+        textured=textured, color_planes=color_planes)
     params = broadcast_params_batch(params)
     if sampler in ("window", "lod"):
         return jax.lax.map(fn, params)
@@ -91,7 +97,7 @@ def _wedge_params(p: RenderParams, az_idx, n_az: int) -> RenderParams:
 
 def make_sharded_renderer(mesh: Mesh, *, width, height, nsteps, cells_per_deg,
                           surface="bilinear", refine=True, sampler="step",
-                          lat_hint_deg=45.0):
+                          lat_hint_deg=45.0, lod_plan=None, textured=False):
     """Build the multi-chip renderer over mesh axes ("batch", "az").
 
     Returns a jitted fn(dem, params_batch) -> (images (B,H,W,3), ranges
@@ -104,7 +110,7 @@ def make_sharded_renderer(mesh: Mesh, *, width, height, nsteps, cells_per_deg,
         raise ValueError(f"width {width} not divisible by az axis {n_az}")
     w_local = width // n_az
 
-    def local_fn(dem, params):
+    def local_fn(dem, color_planes, params):
         az_idx = jax.lax.axis_index("az")
 
         def one(p):
@@ -112,7 +118,9 @@ def make_sharded_renderer(mesh: Mesh, *, width, height, nsteps, cells_per_deg,
                 dem, _wedge_params(p, az_idx, n_az),
                 width=w_local, height=height, nsteps=nsteps,
                 cells_per_deg=cells_per_deg, surface=surface, refine=refine,
-                sampler=sampler, lat_hint_deg=lat_hint_deg)
+                sampler=sampler, lat_hint_deg=lat_hint_deg,
+                lod_plan=lod_plan, textured=textured,
+                color_planes=color_planes)
 
         if sampler in ("window", "lod"):
             return jax.lax.map(one, params)
@@ -124,10 +132,14 @@ def make_sharded_renderer(mesh: Mesh, *, width, height, nsteps, cells_per_deg,
     kw = dict(check_vma=False)
     sharded = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(), P("batch")),
+        in_specs=(P(), P(), P("batch")),
         out_specs=(P("batch", None, "az", None), P("batch", None, "az")),
         **kw)
-    return jax.jit(sharded)
+    jitted = jax.jit(sharded)
+
+    def call(dem, params, color_planes=None):
+        return jitted(dem, color_planes, params)
+    return call
 
 
 @functools.partial(
@@ -176,16 +188,20 @@ def make_sharded_horizon(mesh: Mesh, *, width, nsteps, cells_per_deg,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "nsteps", "cells_per_deg", "surface",
-                     "refine", "sampler", "lat_hint_deg", "lod_plan"))
+                     "refine", "sampler", "lat_hint_deg", "lod_plan",
+                     "textured"))
 def render_path(dem, params_path: RenderParams, *, width, height, nsteps,
                 cells_per_deg, surface="bilinear", refine=True,
-                sampler="step", lat_hint_deg=45.0, lod_plan=None):
+                sampler="step", lat_hint_deg=45.0, lod_plan=None,
+                textured=False, color_planes=None):
     """Fly-through: render a whole camera path in ONE dispatch via lax.map,
     avoiding per-frame host->device latency (SURVEY.md §7 'interactivity
     economics'). params_path: stacked RenderParams with leading axis =
-    frames. Returns (images (F,H,W,3), ranges (F,H,W))."""
+    frames. Returns (images (F,H,W,3), ranges (F,H,W)).
+    ``textured``/``color_planes``: in-kernel texture, as in render_batch."""
     fn = lambda p: render_panorama(
         dem, p, width=width, height=height, nsteps=nsteps,
         cells_per_deg=cells_per_deg, surface=surface, refine=refine,
-        sampler=sampler, lat_hint_deg=lat_hint_deg, lod_plan=lod_plan)
+        sampler=sampler, lat_hint_deg=lat_hint_deg, lod_plan=lod_plan,
+        textured=textured, color_planes=color_planes)
     return jax.lax.map(fn, broadcast_params_batch(params_path))

@@ -211,3 +211,38 @@ def test_render_batch_color_ramp_kwargs(h):
     img1, _ = h.render(-60, 60, lat=34.40, lon=-117.45,
                        znear_color=1.0, zfar_color=2.0)
     np.testing.assert_array_equal(imgs_c[0], img1)
+
+
+def test_render_batch_multichip_through_api(dem_dir):
+    """VERDICT round-2 item 3: multi-chip reachable from the public API
+    alone -- an 8-virtual-device mesh through horizonator.render_batch."""
+    import jax
+    from jax.sharding import Mesh
+    from horizonator_tpu.api import horizonator
+    h = horizonator(34.40, -117.45, 128, 64, dir_dems=dem_dir,
+                    render_radius_m=20000.0)
+    lats = [34.40, 34.42, 34.44]
+    lons = [-117.45, -117.44, -117.43]
+    imgs1, rngs1 = h.render_batch(-60, 60, lats, lons, zfar=20000.0)
+
+    # "auto": every device on the batch axis; 3 viewpoints pad to 8
+    imgs_a, rngs_a = h.render_batch(-60, 60, lats, lons, zfar=20000.0,
+                                    mesh="auto")
+    assert imgs_a.shape == imgs1.shape
+    np.testing.assert_array_equal(imgs_a, imgs1)
+    np.testing.assert_array_equal(rngs_a, rngs1)
+
+    # explicit 2x4 batch x az mesh: wedge-local f32 tolerance
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("batch", "az"))
+    imgs_m, rngs_m = h.render_batch(-60, 60, lats, lons, zfar=20000.0,
+                                    mesh=mesh)
+    vis_agree = (rngs_m > 0) == (rngs1 > 0)
+    assert (~vis_agree).mean() < 0.002
+    np.testing.assert_allclose(rngs_m[vis_agree], rngs1[vis_agree],
+                               rtol=5e-3, atol=1.0)
+
+    # batch-only mesh gets a size-1 wedge axis added
+    mesh_b = Mesh(np.array(jax.devices()[:4]), ("batch",))
+    imgs_b, _ = h.render_batch(-60, 60, lats, lons, zfar=20000.0,
+                               mesh=mesh_b)
+    np.testing.assert_array_equal(imgs_b, imgs1)

@@ -39,3 +39,21 @@ def test_short_range_stays_on_window(srtm1_dir):
     img, rng = h.render(0, 90, zfar=20000.0)
     assert h._pyramid is None          # LOD not triggered
     assert (rng > 0).any()
+
+
+def test_render_batch_auto_lod(srtm1_dir):
+    """A long-clip BATCH through the public API must take the same LOD
+    switch as the single render (it previously compiled the flat march)."""
+    from horizonator_tpu.api import horizonator
+    h = horizonator(34.05, -117.95, 128, 64, SRTM1=True, dir_dems=srtm1_dir,
+                    render_radius_m=150000.0)
+    dem, sampler, nsteps, plan = h._batch_render_plan(100.0, 150000.0)
+    assert sampler == "lod" and plan is not None
+    imgs, rngs = h.render_batch(10, 80, [34.05, 34.06], [-117.95, -117.94],
+                                zfar=150000.0)
+    assert imgs.shape == (2, 64, 128, 3)
+    # element 0 equals the single render from the same spot
+    img1, rng1 = h.render(10, 80, lat=34.05, lon=-117.95, zfar=150000.0)
+    np.testing.assert_array_equal(imgs[0], img1)
+    np.testing.assert_array_equal(rngs[0], rng1)
+    assert rngs.max() > 50000.0

@@ -148,3 +148,51 @@ def test_broadcast_params_preserves_dtype_and_batched_leaves():
     assert fixed.viewer_cell_i.dtype == jnp.float32
     np.testing.assert_array_equal(np.asarray(fixed.viewer_cell_i),
                                   np.asarray(ps.viewer_cell_i))
+
+
+def test_render_path_textured():
+    """Fly-throughs carry the in-kernel texture (reference .render()
+    textures every call; batches/paths must too)."""
+    from tests.test_crossing import make_dem as make_dem_c, params_for
+    from horizonator_tpu.render.crossing import k_cross_for
+    dem = make_dem_c(256, rough=4.0)
+    d = np.asarray(dem)
+    vz = float(d[127:129, 128:130].max()) + 5.0
+    k = k_cross_for(8000.0, 1200, 34.0, n=256)
+    rng = np.random.default_rng(11)
+    colors = jnp.asarray(rng.integers(0, 255, (3, 256, 256))
+                         .astype(np.float32))
+    frames = stack_params([params_for(dem, 128.3 + i, 127.6, vz, az0=-60,
+                                      az1=60, zfar=8000.0) for i in range(3)])
+    imgs, rngs = render_path(dem, frames, width=128, height=64, nsteps=k,
+                             cells_per_deg=1200, sampler="window",
+                             lat_hint_deg=34.0, textured=True,
+                             color_planes=colors)
+    assert imgs.shape == (3, 64, 128, 3)
+    img1, _ = render_panorama(
+        dem, jax.tree.map(lambda x: x[0], frames), width=128, height=64,
+        nsteps=k, cells_per_deg=1200, sampler="window", lat_hint_deg=34.0,
+        textured=True, color_planes=colors)
+    np.testing.assert_array_equal(np.asarray(imgs[0]), np.asarray(img1))
+    # textured pixels differ from the untextured render
+    imgs_u, _ = render_path(dem, frames, width=128, height=64, nsteps=k,
+                            cells_per_deg=1200, sampler="window",
+                            lat_hint_deg=34.0)
+    assert not np.array_equal(np.asarray(imgs[0]), np.asarray(imgs_u[0]))
+
+
+def test_viewshed_sweep_mesh_matches_single():
+    from jax.sharding import Mesh
+    from horizonator_tpu.ops import viewshed_sweep
+    from tests.test_crossing import make_dem as make_dem_c
+    dem = make_dem_c(192, rough=4.0)
+    pts = np.stack(np.meshgrid(np.linspace(60, 130, 4),
+                               np.linspace(60, 130, 4)), -1).reshape(-1, 2)
+    h1 = np.asarray(viewshed_sweep(dem, pts, width=128, zfar=8000.0,
+                                   batch=16, cos_viewer_lat=0.83,
+                                   sampler="window"))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("batch",))
+    h8 = np.asarray(viewshed_sweep(dem, pts, width=128, zfar=8000.0,
+                                   batch=16, cos_viewer_lat=0.83,
+                                   sampler="window", mesh=mesh))
+    np.testing.assert_array_equal(h1, h8)
