@@ -187,11 +187,13 @@ def config5(iters):
             "viewpoints_per_sec": round(B / sec)}
 
 
-def config6(iters):
+def config6(iters, scale=2):
     """Textured headline: 4096x1024, 3x3 mosaic, in-kernel texture sampling
-    (colors on the DEM grid ride the march kernel's VMEM windows; the
-    resolve routes each pixel's winning sample color -- zero atlas gathers
-    per frame)."""
+    (colors ride the march kernel's VMEM windows; the resolve routes each
+    pixel's winning sample color -- zero atlas gathers per frame). Default
+    scale=2: HALF-CELL color planes (~46 m at SRTM3, the z12 fidelity
+    class the reference textures at); scale=1 is the cell-resolution
+    round-2 path for comparison."""
     import functools
     import jax, jax.numpy as jnp
     from horizonator_tpu.render.raymarch import render_panorama
@@ -201,14 +203,20 @@ def config6(iters):
     p = make_params(n)
     k = k_cross_for(40000.0, 1200, 34.3, n=n)
     rng = np.random.default_rng(3)
-    colors = jax.device_put(jnp.asarray(
-        rng.integers(0, 255, (3, n, n)).astype(np.float32)))
+    colors = jnp.asarray(
+        rng.integers(0, 255, (3, scale * n, scale * n)).astype(np.float32))
+    if scale == 2:
+        from horizonator_tpu.render.texture import prepare_color_planes
+        colors = prepare_color_planes(colors)   # per-scene, like the API
+    colors = jax.tree.map(jax.device_put, colors)
     fn = functools.partial(render_panorama, width=4096, height=1024,
                            nsteps=k, cells_per_deg=1200, sampler="window",
                            lat_hint_deg=34.3, textured=True)
     sec = timed_chain(lambda dem, colors, p: fn(dem, p, color_planes=colors),
                       dem, colors, p, iters=iters)
-    return {"config": 6, "metric": "pano_4096x1024_3x3_textured", "value":
+    name = "pano_4096x1024_3x3_textured" + ("_halfcell" if scale == 2
+                                            else "_cellres")
+    return {"config": 6, "metric": name, "value":
             round(sec * 1e3, 3), "unit": "ms/viewpoint"}
 
 

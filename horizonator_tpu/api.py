@@ -50,7 +50,7 @@ class horizonator:
                  *,
                  nsteps=None, surface="bilinear", refine=True,
                  oversample=1.5, sampler="auto", device=None,
-                 texture_on_error="raise", texture_quality="grid",
+                 texture_on_error="raise", texture_quality="grid2x",
                  curvature="none"):
         if render_radius_cells < 0 and render_radius_m < 0:
             render_radius_cells = RADIUS_CELLS_DEFAULT_PY  # horizonator-pywrap.c:65,98-99
@@ -118,15 +118,30 @@ class horizonator:
             self._atlas = jax.device_put(pack_atlas(jnp.asarray(atlas)),
                                          device)
             self._atlas_params = ap
-            if texture_quality == "grid" and self.sampler == "window":
+            if texture_quality in ("grid", "grid2x") and \
+                    self.sampler == "window":
                 # fast textured path: colors resampled onto the DEM grid
                 # once, then sampled IN the march kernel (zero atlas
-                # gathers per frame; texture res = DEM cell).
-                # texture_quality="exact" keeps full-z12 per-pixel gathers.
-                self._color_planes = jax.device_put(
-                    atlas_to_grid_colors(self._atlas, ap,
-                                         self.mosaic.grid.shape[0],
-                                         self.mosaic.cells_per_deg), device)
+                # gathers per frame). "grid2x" (default) resamples at
+                # HALF-CELL resolution (~46 m at SRTM3 -- the z12
+                # fidelity class the reference renders, ~38 m/texel,
+                # horizonator-lib.c:25-27); "grid" keeps cell-resolution
+                # planes (~92 m, half the table bytes);
+                # texture_quality="exact" keeps full-z12 per-pixel
+                # gathers (slow: ~40x over budget; fidelity oracle only).
+                scale = 2 if texture_quality == "grid2x" else 1
+                planes = atlas_to_grid_colors(self._atlas, ap,
+                                              self.mosaic.grid.shape[0],
+                                              self.mosaic.cells_per_deg,
+                                              scale=scale)
+                if scale == 2:
+                    # camera-independent prestride/transpose once per
+                    # scene (texture.ColorPlanes2x): measured ~5 ms/frame
+                    # if left to render time
+                    from .render.texture import prepare_color_planes
+                    planes = prepare_color_planes(planes)
+                self._color_planes = jax.tree.map(
+                    lambda x: jax.device_put(x, device), planes)
 
         self.viewer_lat = float(lat)
         self.viewer_lon = float(lon)

@@ -71,22 +71,17 @@ def _project_vertices(dem, params: RenderParams, *, width, height,
     return x, y, rng, d_ne, az_ndc
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("width", "height", "cells_per_deg", "max_bbox"))
-def render_mesh(dem, params: RenderParams, *, width, height, cells_per_deg,
-                max_bbox=12):
-    """Rasterize the reference's terrain mesh. Returns (image, ranges,
-    overflow_count); image/ranges use the same conventions as
-    render_panorama (BGR u8 sky-blue / f32 slant meters, invisible -1)."""
+@functools.partial(jax.jit, static_argnames=("width", "height",
+                                             "cells_per_deg"))
+def _mesh_triangles(dem, params: RenderParams, *, width, height,
+                    cells_per_deg):
+    """Project + assemble the reference mesh's triangles. Returns (tx, ty,
+    trng, tdne) each (T, 3) plus keep (T,) -- the seam/clip culls applied,
+    bbox culls NOT (the rasterizers own those)."""
     p = params
-    n = dem.shape[0]
     x, y, rng, d_ne, az_ndc = _project_vertices(
         dem, params, width=width, height=height, cells_per_deg=cells_per_deg)
 
-    # Vertex ids of the two triangles per cell, diagonal (i,j)->(i+1,j+1)
-    # (horizonator-lib.c:496-507): lower (v00, v10, v11), upper (v00, v11,
-    # v01), with v_ab = vertex at (j+a, i+b).
     def corners(arr):
         a00 = arr[:-1, :-1].ravel()
         a10 = arr[:-1, 1:].ravel()
@@ -101,32 +96,30 @@ def render_mesh(dem, params: RenderParams, *, width, height, cells_per_deg,
         upper = jnp.stack([a00, a11, a01], axis=1)
         tris.append(jnp.concatenate([lower, upper], axis=0))   # (T, 3)
     tx, ty, trng, tdne, tazn = tris
-    t_count = tx.shape[0]
 
-    # Culls -- all per reference semantics:
-    #   seam: max-min az_ndc > 0.5 (a quarter of the 2-wide ndc viewport,
-    #         geometry.glsl:21-27);
-    #   clip: any vertex nearer znear or farther zfar in horizontal
-    #         distance (vertex.glsl clips via gl depth outside [0,1]).
     span = tazn.max(axis=1) - tazn.min(axis=1)
     keep = (span <= 0.5)
     keep &= (tdne.min(axis=1) <= p.zfar) & (tdne.max(axis=1) >= p.znear)
-    keep &= (tdne.max(axis=1) > p.znear)   # fully-inside-znear dropped
+    keep &= (tdne.max(axis=1) > p.znear)
+    return tx, ty, trng, tdne, keep
 
-    # Bounding boxes, clamped to the viewport.
+
+def _raster_pass(tx, ty, trng, tdne, keep, zbuf_in, *, max_bbox, width,
+                 height, znear, zfar, dbuf_in=None):
+    """Scatter one triangle subset into the z-buffer (pass 1,
+    dbuf_in=None) or, given the FINAL zbuf, scatter the d_ne color buffer
+    among exact-depth winners (pass 2). Shared fragment math for
+    render_mesh and the tiled driver."""
+    t_count = tx.shape[0]
     x0 = jnp.floor(tx.min(axis=1)).astype(jnp.int32)
     x1 = jnp.ceil(tx.max(axis=1)).astype(jnp.int32)
     y0 = jnp.floor(ty.min(axis=1)).astype(jnp.int32)
     y1 = jnp.ceil(ty.max(axis=1)).astype(jnp.int32)
-    overflow = keep & ((x1 - x0 >= max_bbox) | (y1 - y0 >= max_bbox))
-    keep &= ~overflow
+    keep = keep & (x1 - x0 < max_bbox) & (y1 - y0 < max_bbox)
     keep &= (x1 >= 0) & (x0 < width) & (y1 >= 0) & (y0 < height)
-    overflow_count = jnp.sum(overflow)
-
     x0c = jnp.clip(x0, 0, width - 1)
     y0c = jnp.clip(y0, 0, height - 1)
 
-    # Rasterize each triangle over its max_bbox x max_bbox window.
     bb = jnp.arange(max_bbox, dtype=jnp.float32)
     px = x0c[:, None].astype(jnp.float32) + bb[None, :]         # (T, B)
     py = y0c[:, None].astype(jnp.float32) + bb[None, :]
@@ -145,11 +138,9 @@ def render_mesh(dem, params: RenderParams, *, width, height, cells_per_deg,
           - (cy - by)[:, None, None] * (pxg - bx[:, None, None])) / \
         det[:, None, None]
     w2 = 1.0 - w0 - w1
-    # w0 = barycentric weight of vertex C, w1 of A, w2 of B (from the edge
-    # functions); coverage = all same-sign-ish (GL fills either winding).
     inside = (w0 >= -1e-6) & (w1 >= -1e-6) & (w2 >= -1e-6)
 
-    depth = (w1[...] * trng[:, 0][:, None, None]
+    depth = (w1 * trng[:, 0][:, None, None]
              + w2 * trng[:, 1][:, None, None]
              + w0 * trng[:, 2][:, None, None])
     dne_i = (w1 * tdne[:, 0][:, None, None]
@@ -164,12 +155,43 @@ def render_mesh(dem, params: RenderParams, *, width, height, cells_per_deg,
     gy = jnp.broadcast_to(gy, depth.shape)
     valid = (inside & keep[:, None, None]
              & (gx < width) & (gy < height)
-             & (dne_i >= p.znear) & (dne_i <= p.zfar))
-
+             & (dne_i >= znear) & (dne_i <= zfar))
     flat_idx = jnp.where(valid, gy * width + gx, width * height)
+
+    if dbuf_in is None:
+        return zbuf_in.at[flat_idx.ravel()].min(
+            jnp.where(valid, depth, jnp.inf).ravel())
+    won = valid & (depth == zbuf_in[flat_idx])
+    return dbuf_in.at[flat_idx.ravel()].min(
+        jnp.where(won, dne_i, jnp.inf).ravel())
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "cells_per_deg", "max_bbox"))
+def render_mesh(dem, params: RenderParams, *, width, height, cells_per_deg,
+                max_bbox=12):
+    """Rasterize the reference's terrain mesh. Returns (image, ranges,
+    overflow_count); image/ranges use the same conventions as
+    render_panorama (BGR u8 sky-blue / f32 slant meters, invisible -1)."""
+    p = params
+    tx, ty, trng, tdne, keep = _mesh_triangles(
+        dem, params, width=width, height=height, cells_per_deg=cells_per_deg)
+
+    # overflow count: kept triangles whose bbox exceeds the static window
+    # (returned so exact runs can assert zero; render_mesh_tiled buckets
+    # them into larger windows instead)
+    x0 = jnp.floor(tx.min(axis=1)).astype(jnp.int32)
+    x1 = jnp.ceil(tx.max(axis=1)).astype(jnp.int32)
+    y0 = jnp.floor(ty.min(axis=1)).astype(jnp.int32)
+    y1 = jnp.ceil(ty.max(axis=1)).astype(jnp.int32)
+    overflow_count = jnp.sum(
+        keep & ((x1 - x0 >= max_bbox) | (y1 - y0 >= max_bbox)))
+
     zbuf = jnp.full((width * height + 1,), jnp.inf, jnp.float32)
-    zbuf = zbuf.at[flat_idx.ravel()].min(
-        jnp.where(valid, depth, jnp.inf).ravel())
+    zbuf = _raster_pass(tx, ty, trng, tdne, keep, zbuf, max_bbox=max_bbox,
+                        width=width, height=height, znear=p.znear,
+                        zfar=p.zfar)
     # d_ne buffer for the color ramp, keyed LEXICOGRAPHICALLY on
     # (depth, d_ne): pass 1 scattered the exact f32 min depth; pass 2
     # restricts to fragments EXACTLY equal to that stored min (at least one
@@ -177,19 +199,117 @@ def render_mesh(dem, params: RenderParams, *, width, height, cells_per_deg,
     # among exact-depth ties. GL's tie winner is arbitrary; this one is
     # deterministic.
     dbuf = jnp.full((width * height + 1,), jnp.inf, jnp.float32)
-    won = valid & (depth == zbuf[flat_idx])
-    dbuf = dbuf.at[flat_idx.ravel()].min(
-        jnp.where(won, dne_i, jnp.inf).ravel())
+    dbuf = _raster_pass(tx, ty, trng, tdne, keep, zbuf, max_bbox=max_bbox,
+                        width=width, height=height, znear=p.znear,
+                        zfar=p.zfar, dbuf_in=dbuf)
+    image, ranges = _assemble_image(zbuf, dbuf, p, width, height)
+    return image, ranges, overflow_count
 
+
+def _assemble_image(zbuf, dbuf, p, width, height):
     zb = zbuf[:width * height].reshape(height, width)
     db = dbuf[:width * height].reshape(height, width)
     sky = ~jnp.isfinite(zb)
     ranges = jnp.where(sky, -1.0, zb)
-
     red = jnp.clip((db - p.znear_color) / (p.zfar_color - p.znear_color),
                    0.0, 1.0)
     r8 = jnp.round(red * 255.0).astype(jnp.uint8)
     image = jnp.stack([jnp.where(sky, 255, 0).astype(jnp.uint8),
                        jnp.zeros((height, width), jnp.uint8),
                        jnp.where(sky, 0, r8).astype(jnp.uint8)], axis=-1)
+    return image, ranges
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height",
+                                             "cells_per_deg"))
+def _tri_class_inputs(dem, params, *, width, height, cells_per_deg):
+    """Per-triangle bbox size + keep for the tiled driver's host-side
+    bucketing (two (T,) pulls instead of the full (T, 3) geometry)."""
+    tx, ty, trng, tdne, keep = _mesh_triangles(
+        dem, params, width=width, height=height, cells_per_deg=cells_per_deg)
+    x0 = jnp.floor(tx.min(axis=1)).astype(jnp.int32)
+    x1 = jnp.ceil(tx.max(axis=1)).astype(jnp.int32)
+    y0 = jnp.floor(ty.min(axis=1)).astype(jnp.int32)
+    y1 = jnp.ceil(ty.max(axis=1)).astype(jnp.int32)
+    keep_v = keep & (x1 >= 0) & (x0 < width) & (y1 >= 0) & (y0 < height)
+    return (tx, ty, trng, tdne, keep,
+            jnp.maximum(x1 - x0, y1 - y0), keep_v)
+
+
+@functools.partial(jax.jit, static_argnames=("max_bbox", "width", "height",
+                                             "pass2"))
+def _raster_chunk(tx, ty, trng, tdne, keep, idx, kmask, zbuf, dbuf, znear,
+                  zfar, *, max_bbox, width, height, pass2):
+    sub = lambda a: jnp.take(a, idx, axis=0)
+    k = sub(keep) & kmask
+    if pass2:
+        return _raster_pass(sub(tx), sub(ty), sub(trng), sub(tdne), k, zbuf,
+                            max_bbox=max_bbox, width=width, height=height,
+                            znear=znear, zfar=zfar, dbuf_in=dbuf)
+    return _raster_pass(sub(tx), sub(ty), sub(trng), sub(tdne), k, zbuf,
+                        max_bbox=max_bbox, width=width, height=height,
+                        znear=znear, zfar=zfar)
+
+
+def render_mesh_tiled(dem, params: RenderParams, *, width, height,
+                      cells_per_deg, bbox_classes=(12, 64, 256, 1024),
+                      fragment_budget=8 << 20):
+    """Bucketed mesh rasterization: render_mesh at REFERENCE scale.
+
+    render_mesh rasterizes every triangle over one static max_bbox window,
+    so near terrain (a 92 m cell at the 100 m default znear spans hundreds
+    of pixels) either overflows or forces a giant window on millions of
+    triangles. This host-side driver buckets triangles by projected bbox
+    into ``bbox_classes`` (a triangle goes to the smallest class that
+    contains it; anything beyond the last class is counted in the returned
+    overflow, which a full run asserts 0) and rasterizes each class in
+    fixed-size chunks sized so every chunk issues ~fragment_budget
+    fragments -- the handful of huge near-field triangles get a 1024 px
+    window, the millions of far ones keep the cheap 12 px one.
+
+    Two passes over the same plan (exact min-depth z-buffer, then d_ne
+    among exact-depth winners) -- semantics identical to render_mesh.
+    Host-side index pulls make this the CPU/offline parity oracle
+    (BASELINE.md's bit-comparability metric), NOT a production TPU path;
+    the production renderer is the window kernel.
+
+    Returns (image, ranges, overflow_count).
+    """
+    import numpy as np
+
+    p = params
+    tx, ty, trng, tdne, keep, size, keep_v = _tri_class_inputs(
+        dem, params, width=width, height=height, cells_per_deg=cells_per_deg)
+    size_np = np.asarray(size)
+    kept_np = np.asarray(keep_v)
+    overflow_count = int((kept_np & (size_np >= bbox_classes[-1])).sum())
+
+    plan = []
+    lo = 0
+    for bclass in bbox_classes:
+        idx = np.nonzero(kept_np & (size_np >= lo) & (size_np < bclass))[0]
+        lo = bclass
+        if len(idx) == 0:
+            continue
+        chunk = max(8, fragment_budget // (bclass * bclass))
+        for s0 in range(0, len(idx), chunk):
+            sub = idx[s0:s0 + chunk]
+            padn = chunk - len(sub)
+            kmask = np.zeros(chunk, bool)
+            kmask[:len(sub)] = True
+            plan.append((bclass,
+                         jnp.asarray(np.pad(sub, (0, padn)), jnp.int32),
+                         jnp.asarray(kmask)))
+
+    zbuf = jnp.full((width * height + 1,), jnp.inf, jnp.float32)
+    dbuf = jnp.full((width * height + 1,), jnp.inf, jnp.float32)
+    for bclass, idx, kmask in plan:
+        zbuf = _raster_chunk(tx, ty, trng, tdne, keep, idx, kmask, zbuf,
+                             dbuf, p.znear, p.zfar, max_bbox=bclass,
+                             width=width, height=height, pass2=False)
+    for bclass, idx, kmask in plan:
+        dbuf = _raster_chunk(tx, ty, trng, tdne, keep, idx, kmask, zbuf,
+                             dbuf, p.znear, p.zfar, max_bbox=bclass,
+                             width=width, height=height, pass2=True)
+    image, ranges = _assemble_image(zbuf, dbuf, p, width, height)
     return image, ranges, overflow_count

@@ -17,6 +17,7 @@ from __future__ import annotations
 import math
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 OSM_RENDER_ZOOM = 12     # horizonator-lib.c:25
@@ -61,6 +62,61 @@ def atlas_px_from_grid(i_pos, j_pos, ap: AtlasParams, cells_per_deg: int):
     return px, py
 
 
+class ColorPlanes2x(NamedTuple):
+    """Pre-arranged half-cell color planes for the window kernel's 2x
+    textured path (march_window). All camera-INDEPENDENT rearrangement is
+    done here, once per scene, because doing it per render measured
+    ~5.2 ms/frame on v5e (strided even-row/col views + N/S transposes +
+    reversals of ~280 MB of planes): at render time the per-direction
+    color tables become 12 plain column dynamic-slices.
+
+    Layouts ([c] = B,G,R plane; x2 = 2x cross-axis index; bf16 -- exact
+    for the integer-rounded 0..255 color values, half the bytes):
+      ns     (3, 2n, n): [c][x2, j]   = plane at 2x col x2, DEM row j
+      ns_rev (3, 2n, n): ns with the j axis reversed (southward slices)
+      ew     (3, 2n, n): [c][J2, i]   = plane at 2x row J2, DEM col i
+      ew_rev (3, 2n, n): ew with the i axis reversed (westward slices)
+      full_packed (2n, 2n) int32: 0x00RRGGBB per texel (near-band
+        bilinear: TPU gathers cost ~10 ns/ELEMENT, so one packed fetch
+        per corner replaces a 3-plane gather -- measured 2.4 ms/frame for
+        the 12-take form)
+    """
+    ns: jax.Array
+    ns_rev: jax.Array
+    ew: jax.Array
+    ew_rev: jax.Array
+    full_packed: jax.Array
+
+    @property
+    def n(self) -> int:
+        return self.ns.shape[2]
+
+
+def unpack_color_planes(full_packed) -> jnp.ndarray:
+    """(2n, 2n) packed 0xRRGGBB -> (3, 2n, 2n) float32 B/G/R planes (the
+    inverse of prepare_color_planes' packing; tiny-scene re-prep only)."""
+    v = full_packed
+    return jnp.stack([(v & 0xff).astype(jnp.float32),
+                      ((v >> 8) & 0xff).astype(jnp.float32),
+                      ((v >> 16) & 0xff).astype(jnp.float32)])
+
+
+def prepare_color_planes(color2x) -> ColorPlanes2x:
+    """(3, 2n, 2n) half-cell planes (atlas_to_grid_colors(scale=2)) ->
+    ColorPlanes2x. Rounds to integers first so bf16 storage is exact.
+    Run once per scene (jit-able); the result is what the API keeps on
+    device."""
+    ci = jnp.clip(jnp.round(jnp.asarray(color2x)), 0, 255)
+    c = ci.astype(jnp.bfloat16)
+    ev = c[:, ::2, :]                     # (3, n, 2n): DEM row j -> 2x 2j
+    eh = c[:, :, ::2]                     # (3, 2n, n): DEM col i -> 2x 2i
+    ns = ev.transpose(0, 2, 1)            # (3, 2n, n): [x2, j]
+    ci32 = ci.astype(jnp.int32)
+    packed = (ci32[2] << 16) | (ci32[1] << 8) | ci32[0]
+    return ColorPlanes2x(ns=ns, ns_rev=ns[:, :, ::-1],
+                         ew=eh, ew_rev=eh[:, :, ::-1], full_packed=packed)
+
+
 def pack_atlas(atlas) -> jnp.ndarray:
     """Pack a (Hat, Wat, 3) uint8 BGR atlas into ONE int32 per texel
     (0x00RRGGBB, B in the low byte). Do this once per scene: TPU gathers
@@ -78,21 +134,28 @@ def _unpack_bgr(v):
     return jnp.stack([b, g, r], axis=-1)
 
 
-def atlas_to_grid_colors(atlas, ap: AtlasParams, n: int, cells_per_deg: int):
-    """Resample the atlas onto the DEM grid once per scene: (3, n, n)
-    float32 B/G/R planes, [c][j, i] with row 0 = SOUTH (DEM convention).
+def atlas_to_grid_colors(atlas, ap: AtlasParams, n: int, cells_per_deg: int,
+                         scale: int = 1):
+    """Resample the atlas onto the (supersampled) DEM grid once per scene:
+    (3, scale*n, scale*n) float32 B/G/R planes, [c][J, I] with row 0 =
+    SOUTH (DEM convention); plane index J maps to grid coordinate J/scale.
 
     This feeds the window kernel's in-kernel texture sampling: colors ride
-    the same VMEM windows and hat weights as elevation, so the textured
-    render has ZERO atlas gathers per frame. The trade: texture resolution
-    becomes the DEM cell (~92 m at SRTM3) instead of z12 (~38 m) -- the
-    one-time resample below is the only full-res read. Exact for flat
-    colors (bilinear of a constant is the constant)."""
-    ii = jnp.arange(n, dtype=jnp.float32)
-    jj = jnp.arange(n, dtype=jnp.float32)
+    VMEM windows and hat-weight contractions exactly like elevation, so
+    the textured render has ZERO atlas gathers per frame; the one-time
+    resample below is the only full-res atlas read.
+
+    scale=1: texture resolution = the DEM cell (~92 m at SRTM3).
+    scale=2 (the API's default textured path): half-cell planes, ~46 m at
+    SRTM3 -- the z12 slippy-tile fidelity class the reference renders
+    (~38 m/texel at lat 34, horizonator-lib.c:25-27, fragment.glsl:21) at
+    2x the table bytes instead of per-pixel atlas gathers."""
+    m = scale * n
+    ii = jnp.arange(m, dtype=jnp.float32) / scale
+    jj = jnp.arange(m, dtype=jnp.float32) / scale
     bgr = sample_atlas_bgr(atlas, ap,
-                           jnp.broadcast_to(ii[None, :], (n, n)),
-                           jnp.broadcast_to(jj[:, None], (n, n)),
+                           jnp.broadcast_to(ii[None, :], (m, m)),
+                           jnp.broadcast_to(jj[:, None], (m, m)),
                            cells_per_deg)
     return jnp.moveaxis(bgr, -1, 0)
 

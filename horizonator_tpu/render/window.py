@@ -143,6 +143,42 @@ def build_crossing_tables(dem, params: RenderParams, k_kernel: int):
     return _build_tables_multi(dem[None], params, k_kernel)[:, 0]
 
 
+def _build_color_tables_2x(cp, params: RenderParams, k_kernel: int,
+                           n: int):
+    """(4, 3, 2*n_pad, k_kernel) bf16 color tables from a prepared
+    texture.ColorPlanes2x (half-cell planes).
+
+    The line crossed at step m is a DEM grid line: row j0+m is 2x-grid row
+    2*(j0+m) (N/S), column i0+m is 2x-grid column 2*(i0+m) (E/W) -- always
+    an EVEN index, so the prestrided/transposed/reversed views in
+    ColorPlanes2x reduce this to 12 plain COLUMN dynamic-slices (cross
+    axis already on sublanes): table[d, c, x2, m] is color plane c at
+    2x-grid cross position x2 (grid coordinate x2/2) on direction d's
+    step-m line. Doing the stride/transpose/reverse here instead measured
+    ~5.2 ms/frame on v5e -- it is camera-independent and belongs to scene
+    prep. The kernel contracts these against hat weights at 2*pos --
+    half-cell bilinear interpolation along the crossing line."""
+    cj, ci = params.viewer_cell_j, params.viewer_cell_i
+    j0n = (jnp.floor(cj) + 1).astype(jnp.int32)
+    j0s = (jnp.ceil(cj) - 1).astype(jnp.int32)
+    i0e = (jnp.floor(ci) + 1).astype(jnp.int32)
+    i0w = (jnp.ceil(ci) - 1).astype(jnp.int32)
+
+    def per_plane(nsp, nsrp, ewp, ewrp):
+        t_n = _slice_roll_cols(nsp, j0n, k_kernel)               # (2n, k)
+        t_s = _slice_roll_cols(nsrp, (n - 1) - j0s, k_kernel)
+        t_e = _slice_roll_cols(ewp, i0e, k_kernel)
+        t_w = _slice_roll_cols(ewrp, (n - 1) - i0w, k_kernel)
+        return jnp.stack([t_n, t_s, t_e, t_w])                   # (4, 2n, k)
+
+    tall = jax.vmap(per_plane, in_axes=(0, 0, 0, 0), out_axes=1)(
+        cp.ns, cp.ns_rev, cp.ew, cp.ew_rev)
+    n_pad2 = 2 * (-(-n // 64) * 64)
+    if n_pad2 != 2 * n:
+        tall = jnp.pad(tall, ((0, 0), (0, 0), (0, n_pad2 - 2 * n), (0, 0)))
+    return tall
+
+
 def _dir_id(geo):
     """0=N, 1=S (row-dominant), 2=E, 3=W (column-dominant), per column."""
     jd = geo.j_dom
@@ -155,13 +191,20 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
                    pcol_ref, tall_ref,             # inputs
                    *rest,                          # outs + scratch
                    win: int, tile_w: int, tile_k: int, n: int,
-                   textured: bool):
-    if textured:
+                   textured: bool, tex_scale: int = 1):
+    tallc_ref = winc_ref = semc_ref = None
+    if textured and tex_scale == 2:
+        # split layout: elevation keeps the fast 2D window; half-cell
+        # colors get their own (3, 2*win, TK) window at origin 2*o
+        (tallc_ref, out_ref, outc_ref,
+         win_ref, winc_ref, sem_ref, semc_ref) = rest
+    elif textured:
         out_ref, outc_ref, win_ref, sem_ref = rest
     else:
         out_ref, win_ref, sem_ref = rest
         outc_ref = None
-    n_planes = 4 if textured else 1
+    fused_tex = textured and tex_scale == 1
+    n_planes = 4 if fused_tex else 1
     wt = pl.program_id(0)
     kt = pl.program_id(1)
     d = pl.program_id(2)
@@ -175,7 +218,7 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
     @pl.when(act_ref[wt, kt, d] > 0)
     def _():
         o = pl.multiple_of(orig_ref[wt, kt, d], 8)   # 8-aligned origin
-        if textured:
+        if fused_tex:
             src = tall_ref.at[d, pl.ds(0, n_planes), pl.ds(o, win),
                               pl.ds(kt * tile_k, tile_k)]
         else:
@@ -184,6 +227,12 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
             src = tall_ref.at[d, pl.ds(o, win), pl.ds(kt * tile_k, tile_k)]
         dma = pltpu.make_async_copy(src, win_ref, sem_ref)
         dma.start()
+        if tex_scale == 2 and textured:
+            oc = pl.multiple_of(o * 2, 16)           # 2x window origin
+            srcc = tallc_ref.at[d, pl.ds(0, 3), pl.ds(oc, 2 * win),
+                                pl.ds(kt * tile_k, tile_k)]
+            dmac = pltpu.make_async_copy(srcc, winc_ref, semc_ref)
+            dmac.start()
 
         # per-column params (W_pad, 8): a, t, e, scale, axis0, sign, dirid
         pblk = pcol_ref[pl.ds(wt * tile_w, tile_w), :]         # (TW, 8)
@@ -214,13 +263,17 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
                  & (dm >= znear) & (dm <= zfar))
 
         dma.wait()
+        if tex_scale == 2 and textured:
+            dmac.wait()
 
         zero = jnp.zeros((tile_w, tile_k), jnp.float32)
+        n_accs = 4 if textured else 1
+        pos2 = pos * 2.0 if (textured and tex_scale == 2) else None
 
         def body(i, accs):
             base = i * 4
             basef = base.astype(jnp.float32)
-            if textured:
+            if fused_tex:
                 w4 = [win_ref[p, pl.ds(base, 4), :] for p in range(n_planes)]
             else:
                 w4 = [win_ref[pl.ds(base, 4), :]]
@@ -232,6 +285,18 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
                     1.0 - jnp.abs(pos - (basef + float(r))), 0.0)
                 for p in range(n_planes):
                     accs[p] = accs[p] + hat * w4[p][r:r + 1, :]
+            if textured and tex_scale == 2:
+                # half-cell colors: 8 rows of the 2x window per elevation
+                # iteration, hats at 2*pos (their own finer support)
+                cbase = base * 2
+                cbasef = cbase.astype(jnp.float32)
+                c8 = [winc_ref[p, pl.ds(cbase, 8), :].astype(jnp.float32)
+                      for p in range(3)]
+                for r in range(8):                             # unrolled
+                    hat2 = jnp.maximum(
+                        1.0 - jnp.abs(pos2 - (cbasef + float(r))), 0.0)
+                    for p in range(3):
+                        accs[1 + p] = accs[1 + p] + hat2 * c8[p][r:r + 1, :]
             return tuple(accs)
 
         # The hat contraction walks only the rows this tile ACTUALLY spans
@@ -242,7 +307,7 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
         # the march's dominant loop to the tile's true extent.
         n_iter = jnp.minimum(act_ref[wt, kt, d], win // 4)
         accs = jax.lax.fori_loop(
-            0, n_iter, body, tuple(zero for _ in range(n_planes)))
+            0, n_iter, body, tuple(zero for _ in range(n_accs)))
         z = accs[0]
 
         tanel = jnp.where(valid, (z - vz) / dm - dm * curv, NEG_BIG)
@@ -271,27 +336,55 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
     samples were masked out (tests and the TPU smoke assert it is 0 --
     pass the real viewer latitude).
 
-    color_planes: optional (3, n, n) float32 B/G/R texture colors resampled
-    onto the DEM grid (texture.atlas_to_grid_colors). When given, the
-    kernel samples them through the same VMEM windows with the SAME hat
-    weights as elevation (gather-free, in-kernel texture sampling) and a
-    fifth value is returned: tex (W, n_near+K) int32, each sample's packed
-    0x00RRGGBB color at its crossing position.
+    color_planes: optional float32 B/G/R texture colors resampled onto the
+    DEM grid (texture.atlas_to_grid_colors): (3, n, n) cell-resolution
+    planes share elevation's VMEM windows and hat weights; (3, 2n, 2n)
+    HALF-CELL planes (scale=2, the API's default textured path -- z12
+    fidelity class) ride their own 2x windows with hats at 2*pos. Either
+    way the sampling is gather-free and a fifth value is returned: tex
+    (W, n_near+K) int32, each sample's packed 0x00RRGGBB color at its
+    crossing position.
     """
     if interpret is None:
         # CPU backend (tests, virtual multi-chip meshes) has no Mosaic
         # compiler; fall back to the Pallas interpreter there.
         interpret = jax.default_backend() == "cpu"
+    from .texture import ColorPlanes2x, prepare_color_planes
     p = params
     textured = color_planes is not None
     n_real = dem.shape[0]
+    tex_scale = 1
+    if textured:
+        if isinstance(color_planes, ColorPlanes2x):
+            tex_scale = 2
+            if color_planes.n != n_real:
+                raise ValueError(
+                    f"ColorPlanes2x for n={color_planes.n}, DEM n={n_real}")
+        else:
+            tex_scale = color_planes.shape[1] // n_real
+            if tex_scale not in (1, 2) or \
+                    color_planes.shape[1] != tex_scale * n_real:
+                raise ValueError(
+                    f"color_planes cross size {color_planes.shape[1]} is "
+                    f"neither n nor 2n for n={n_real}")
     if n_real < TILE_K + 8:      # tiny scenes: pad (zeros = ocean, masked)
         pad_n = TILE_K + 8 - n_real
         dem = jnp.pad(dem, ((0, pad_n), (0, pad_n)))
         if textured:
+            if isinstance(color_planes, ColorPlanes2x):
+                from .texture import unpack_color_planes
+                color_planes = unpack_color_planes(
+                    color_planes.full_packed)     # re-prepared below
+            cpd_ = tex_scale * pad_n
             color_planes = jnp.pad(color_planes,
-                                   ((0, 0), (0, pad_n), (0, pad_n)))
+                                   ((0, 0), (0, cpd_), (0, cpd_)))
     n = dem.shape[0]
+    cp2x = None
+    full_planes = color_planes          # s=1 near-band source (3, n, n)
+    if textured and tex_scale == 2:
+        cp2x = (color_planes if isinstance(color_planes, ColorPlanes2x)
+                else prepare_color_planes(color_planes))
+        full_planes = None              # s=2 near band uses full_packed
     if tile_w is None:
         tile_w = pick_tile_w(width)
     k_kernel = max(TILE_K, min(k_cross, (n // TILE_K) * TILE_K))
@@ -362,11 +455,14 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
 
     # --- inputs ------------------------------------------------------------
     planes = dem.astype(jnp.float32)[None]
-    if textured:
+    tallc = None
+    if textured and tex_scale == 1:
         planes = jnp.concatenate([planes, color_planes.astype(jnp.float32)])
-    tall = _build_tables_multi(planes, p, k_kernel)     # (4, P, n_pad, k)
-    if not textured:
-        tall = tall[:, 0]                               # (4, n_pad, k)
+        tall = _build_tables_multi(planes, p, k_kernel)  # (4, 4, n_pad, k)
+    else:
+        tall = _build_tables_multi(planes, p, k_kernel)[:, 0]  # (4,n_pad,k)
+        if textured:
+            tallc = _build_color_tables_2x(cp2x, p, k_kernel, n)  # bf16
     pcol = jnp.stack([
         geo.a, geo.t, geo.e, geo.scale,
         geo.axis0.astype(jnp.float32), geo.sign.astype(jnp.float32),
@@ -392,28 +488,38 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
                       jax.ShapeDtypeStruct((w_pad, k_kernel), jnp.int32))
     else:
         out_specs, out_shapes = out_spec, out_shape
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # pcol, whole (tiny)
+        pl.BlockSpec(memory_space=pl.ANY),       # tall (elevation [+1x col])
+    ]
+    scratch = [
+        pltpu.VMEM((n_planes, win, TILE_K) if (textured and tex_scale == 1)
+                   else (win, TILE_K), jnp.float32),
+    ]
+    inputs = [pcol, tall]
+    if tallc is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        inputs.append(tallc)
+        scratch.append(pltpu.VMEM((3, 2 * win, TILE_K), jnp.bfloat16))
+    scratch.append(pltpu.SemaphoreType.DMA)
+    if tallc is not None:
+        scratch.append(pltpu.SemaphoreType.DMA)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_wt, n_kt, 4),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # pcol, whole (tiny)
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((n_planes, win, TILE_K) if textured
-                       else (win, TILE_K), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
     )
     kern = functools.partial(_window_kernel, win=win, tile_w=tile_w,
-                             tile_k=TILE_K, n=n_real, textured=textured)
+                             tile_k=TILE_K, n=n_real, textured=textured,
+                             tex_scale=tex_scale)
     outs = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
-    )(origins, actives, fscal, pcol, tall)
+    )(origins, actives, fscal, *inputs)
     if textured:
         tanel, tex = (o[:width] for o in outs)
     else:
@@ -450,20 +556,54 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
                             NEG_BIG)
         tanel = jnp.concatenate([tanel_q, tanel], axis=1)
         if textured:
-            # near-band colors: bilinear on the grid color planes (tiny:
-            # (W, n_near) samples x 3 channels)
-            def bil(plane):
-                flatp = plane.reshape(-1)
-                c00 = jnp.take(flatp, j0 * n + i0)
-                c01 = jnp.take(flatp, j0 * n + i0 + 1)
-                c10 = jnp.take(flatp, (j0 + 1) * n + i0)
-                c11 = jnp.take(flatp, (j0 + 1) * n + i0 + 1)
-                top = c00 + (c01 - c00) * fi
-                bot = c10 + (c11 - c10) * fi
-                return jnp.clip(jnp.round(top + (bot - top) * fj),
-                                0, 255).astype(jnp.int32)
-            tex_q = ((bil(color_planes[2]) << 16)
-                     | (bil(color_planes[1]) << 8) | bil(color_planes[0]))
+            # near-band colors: bilinear at the planes' own resolution
+            # (tiny: (W, n_near) samples). TPU gathers cost ~10 ns per
+            # ELEMENT with a per-op floor, so the fetch count matters:
+            s = tex_scale
+            iqs, jqs = iq * s, jq * s
+            i0c = jnp.clip(jnp.floor(iqs), 0,
+                           s * n_real - 2).astype(jnp.int32)
+            j0c = jnp.clip(jnp.floor(jqs), 0,
+                           s * n_real - 2).astype(jnp.int32)
+            fic = jnp.clip(iqs - i0c, 0.0, 1.0)
+            fjc = jnp.clip(jqs - j0c, 0.0, 1.0)
+            if cp2x is not None:
+                # s=2: ONE packed 0xRRGGBB fetch per bilinear corner (4
+                # takes total; the 12-take 3-plane form measured
+                # 2.4 ms/frame at the headline), channels unpacked on the
+                # tiny gathered results
+                fp = cp2x.full_packed
+                ncp = fp.shape[1]
+                flatp = fp.reshape(-1)
+                base = j0c * ncp + i0c
+                v00 = jnp.take(flatp, base)
+                v01 = jnp.take(flatp, base + 1)
+                v10 = jnp.take(flatp, base + ncp)
+                v11 = jnp.take(flatp, base + ncp + 1)
+
+                def ch(shift):
+                    def g(v):
+                        return ((v >> shift) & 0xff).astype(jnp.float32)
+                    top = g(v00) + (g(v01) - g(v00)) * fic
+                    bot = g(v10) + (g(v11) - g(v10)) * fic
+                    return jnp.clip(jnp.round(top + (bot - top) * fjc),
+                                    0, 255).astype(jnp.int32)
+                tex_q = (ch(16) << 16) | (ch(8) << 8) | ch(0)
+            else:
+                ncp = full_planes.shape[1]             # n (padded)
+
+                def bil(plane):
+                    flatp = plane.reshape(-1)
+                    c00 = jnp.take(flatp, j0c * ncp + i0c)
+                    c01 = jnp.take(flatp, j0c * ncp + i0c + 1)
+                    c10 = jnp.take(flatp, (j0c + 1) * ncp + i0c)
+                    c11 = jnp.take(flatp, (j0c + 1) * ncp + i0c + 1)
+                    top = c00 + (c01 - c00) * fic
+                    bot = c10 + (c11 - c10) * fic
+                    return jnp.clip(jnp.round(top + (bot - top) * fjc),
+                                    0, 255).astype(jnp.int32)
+                tex_q = ((bil(full_planes[2]) << 16)
+                         | (bil(full_planes[1]) << 8) | bil(full_planes[0]))
             tex = jnp.concatenate([tex_q, tex], axis=1)
 
     run_max = _scan_shift(tanel, jnp.maximum, NEG_BIG)

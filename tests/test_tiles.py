@@ -254,3 +254,69 @@ def test_peaks_parse():
     assert pois[0]["name"] == "Mount San Antonio"   # name:en wins
     assert pois[1]["name"] == "1000m"               # fallback to ele
     assert peak_name({"name": "X"}, 5.0) == "X"
+
+
+def test_halfcell_texture_beats_grid_on_checkerboard(tmp_path):
+    """VERDICT r2 item 1: the default textured path ('grid2x', half-cell
+    planes ~46 m at SRTM3) must carry measurably more texture detail than
+    the cell-resolution 'grid' path, judged against texture_quality='exact'
+    (per-pixel z12 gathers) on a checkerboard atlas whose 4-px blocks
+    (~150 m) sit between the two resolutions' Nyquist limits. Also the
+    near-field test: where pixels are dense per texel the fast path must
+    closely match 'exact'."""
+    from horizonator_tpu import horizonator
+    from horizonator_tpu.dem import hgt
+
+    d = tmp_path / "dems"
+    edge = hgt.SRTM3_EDGE
+    jj, ii = np.meshgrid(np.arange(edge), np.arange(edge), indexing="ij")
+    z = (400 + 250 * np.sin(ii / 31.0) * np.cos(jj / 43.0)).astype(np.int16)
+    hgt.write_hgt(d / "N34W118.hgt", z)
+    lat, lon = 34.40, -117.45
+    x_lo, y_lo = tile_xy_from_latlon(lat + 150 / 1200, lon - 150 / 1200, 12)
+    x_hi, y_hi = tile_xy_from_latlon(lat - 150 / 1200, lon + 150 / 1200, 12)
+    for x in range(x_lo - 1, x_hi + 2):
+        for y in range(y_lo - 1, y_hi + 2):
+            p = tiles.tile_path(str(tmp_path), "mapnik", 12, x, y)
+            p.parent.mkdir(parents=True, exist_ok=True)
+            gx = (x * 256 + np.arange(256))[None, :] // 4
+            gy = (y * 256 + np.arange(256))[:, None] // 4
+            chk = ((gx + gy) % 2).astype(np.uint8) * 200 + 30
+            col = np.stack([chk, 255 - chk, np.full_like(chk, 120)], -1)
+            Image.fromarray(col).save(p)
+
+    kw = dict(render_texture=True, dir_dems=str(d), dir_tiles=str(tmp_path),
+              allow_downloads=False, render_radius_cells=150, nsteps=192)
+    h_grid = horizonator(lat, lon, 256, 128, texture_quality="grid", **kw)
+    h_2x = horizonator(lat, lon, 256, 128, **kw)      # default: grid2x
+    h_ex = horizonator(lat, lon, 256, 128, texture_quality="exact", **kw)
+    from horizonator_tpu.render.texture import ColorPlanes2x
+    assert isinstance(h_2x._color_planes, ColorPlanes2x)
+    assert h_2x._color_planes.full_packed.shape[0] \
+        == 2 * h_grid._color_planes.shape[1]
+
+    img_g, rng_g = h_grid.render(-60, 60, zfar=9000.0)
+    img_2, rng_2 = h_2x.render(-60, 60, zfar=9000.0)
+    img_e, rng_e = h_ex.render(-60, 60, zfar=9000.0)
+    # texture path never changes geometry
+    np.testing.assert_array_equal(rng_g, rng_e)
+    np.testing.assert_array_equal(rng_2, rng_e)
+    vis = rng_e > 0
+
+    def psnr(a, b):
+        mse = np.mean((a[vis].astype(float) - b[vis].astype(float)) ** 2)
+        return 10 * np.log10(255.0 ** 2 / mse)
+
+    p_grid, p_2x = psnr(img_g, img_e), psnr(img_2, img_e)
+    # measured: grid 16.2 dB, grid2x 20.8 dB on this scene
+    assert p_2x > p_grid + 2.0, (p_grid, p_2x)
+
+    # near field (< 2.5 km: several pixels per texel): the half-cell path
+    # must track 'exact' closely; the cell path visibly cannot
+    # (measured mean |diff| 9.3 vs 27.6)
+    near = vis & (rng_e < 2500.0)
+    assert near.sum() > 1000
+    d_2x = np.abs(img_2[near].astype(int) - img_e[near].astype(int)).mean()
+    d_g = np.abs(img_g[near].astype(int) - img_e[near].astype(int)).mean()
+    assert d_2x < 14.0, d_2x
+    assert d_2x < 0.55 * d_g, (d_2x, d_g)

@@ -140,6 +140,51 @@ class TestWindowKernel:
         assert np.all(im[~vis] == np.array([255, 0, 0], np.uint8))
 
 
+    def test_textured_2x_planes_constant_matches_1x(self):
+        # half-cell planes: constant colors must round-trip identically to
+        # the cell-resolution path (bilinear of a constant), and geometry
+        # must be untouched
+        import jax.numpy as jnp
+        n = 192
+        dem = make_dem(n, rough=4.0)
+        vz = float(np.asarray(dem)[95:97, 96:98].max()) + 5.0
+        p = params_for(dem, 96.3, 95.7, vz, zfar=8000.0)
+        k = k_cross_for(8000.0, CPD, 34.0, n=n)
+        c1 = jnp.full((3, n, n), 77.0, jnp.float32)
+        c2 = jnp.full((3, 2 * n, 2 * n), 77.0, jnp.float32)
+        t1, _, _, _, tex1 = march_window(dem, p, width=256, k_cross=k,
+                                         cells_per_deg=CPD,
+                                         lat_hint_deg=34.0, color_planes=c1)
+        t2, _, _, _, tex2 = march_window(dem, p, width=256, k_cross=k,
+                                         cells_per_deg=CPD,
+                                         lat_hint_deg=34.0, color_planes=c2)
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+        vis = np.asarray(t1) > -1e30
+        assert (np.asarray(tex1)[vis] == 0x4D4D4D).all()
+        assert (np.asarray(tex2)[vis] == 0x4D4D4D).all()
+
+    def test_textured_2x_resolves_finer_detail(self):
+        # a half-cell checker on the color planes: the 2x path must carry
+        # both phases of the pattern; the 1x plane cannot even represent it
+        import jax.numpy as jnp
+        n = 192
+        dem = jnp.zeros((n, n), jnp.float32)
+        p = params_for(dem, 96.3, 95.7, 30.0, zfar=6000.0)
+        k = k_cross_for(6000.0, CPD, 34.0, n=n)
+        jj2, ii2 = np.meshgrid(np.arange(2 * n), np.arange(2 * n),
+                               indexing="ij")
+        chk = (((ii2 + jj2) % 2) * 255).astype(np.float32)
+        c2 = jnp.asarray(np.stack([chk, chk, chk]))
+        _, _, _, _, tex2 = march_window(dem, p, width=256, k_cross=k,
+                                        cells_per_deg=CPD,
+                                        lat_hint_deg=34.0, color_planes=c2)
+        t2 = np.asarray(tex2)
+        b = t2 & 0xff
+        # crossing samples land ON grid lines where the half-cell checker
+        # alternates along the line: both dark and bright survive
+        assert (b > 180).any() and (b < 75).any()
+
+
 class TestWindowGuard:
     """The static-VMEM-window self-guard (dists.dropped)."""
 

@@ -77,6 +77,30 @@ def main():
         print(f"march tile_w={tile_w}: Mosaic == interpreter "
               f"(max err {err:.2e})", file=sys.stderr)
 
+    # textured march, BOTH color-plane resolutions: the 2x path adds a
+    # second strided DMA ((3, 2*win, TK) window at origin 2*o) that only
+    # Mosaic exercises for real
+    rngc = np.random.default_rng(7)
+    for s in (1, 2):
+        colors = jax.device_put(jnp.asarray(
+            rngc.integers(0, 255, (3, s * n, s * n)).astype(np.float32)),
+            dev)
+        _, rm_m, _, _, tex_m = march_window(
+            dem, p, width=512, k_cross=k, cells_per_deg=1200,
+            lat_hint_deg=34.0, interpret=False, color_planes=colors)
+        _, rm_i, _, _, tex_i = march_window(
+            dem, p, width=512, k_cross=k, cells_per_deg=1200,
+            lat_hint_deg=34.0, interpret=True, color_planes=colors)
+        a, b = np.asarray(rm_m[:, -1]), np.asarray(rm_i[:, -1])
+        vis = b > -1e30
+        err = float(np.abs(a[vis] - b[vis]).max()) if vis.any() else 0.0
+        tex_eq = np.array_equal(np.asarray(tex_m), np.asarray(tex_i))
+        if err > 1e-5 or not tex_eq:
+            print(f"TPU_SMOKE_FAIL: textured march s={s} "
+                  f"(err {err}, tex_eq {tex_eq})")
+            return 1
+        print(f"textured march s={s}: Mosaic == interpreter", file=sys.stderr)
+
     # fused resolve kernel: Mosaic vs interpreter must agree BITWISE
     # (idx, quantized alpha, ok) on identical input rows
     from horizonator_tpu.render.resolve_window import (resolve_fits,
