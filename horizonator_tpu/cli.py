@@ -63,7 +63,22 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _honor_jax_platforms_env():
+    """Make JAX_PLATFORMS actually work for the CLI tools: some site
+    configurations (e.g. the axon dev platform) pin the platform at
+    interpreter start, so the env var alone is silently ignored and a
+    "CPU" run lands on a tunneled accelerator (minutes of remote compile
+    for a one-shot render). Forcing it through the config API before any
+    backend is touched restores the documented env contract."""
+    import os
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
+
 def main(argv=None) -> int:
+    _honor_jax_platforms_env()
     args = build_parser().parse_args(argv)
 
     if not (-80.0 <= args.lat <= 80.0):

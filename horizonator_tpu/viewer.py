@@ -320,6 +320,8 @@ def serve(state: ViewerState, port: int = 8080, *, poll=None):
 
 def main(argv=None) -> int:
     import argparse
+    from .cli import _honor_jax_platforms_env
+    _honor_jax_platforms_env()
     from .api import horizonator, ZNEAR_DEFAULT, ZFAR_DEFAULT
 
     p = argparse.ArgumentParser(prog="horizonator-tpu-viewer")

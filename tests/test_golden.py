@@ -30,6 +30,10 @@ GOLDEN_DIR = Path(__file__).parent / "golden"
 # The canonical view: mirrors the reference's standalone example command
 # shape (README.org:123-127) on the synthetic peak+ridge scene below.
 CANONICAL = ["--width", "800", "34.40", "-117.45", "20", "60"]
+# Second golden: the EXACT azimuth arguments of the reference's
+# example-standalone command ("--width 800 ... -35 125", README.org:124) --
+# a 250-degree wide view with the default-FOV height path.
+CANONICAL_WIDE = ["--width", "800", "34.40", "-117.45", "-35", "125"]
 
 
 def _scene(lat, lon):
@@ -47,23 +51,29 @@ def _scene(lat, lon):
                     ).astype(np.int16)
 
 
-def _render_cli(tmp_path):
+def _render_cli(tmp_path, view=CANONICAL):
     demdir = make_synthetic_dem_dir(tmp_path, {(34, -118): _scene})
     out = tmp_path / "golden_out.png"
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # MINIMAL env, like test_api's _CLI_ENV: inheriting the suite's
+    # XLA_FLAGS (8 virtual devices) slows the one-shot CLI compile ~6x,
+    # and without the persistent cache + an honored JAX_PLATFORMS the
+    # subprocess used to land on the tunneled TPU's remote compiler
+    # (minutes -- the 600 s flake CLAUDE.md used to document)
+    env = {"PATH": os.environ.get("PATH", "/usr/bin:/bin"),
+           "HOME": os.environ.get("HOME", "/root"),
+           "JAX_PLATFORMS": "cpu",
+           "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_test_cache"}
     cmd = [sys.executable, "-m", "horizonator_tpu.cli",
-           "--image", str(out), "--dirdems", demdir] + CANONICAL
+           "--image", str(out), "--dirdems", demdir] + view
     r = subprocess.run(cmd, env=env, capture_output=True, text=True,
-                       timeout=600,
+                       timeout=900,
                        cwd=str(Path(__file__).parent.parent))
     assert r.returncode == 0, r.stderr
     from PIL import Image
     return np.asarray(Image.open(out)), cmd
 
 
-def test_golden_render_pixels_stable(tmp_path):
-    img, cmd = _render_cli(tmp_path)
-    golden_path = GOLDEN_DIR / "canonical_800.png"
+def _check_golden(img, cmd, golden_path):
     if os.environ.get("HORIZONATOR_REGEN_GOLDEN"):
         GOLDEN_DIR.mkdir(exist_ok=True)
         from PIL import Image
@@ -80,6 +90,19 @@ def test_golden_render_pixels_stable(tmp_path):
         f"render; if deliberate, regenerate (see module docstring)")
 
 
+@pytest.mark.slow
+def test_golden_render_pixels_stable(tmp_path):
+    img, cmd = _render_cli(tmp_path)
+    _check_golden(img, cmd, GOLDEN_DIR / "canonical_800.png")
+
+
+@pytest.mark.slow
+def test_golden_render_wide_pixels_stable(tmp_path):
+    img, cmd = _render_cli(tmp_path, view=CANONICAL_WIDE)
+    _check_golden(img, cmd, GOLDEN_DIR / "canonical_800_wide.png")
+
+
+@pytest.mark.slow
 def test_golden_scene_sanity(tmp_path):
     # the golden view must actually contain sky, terrain, and the peak
     img, _ = _render_cli(tmp_path)

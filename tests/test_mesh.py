@@ -8,6 +8,7 @@ reference left its CPU-vs-GPU A/B paths disabled; here it is a real test).
 import math
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from horizonator_tpu.render import render_panorama, RenderParams
@@ -91,6 +92,7 @@ class TestMeshRasterizer:
         assert (r[r > 0] >= 800.0 * 0.9).all()
 
 
+@pytest.mark.slow
 def test_reference_scale_parity_config1():
     """The BASELINE.md north-star, actually tested (VERDICT r2 item 5):
     the reference's exact triangle semantics (render_mesh_tiled: full
