@@ -1,0 +1,34 @@
+import sys; sys.path.insert(0, ".")
+import math, functools
+import numpy as np
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+from horizonator_tpu.render import RenderParams
+from horizonator_tpu.render.window import march_window, _build_tables_multi
+from horizonator_tpu.render.crossing import k_cross_for
+from horizonator_tpu.profiling import device_time_chain
+
+n = 3400
+rng = np.random.default_rng(7)
+jj, ii = np.meshgrid(np.arange(n, dtype=np.float32), np.arange(n, dtype=np.float32), indexing="ij")
+z = (600.0 + 500.0*np.sin(ii/223.0)*np.cos(jj/181.0) + 30.0*rng.standard_normal((n,n),dtype=np.float32))
+dem = jax.device_put(jnp.asarray(np.maximum(z,0.0), jnp.float32))
+f = jnp.float32
+LAT = 34.3
+p = RenderParams(f(n/2), f(n/2), f(900.0), f(math.cos(math.radians(LAT))),
+                 f(-math.pi), f(math.pi), f(100.0), f(40000.0), f(100.0), f(40000.0))
+k = k_cross_for(40000.0, 1200, LAT, n=n)
+def perturb(a, i):
+    *rest, pp = a
+    return (*rest, pp._replace(viewer_cell_i=pp.viewer_cell_i + i))
+def t(name, fn, *args):
+    sec = device_time_chain(fn, *args, perturb=perturb, reps=8, iters=4)
+    print(f"{name}: {sec*1e3:.3f} ms", file=sys.stderr)
+
+mw = functools.partial(march_window, width=4096, k_cross=k, cells_per_deg=1200, lat_hint_deg=LAT)
+t("march full", lambda d, pp: mw(d, pp)[0].sum(), dem, p)
+t("march n_near=0 (no near band)", lambda d, pp: march_window(d, pp, width=4096, k_cross=k, cells_per_deg=1200, lat_hint_deg=LAT, n_near=0)[0].sum(), dem, p)
+kk = max(128, min(k, (n//128)*128)); kk = -(-kk//128)*128
+t("elev table build", lambda d, pp: _build_tables_multi(d[None], pp, kk)[:,0].sum(), dem, p)
