@@ -51,7 +51,8 @@ class horizonator:
                  nsteps=None, surface="bilinear", refine=True,
                  oversample=1.5, sampler="auto", device=None,
                  texture_on_error="raise", texture_quality="grid2x",
-                 curvature="none"):
+                 curvature="none", allow_dem_downloads=False,
+                 dem_url_fmt=None):
         if render_radius_cells < 0 and render_radius_m < 0:
             render_radius_cells = RADIUS_CELLS_DEFAULT_PY  # horizonator-pywrap.c:65,98-99
         elif render_radius_cells > 0 and render_radius_m > 0:
@@ -71,11 +72,20 @@ class horizonator:
         self.oversample = float(oversample)
         self._nsteps_fixed = nsteps
 
+        if allow_dem_downloads and dem_url_fmt is None:
+            if not SRTM1:
+                raise ValueError(
+                    "allow_dem_downloads needs dem_url_fmt for SRTM3 (no "
+                    "canonical free mirror of raw 1201^2 .hgt exists); "
+                    "SRTM1 defaults to the AWS terrain-tiles skadi bucket")
+            from .dem.mosaic import DEM_URL_FMT_SRTM1
+            dem_url_fmt = DEM_URL_FMT_SRTM1
         self.mosaic = load_mosaic(
             lat, lon,
             render_radius_cells=render_radius_cells,
             render_radius_m=render_radius_m,
-            datadir=dir_dems, srtm1=SRTM1)
+            datadir=dir_dems, srtm1=SRTM1,
+            dem_url_fmt=dem_url_fmt if allow_dem_downloads else None)
 
         # 'auto': the Pallas window kernel (window.py) -- the fast TPU
         # path -- except for 'triangulated' surface parity runs, which

@@ -43,10 +43,26 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference renders on a flat tangent plane = none")
     p.add_argument("--allow-tile-downloads", action="store_true",
                    dest="allow_downloads")
+    p.add_argument("--allow-dem-downloads", action="store_true",
+                   dest="allow_dem_downloads",
+                   help="fetch missing .hgt tiles into --dirdems (the "
+                        "reference's unbuilt wish-list item); SRTM1 "
+                        "defaults to the AWS terrain-tiles mirror, SRTM3 "
+                        "needs --dem-url")
+    p.add_argument("--dem-url", type=str, default=None, dest="dem_url_fmt",
+                   metavar="FMT",
+                   help="DEM download URL template: %%s or {name} = "
+                        "N34W118.hgt, {ns} = N34; gzip/zip unwrapped")
     p.add_argument("--znear", type=float, default=100.0)
     p.add_argument("--zfar", type=float, default=40000.0)
     p.add_argument("--znear-color", type=float, default=-1.0, dest="znear_color")
     p.add_argument("--zfar-color", type=float, default=-1.0, dest="zfar_color")
+    p.add_argument("--ranges", type=str, default=None, metavar="FILE",
+                   help="also write the float32 range image (slant meters, "
+                        "invisible/sky = -1) as .npy, or raw little-endian "
+                        "f32 for any other extension -- the binary range "
+                        "output the reference README promises but only its "
+                        "C API delivers (horizonator.h:155-169)")
     p.add_argument("--pois", type=str, default=None,
                    help="peak list for .pdf/.svg annotation: a JSON file of "
                         "[{name, lat, lon, ele_m}] (replaces the reference's "
@@ -152,7 +168,9 @@ def main(argv=None) -> int:
                     allow_downloads=args.allow_downloads,
                     render_radius_m=args.zfar,     # standalone.c:437
                     nsteps=args.nsteps, surface=args.surface,
-                    curvature=args.curvature)
+                    curvature=args.curvature,
+                    allow_dem_downloads=args.allow_dem_downloads,
+                    dem_url_fmt=args.dem_url_fmt)
 
     image, ranges = h.render(args.az_center_deg - az_radius,
                              args.az_center_deg + az_radius,
@@ -160,6 +178,13 @@ def main(argv=None) -> int:
                              znear_color=znear_color, zfar_color=zfar_color)
 
     crop = args.cut_off_bottom_px
+    if args.ranges:
+        import numpy as np
+        r = ranges[: ranges.shape[0] - crop]
+        if args.ranges.lower().endswith(".npy"):
+            np.save(args.ranges, r)
+        else:
+            r.astype("<f4").tofile(args.ranges)
     if suffix == ".png":
         from PIL import Image
         out = image[: image.shape[0] - crop, :, ::-1]   # BGR -> RGB

@@ -125,17 +125,72 @@ class DemMosaic:
         return lat0, lon0, lat1, lon1
 
 
+# Default DEM download source for SRTM1: the public AWS terrain-tiles
+# "skadi" bucket serves gzipped 3601^2 .hgt files. (The reference lists
+# "Auto-downloading DEMs" as unbuilt future work, README.org; SRTM3 has no
+# canonical free mirror of raw .hgt -- pass an explicit dem_url_fmt for a
+# viewfinderpanoramas-style mirror.)
+DEM_URL_FMT_SRTM1 = ("https://s3.amazonaws.com/elevation-tiles-prod/"
+                     "skadi/{ns}/{name}.gz")
+
+
+def _fetch_dem(url_fmt: str, path, warn: bool = True) -> bool:
+    """Download one missing .hgt tile into the cache dir. ``url_fmt`` may
+    use printf ``%s`` (the filename) or format fields ``{name}``
+    (N34W118.hgt) and ``{ns}`` (N34). Transparently unwraps gzip and
+    zip payloads; writes atomically. Returns True on success."""
+    import os
+    import requests
+    name = path.name
+    if "%s" in url_fmt:
+        url = url_fmt % (name,)
+    else:
+        url = url_fmt.format(name=name, ns=name[:3])
+    try:
+        r = requests.get(url, timeout=120)
+        r.raise_for_status()
+        data = r.content
+        if data[:4] == b"PK\x03\x04":
+            import io
+            import zipfile
+            with zipfile.ZipFile(io.BytesIO(data)) as z:
+                members = [m for m in z.namelist()
+                           if m.lower().endswith(".hgt")]
+                if not members:
+                    raise ValueError("no .hgt member in zip")
+                data = z.read(members[0])
+        elif data[:2] == b"\x1f\x8b":
+            import gzip
+            data = gzip.decompress(data)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_name(path.name + ".part")
+        tmp.write_bytes(data)
+        os.replace(tmp, path)
+        _msg("downloaded DEM %s (%d bytes)", name, len(data))
+        return True
+    except Exception as e:           # noqa: BLE001 -- degrade to sea+warning
+        if warn:
+            _msg("Warning: DEM download failed for '%s' (%s)", url, e)
+        return False
+
+
 def load_mosaic(viewer_lat: float, viewer_lon: float, *,
                 render_radius_cells: int = -1,
                 render_radius_m: float = -1.0,
                 datadir: str | None = None,
                 srtm1: bool = False,
-                warn_missing: bool = True) -> DemMosaic:
+                warn_missing: bool = True,
+                dem_url_fmt: str | None = None) -> DemMosaic:
     """Load the DEM window centered on the viewer.
 
     Exactly one of render_radius_cells / render_radius_m must be > 0
     (dem.c:90-99). ``datadir`` defaults to ``~/.horizonator/DEMs_SRTM3`` or
     ``DEMs_SRTM1`` (horizonator-lib.c:94-97).
+
+    ``dem_url_fmt``: when set, tiles missing from ``datadir`` are fetched
+    from this URL template first (then cached on disk like the reference's
+    manually-downloaded tiles); failures degrade to the usual sea+warning.
+    See DEM_URL_FMT_SRTM1 and _fetch_dem for the template fields.
     """
     if (render_radius_cells > 0) == (render_radius_m > 0):
         raise ValueError("Exactly one of (render_radius_cells, render_radius_m) "
@@ -183,6 +238,8 @@ def load_mosaic(viewer_lat: float, viewer_lon: float, *,
             tile_lat = origin_dem[1] + tj
             tile_lon = origin_dem[0] + ti
             path = hgt.hgt_path(datadir, tile_lat, tile_lon)
+            if not path.exists() and dem_url_fmt:
+                _fetch_dem(dem_url_fmt, path, warn=warn_missing)
             if not path.exists():
                 missing.append(str(path))
                 if warn_missing:

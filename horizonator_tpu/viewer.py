@@ -105,12 +105,18 @@ document.getElementById('pano').addEventListener('contextmenu', async e => {
     pickMarker = L.circleMarker([j.lat, j.lon], {radius:5, color:'red'}).addTo(map);
   }
 });
-// wheel: zoom azimuth window about the cursor; drag: pan (like
-// GLWidget::pan_and_zoom, horizonator.cc:141-168)
+// wheel: vertical = zoom the azimuth window, horizontal = pan the yaw
+// (GLWidget::pan_and_zoom, horizonator.cc:141-168: the reference maps
+// wheel-up/down to zoom and wheel-left/right to azimuth pan)
 document.getElementById('pano-wrap').addEventListener('wheel', async e => {
   e.preventDefault();
-  const k = e.deltaY > 0 ? 1.25 : 0.8;
-  await refresh({az_radius: S.az_radius * k});
+  if(Math.abs(e.deltaX) > Math.abs(e.deltaY)){
+    const daz = Math.sign(e.deltaX) * S.az_radius * 0.2;
+    await refresh({az_center: S.az_center + daz});
+  } else {
+    const k = e.deltaY > 0 ? 1.25 : 0.8;
+    await refresh({az_radius: S.az_radius * k});
+  }
 }, {passive:false});
 let dragX = null;
 document.getElementById('pano').addEventListener('mousedown', e => {if(e.button==0) dragX = e.clientX;});

@@ -246,3 +246,23 @@ def test_render_batch_multichip_through_api(dem_dir):
     imgs_b, _ = h.render_batch(-60, 60, lats, lons, zfar=20000.0,
                                mesh=mesh_b)
     np.testing.assert_array_equal(imgs_b, imgs1)
+
+
+def test_cli_ranges_output(dem_dir, tmp_path):
+    out = tmp_path / "pano.png"
+    rng_npy = tmp_path / "ranges.npy"
+    rng_raw = tmp_path / "ranges.f32"
+    for rf in (rng_npy, rng_raw):
+        r = subprocess.run(
+            [sys.executable, "-m", "horizonator_tpu.cli",
+             "--width", "200", "--height", "80",
+             "--image", str(out), "--ranges", str(rf),
+             "--dirdems", dem_dir, "--zfar", "20000", "--nsteps", "256",
+             "34.40", "-117.45", "0", "60"],
+            capture_output=True, text=True, cwd="/root/repo", env=_CLI_ENV)
+        assert r.returncode == 0, r.stderr
+    a = np.load(rng_npy)
+    assert a.shape == (80, 200) and a.dtype == np.float32
+    assert (a > 0).any() and (a == -1).any()
+    b = np.fromfile(rng_raw, dtype="<f4").reshape(80, 200)
+    np.testing.assert_array_equal(a, b)

@@ -157,3 +157,112 @@ def test_bounds_latlon(synthetic_dem_dir):
     assert lon1 - lon0 == pytest.approx((2 * 100 - 1) / 1200)
     assert lat0 < 34.5 < lat1
     assert lon0 < -117.5 < lon1
+
+
+class TestDemAutoDownload:
+    """Auto-downloading missing .hgt tiles (the reference's unbuilt
+    wish-list item, README.org 'Auto-downloading DEMs'): fetched tiles
+    land in the cache dir and later loads never re-fetch."""
+
+    @staticmethod
+    def _serve(payloads):
+        """Local HTTP server: path -> bytes; counts hits."""
+        import threading
+        from http.server import BaseHTTPRequestHandler, HTTPServer
+        hits = []
+
+        class H(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_GET(self):
+                hits.append(self.path)
+                body = payloads.get(self.path)
+                if body is None:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        srv = HTTPServer(("127.0.0.1", 0), H)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        return srv, hits
+
+    def _tile_bytes(self, fill):
+        edge = hgt.SRTM3_EDGE
+        grid = np.full((edge, edge), fill, np.int16)
+        import io
+        buf = io.BytesIO()
+        # write_hgt writes big-endian rows, row 0 = north
+        be = grid.astype(">i2")
+        buf.write(be.tobytes())
+        return buf.getvalue()
+
+    @pytest.mark.parametrize("wrap", ["raw", "gz", "zip"])
+    def test_fetch_unwrap_and_cache(self, tmp_path, wrap, capsys):
+        import gzip
+        import io
+        import zipfile
+        from horizonator_tpu.dem.mosaic import load_mosaic
+
+        raw = self._tile_bytes(321)
+        if wrap == "gz":
+            body = gzip.compress(raw)
+            url_path = "/dem/N34W118.hgt.gz"
+            fmt_suffix = ".gz"
+        elif wrap == "zip":
+            zb = io.BytesIO()
+            with zipfile.ZipFile(zb, "w") as z:
+                z.writestr("N34W118.hgt", raw)
+            body = zb.getvalue()
+            url_path = "/dem/N34W118.hgt.zip"
+            fmt_suffix = ".zip"
+        else:
+            body = raw
+            url_path = "/dem/N34W118.hgt"
+            fmt_suffix = ""
+        srv, hits = self._serve({url_path: body})
+        port = srv.server_address[1]
+        fmt = f"http://127.0.0.1:{port}/dem/{{name}}{fmt_suffix}"
+        d = tmp_path / "dems"
+        try:
+            m = load_mosaic(34.4, -117.5, render_radius_cells=100,
+                            datadir=str(d), dem_url_fmt=fmt)
+            assert m.missing_tiles == []
+            assert (m.grid == 321).all()
+            assert (d / "N34W118.hgt").exists()
+            n_after_first = len(hits)
+            assert n_after_first >= 1
+            # second load: cached, no refetch
+            m2 = load_mosaic(34.4, -117.5, render_radius_cells=100,
+                             datadir=str(d), dem_url_fmt=fmt)
+            assert (m2.grid == 321).all()
+            assert len(hits) == n_after_first
+        finally:
+            srv.shutdown()
+
+    def test_fetch_failure_degrades_to_sea(self, tmp_path, capsys):
+        from horizonator_tpu.dem.mosaic import load_mosaic
+        srv, hits = self._serve({})   # 404 everything
+        port = srv.server_address[1]
+        try:
+            m = load_mosaic(34.4, -117.5, render_radius_cells=100,
+                            datadir=str(tmp_path / "dems"),
+                            dem_url_fmt=f"http://127.0.0.1:{port}/x/%s")
+            assert len(m.missing_tiles) == 1
+            assert (m.grid == 0).all()
+            err = capsys.readouterr().err
+            assert "download failed" in err and "sea" in err
+        finally:
+            srv.shutdown()
+
+    def test_api_srtm3_requires_url(self, tmp_path):
+        from horizonator_tpu import horizonator
+        with pytest.raises(ValueError, match="dem_url_fmt"):
+            horizonator(34.4, -117.5, 32, 16,
+                        dir_dems=str(tmp_path / "dems"),
+                        render_radius_cells=64, allow_dem_downloads=True)
