@@ -108,14 +108,20 @@ def main():
     # RTT of a bare scalar pull, to subtract from per-iter timings. Use the
     # MINIMUM: transport jitter only ever inflates a sample, so the min is
     # the true floor and subtracting it is the conservative direction (the
-    # metric can only overestimate the render cost).
-    rtts = []
-    for _ in range(8):
-        t0 = time.perf_counter()
-        float(jnp.float32(1.0) + s * 0)
-        rtts.append(time.perf_counter() - t0)
-    rtt = float(np.min(rtts))
-    log(f"scalar-pull RTT: min {rtt * 1e3:.2f} ms "
+    # metric can only overestimate the render cost). Sampled BEFORE and
+    # AFTER the timed chains: the tunnel's floor itself drifts by several
+    # ms across minutes (observed 27-36 ms session minima), and a floor
+    # estimated only up front can misattribute that drift to the render.
+    def measure_rtt(k=12):
+        rtts = []
+        for _ in range(k):
+            t0 = time.perf_counter()
+            float(jnp.float32(1.0) + s * 0)
+            rtts.append(time.perf_counter() - t0)
+        return rtts
+
+    rtts = measure_rtt()
+    log(f"scalar-pull RTT: min {1e3 * min(rtts):.2f} ms "
         f"(median {1e3 * float(np.median(rtts)):.2f})")
 
     iters = 6
@@ -125,6 +131,8 @@ def main():
         t0 = time.perf_counter()
         float(render_chain(dem, p))
         times.append(time.perf_counter() - t0)
+    rtts += measure_rtt()
+    rtt = float(np.min(rtts))
     ms = 1e3 * max(1e-9, float(np.median(times)) - rtt) / R
     log(f"per-viewpoint latency over {R}-render chains: {ms:.3f} ms  "
         f"(chain walls ms: {[round(1e3 * t, 1) for t in times]})")
