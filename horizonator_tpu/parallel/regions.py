@@ -45,7 +45,8 @@ from ..render.raymarch import resolve_to_image, _scan_shift
 
 
 def make_region_sharded_horizon(mesh: Mesh, *, width, k_cross, cells_per_deg,
-                                axis="region", az_axis=None):
+                                axis="region", az_axis=None,
+                                sampler="window", lat_hint_deg=45.0):
     """Build fn(dem (n, n) f32 [n % R == 0], params) -> (az (W,), tan_el
     (W,)) with the DEM row-sharded over mesh axis ``axis`` and the horizon
     combined exactly across bands.
@@ -55,6 +56,10 @@ def make_region_sharded_horizon(mesh: Mesh, *, width, k_cross, cells_per_deg,
     compute with the az axis -- the full 2D scaling mesh. Wedge outputs
     concatenate (disjoint columns); band contributions pmax within each
     wedge group.
+
+    ``sampler``: "window" (default -- the production Pallas kernel, now
+    rectangular-band aware via march_window's j_hi/j_offset) or "crossing"
+    (the gather-based oracle). Both are bitwise the unsharded march.
     """
     r = mesh.shape[axis]
     n_az = mesh.shape[az_axis] if az_axis else 1
@@ -66,7 +71,7 @@ def make_region_sharded_horizon(mesh: Mesh, *, width, k_cross, cells_per_deg,
         tanel, _, az, _ = _banded_march(
             dem_band, params, width=w_local, k_cross=k_cross,
             cells_per_deg=cells_per_deg, axis=axis, r=r, az_axis=az_axis,
-            n_az=n_az)
+            n_az=n_az, sampler=sampler, lat_hint_deg=lat_hint_deg)
         h = jnp.max(tanel, axis=1)
         return az, jax.lax.pmax(h, axis)
 
@@ -74,12 +79,14 @@ def make_region_sharded_horizon(mesh: Mesh, *, width, k_cross, cells_per_deg,
     sharded = shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(axis, None), P()),
-        out_specs=(out_col, out_col))
+        out_specs=(out_col, out_col),
+        check_vma=False)   # pallas march body under shard_map
     return jax.jit(sharded)
 
 
 def _banded_march(dem_band, params, *, width, k_cross, cells_per_deg,
-                  axis, r, az_axis, n_az):
+                  axis, r, az_axis, n_az, sampler="crossing",
+                  lat_hint_deg=45.0):
     """The shared band-local march: halo exchange + j-shifted crossing
     march, returning (tanel (W_local, K) with only this band's samples
     valid, dists, az, params-with-wedged-azimuth).
@@ -109,16 +116,24 @@ def _banded_march(dem_band, params, *, width, k_cross, cells_per_deg,
     # global params + integer row offset (NOT a shifted viewer_cell_j): the
     # march's geometry stays bitwise the single-device geometry; only the
     # band-local row indexing shifts (march_crossing j_offset docstring)
-    scene = pack_scene(local)
-    tanel, _, dists, az = march_crossing(
-        scene, p_img, width=width, k_cross=k_cross,
-        cells_per_deg=cells_per_deg, j_hi=j_hi, j_offset=idx * nb)
+    if sampler == "window":
+        from ..render.window import march_window
+        tanel, _, dists, az = march_window(
+            local, p_img, width=width, k_cross=k_cross,
+            cells_per_deg=cells_per_deg, lat_hint_deg=lat_hint_deg,
+            j_hi=j_hi, j_offset=idx * nb)
+    else:
+        scene = pack_scene(local)
+        tanel, _, dists, az = march_crossing(
+            scene, p_img, width=width, k_cross=k_cross,
+            cells_per_deg=cells_per_deg, j_hi=j_hi, j_offset=idx * nb)
     return tanel, dists, az, p_img
 
 
 def make_region_sharded_renderer(mesh: Mesh, *, width, height, k_cross,
                                  cells_per_deg, refine=True, axis="region",
-                                 az_axis=None):
+                                 az_axis=None, sampler="window",
+                                 lat_hint_deg=45.0):
     """Region-sharded FULL panorama (SURVEY.md 5.8c complete): fn(dem
     (n, n) f32 [n % R == 0], params) -> (image (H, W, 3) u8 BGR, ranges
     (H, W) f32) equal to the single-device crossing render.
@@ -144,7 +159,7 @@ def make_region_sharded_renderer(mesh: Mesh, *, width, height, k_cross,
         tanel, dists, az, p_img = _banded_march(
             dem_band, params, width=w_local, k_cross=k_cross,
             cells_per_deg=cells_per_deg, axis=axis, r=r, az_axis=az_axis,
-            n_az=n_az)
+            n_az=n_az, sampler=sampler, lat_hint_deg=lat_hint_deg)
         tanel = jax.lax.pmax(tanel, axis)
         run_max = _scan_shift(tanel, jnp.maximum, NEG_BIG)
         return resolve_to_image(

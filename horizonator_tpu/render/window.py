@@ -100,30 +100,54 @@ def _slice_roll_cols(arr2d, start, size):
     return jnp.roll(sl, start_c - start, axis=1)
 
 
-def _build_tables_multi(planes, params: RenderParams, k_kernel: int):
-    """(4, P, n_pad, k_kernel) float32 crossing tables for a STACK of
+def _build_tables_multi(planes, params: RenderParams, k_kernel: int,
+                        j_offset=None):
+    """(4, P, cross_pad, k_kernel) float32 crossing tables for a STACK of
     grid-resident planes (plane 0 is always elevation; textured renders add
     B/G/R color planes resampled to the DEM grid): table[d, p, x, m] is
     plane p's value at cross-axis position x of the line crossed at step m
     in direction d. The cross-axis is on sublanes so the kernel's window
-    DMA only needs 8-aligned (not 128-aligned) origins."""
-    n = planes.shape[1]
+    DMA only needs 8-aligned (not 128-aligned) origins.
+
+    Rectangular (nj, ni) grids are supported (region-sharding row bands):
+    the N/S cross axis is ni, the E/W one nj, both padded to the common
+    cross_pad. ``j_offset`` (traced int, default 0) is the grid's first
+    row in GLOBAL coordinates -- the caller's (global) viewer row selects
+    local rows j0 - j_offset. Row/column sources pad up to k_kernel when a
+    dimension is smaller (the extra rows are masked by the validity
+    bounds)."""
+    nj, ni = planes.shape[1], planes.shape[2]
     cj, ci = params.viewer_cell_j, params.viewer_cell_i
-    j0n = (jnp.floor(cj) + 1).astype(jnp.int32)
-    j0s = (jnp.ceil(cj) - 1).astype(jnp.int32)
+    offs = (jnp.int32(0) if j_offset is None
+            else jnp.asarray(j_offset, jnp.int32))
+    j0n = (jnp.floor(cj) + 1).astype(jnp.int32) - offs
+    j0s = (jnp.ceil(cj) - 1).astype(jnp.int32) - offs
     i0e = (jnp.floor(ci) + 1).astype(jnp.int32)
     i0w = (jnp.ceil(ci) - 1).astype(jnp.int32)
+    njp = max(nj, k_kernel)
+    nip = max(ni, k_kernel)
 
     def per_plane(g):
-        t_n = _slice_roll(g, j0n, k_kernel).T                   # rows j0n+m
-        t_s = _slice_roll(g[::-1], (n - 1) - j0s, k_kernel).T   # rows j0s-m
+        grow = (g if njp == nj
+                else jnp.pad(g, ((0, njp - nj), (0, 0))))
+        gcol = (g if nip == ni
+                else jnp.pad(g, ((0, 0), (0, nip - ni))))
+        t_n = _slice_roll(grow, j0n, k_kernel).T                # rows j0n+m
+        t_s = _slice_roll(grow[::-1], (njp - 1) - j0s,
+                          k_kernel).T                           # rows j0s-m
         # E/W tables want [x, m] = g[x, i0 +- m]: a COLUMN slice of g --
         # no transpose at all (the earlier transpose-slice-transpose form
         # made XLA materialize a full-grid transpose, ~0.1 ms at the
         # headline grid).
-        t_e = _slice_roll_cols(g, i0e, k_kernel)                # cols i0e+m
-        t_w = _slice_roll_cols(g[:, ::-1], (n - 1) - i0w, k_kernel)
-        return jnp.stack([t_n, t_s, t_e, t_w])                  # (4, n, k)
+        t_e = _slice_roll_cols(gcol, i0e, k_kernel)             # cols i0e+m
+        t_w = _slice_roll_cols(gcol[:, ::-1], (nip - 1) - i0w, k_kernel)
+        cross_pad = max(-(-ni // 64) * 64, -(-nj // 64) * 64)
+        parts = []
+        for tt in (t_n, t_s, t_e, t_w):
+            if tt.shape[0] != cross_pad:
+                tt = jnp.pad(tt, ((0, cross_pad - tt.shape[0]), (0, 0)))
+            parts.append(tt)
+        return jnp.stack(parts)                      # (4, cross_pad, k)
 
     if planes.shape[0] == 1:
         # single plane: build (4, n, k) directly -- a vmap-then-squeeze
@@ -131,9 +155,6 @@ def _build_tables_multi(planes, params: RenderParams, k_kernel: int):
         tall = per_plane(planes[0])[:, None]
     else:
         tall = jax.vmap(per_plane, in_axes=0, out_axes=1)(planes)  # 4,P,n,k
-    n_pad = -(-n // 64) * 64                  # cross-axis: window DMA bound
-    if n_pad != n:
-        tall = jnp.pad(tall, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
     return tall
 
 
@@ -234,8 +255,15 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
             dmac = pltpu.make_async_copy(srcc, winc_ref, semc_ref)
             dmac.start()
 
-        # per-column params (W_pad, 8): a, t, e, scale, axis0, sign, dirid
-        pblk = pcol_ref[pl.ds(wt * tile_w, tile_w), :]         # (TW, 8)
+        # per-column params (W_pad, 12): a, t, e, scale, axis0, sign,
+        # dirid, axis_lo, axis_hi, cross_lo, cross_hi, 0. The axis/cross
+        # validity bounds are per COLUMN because rectangular band grids
+        # (region sharding) bound the row coordinate by [j_offset,
+        # j_offset + j_hi] globally -- which is the axis for row-dominant
+        # columns and the cross position for column-dominant ones. For a
+        # square unsharded grid all four reduce to [0, n-1] and the mask
+        # is bitwise the old static-n form.
+        pblk = pcol_ref[pl.ds(wt * tile_w, tile_w), :]         # (TW, 12)
         a = pblk[:, 0:1]
         t = pblk[:, 1:2]
         e = pblk[:, 2:3]
@@ -243,12 +271,20 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
         axis0 = pblk[:, 4:5]
         sgn = pblk[:, 5:6]
         dirid = pblk[:, 6:7]
+        axis_lo = pblk[:, 7:8]
+        axis_hi = pblk[:, 8:9]
+        cross_lo = pblk[:, 9:10]
+        cross_hi = pblk[:, 10:11]
         vz = fscal_ref[0]
         znear = fscal_ref[1]
         zfar = fscal_ref[2]
         curv = fscal_ref[3]    # earth-curvature drop rate, 0 = flat
 
-        of = o.astype(jnp.float32)
+        # DMA origin o indexes the LOCAL table rows; the POSITION origin
+        # (slot 4+d) is the same point in GLOBAL coordinates (they differ
+        # by j_offset for the E/W tables of a band grid). pos math runs in
+        # globals so a band's samples stay bitwise the unsharded march's.
+        of = orig_ref[wt, kt, 4 + d].astype(jnp.float32)
 
         mf = (jax.lax.broadcasted_iota(jnp.int32, (1, tile_k), 1)
               + kt * tile_k).astype(jnp.float32)               # (1, TK)
@@ -257,8 +293,8 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
         dm = (mf + e) * scale
         posg = pos + of
         valid = ((dirid == d.astype(jnp.float32))
-                 & (axis_m >= 0.0) & (axis_m <= n - 1.0)
-                 & (posg >= 0.0) & (posg <= n - 1.0)
+                 & (axis_m >= axis_lo) & (axis_m <= axis_hi)
+                 & (posg >= cross_lo) & (posg <= cross_hi)
                  & (pos >= 0.0) & (pos <= win - 1.0)
                  & (dm >= znear) & (dm <= zfar))
 
@@ -326,7 +362,7 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
                                              "n_near", "interpret", "tile_w"))
 def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
                  lat_hint_deg=45.0, n_near=N_NEAR, interpret=None,
-                 tile_w=None, color_planes=None):
+                 tile_w=None, color_planes=None, j_hi=None, j_offset=None):
     """Pallas-kernel crossing march on a raw (n, n) float32 DEM.
 
     Same contract as crossing.march_crossing: returns
@@ -344,6 +380,14 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
     way the sampling is gather-free and a fifth value is returned: tex
     (W, n_near+K) int32, each sample's packed 0x00RRGGBB color at its
     crossing position.
+
+    Rectangular (nj, ni) grids -- region-sharding row bands -- are
+    supported via ``j_hi``/``j_offset`` with march_crossing's exact
+    semantics: ``j_offset`` is the grid's first row in GLOBAL coordinates
+    (geometry is evaluated with the caller's global viewer and only the
+    LOCAL table indexing shifts, so band samples are BITWISE the global
+    march's); ``j_hi`` caps the VALID local row range (halo-row masking
+    on the last band). Textured mode requires a square unsharded grid.
     """
     if interpret is None:
         # CPU backend (tests, virtual multi-chip meshes) has no Mosaic
@@ -352,7 +396,18 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
     from .texture import ColorPlanes2x, prepare_color_planes
     p = params
     textured = color_planes is not None
-    n_real = dem.shape[0]
+    nj_real, ni_real = dem.shape
+    n_real = ni_real                     # square-path alias
+    banded = (nj_real != ni_real) or (j_hi is not None) \
+        or (j_offset is not None)
+    if textured and banded:
+        raise NotImplementedError(
+            "textured march_window requires a square unsharded grid")
+    if j_hi is None:
+        j_hi = nj_real - 1
+    j_hi_f = jnp.asarray(j_hi, jnp.float32)
+    offs = jnp.asarray(0 if j_offset is None else j_offset, jnp.int32)
+    offs_f = offs.astype(jnp.float32)
     tex_scale = 1
     if textured:
         if isinstance(color_planes, ColorPlanes2x):
@@ -367,18 +422,21 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
                 raise ValueError(
                     f"color_planes cross size {color_planes.shape[1]} is "
                     f"neither n nor 2n for n={n_real}")
-    if n_real < TILE_K + 8:      # tiny scenes: pad (zeros = ocean, masked)
-        pad_n = TILE_K + 8 - n_real
-        dem = jnp.pad(dem, ((0, pad_n), (0, pad_n)))
+    # tiny scenes: pad (zeros = ocean, masked by the validity bounds)
+    pad_j = max(0, TILE_K + 8 - nj_real)
+    pad_i = max(0, TILE_K + 8 - ni_real)
+    if pad_j or pad_i:
+        dem = jnp.pad(dem, ((0, pad_j), (0, pad_i)))
         if textured:
             if isinstance(color_planes, ColorPlanes2x):
                 from .texture import unpack_color_planes
                 color_planes = unpack_color_planes(
                     color_planes.full_packed)     # re-prepared below
-            cpd_ = tex_scale * pad_n
+            cpd_ = tex_scale * pad_i
             color_planes = jnp.pad(color_planes,
                                    ((0, 0), (0, cpd_), (0, cpd_)))
-    n = dem.shape[0]
+    nj, ni = dem.shape
+    n = ni                               # square-path alias
     cp2x = None
     full_planes = color_planes          # s=1 near-band source (3, n, n)
     if textured and tex_scale == 2:
@@ -387,13 +445,27 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
         full_planes = None              # s=2 near band uses full_packed
     if tile_w is None:
         tile_w = pick_tile_w(width)
-    k_kernel = max(TILE_K, min(k_cross, (n // TILE_K) * TILE_K))
+    n_ax = max(nj, ni)
+    k_kernel = max(TILE_K, min(k_cross, (n_ax // TILE_K) * TILE_K))
     k_kernel = -(-k_kernel // TILE_K) * TILE_K
     w_pad = -(-width // tile_w) * tile_w
-    win = window_size(width, k_kernel, n, lat_hint_deg, tile_w)
+    win = window_size(width, k_kernel, n_ax, lat_hint_deg, tile_w)
 
     geo = crossing_geometry(params, width=width, cells_per_deg=cells_per_deg)
     dirid = _dir_id(geo)
+
+    # Per-column validity bounds in GLOBAL coordinates: the row coordinate
+    # is bounded by [j_offset, j_offset + j_hi] (the axis for row-dominant
+    # columns, the cross position for column-dominant ones); the column
+    # coordinate by [0, ni-1]. Square unsharded grids reduce all four to
+    # [0, n-1] bitwise.
+    jd = geo.j_dom
+    j_lo_g = offs_f
+    j_hi_g = offs_f + j_hi_f
+    axis_lo = jnp.where(jd, j_lo_g, 0.0)
+    axis_hi = jnp.where(jd, j_hi_g, ni_real - 1.0)
+    cross_lo = jnp.where(jd, 0.0, j_lo_g)
+    cross_hi = jnp.where(jd, ni_real - 1.0, j_hi_g)
 
     # --- per-tile window origins + active flags (exact, masked) -----------
     n_wt = w_pad // tile_w
@@ -403,11 +475,14 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
     axis_m = (geo.axis0.astype(jnp.float32)[:, None]
               + m * geo.sign.astype(jnp.float32)[:, None])
     d_all = (m + geo.e[:, None]) * geo.scale[:, None]
-    valid = ((axis_m >= 0) & (axis_m <= n_real - 1)
-             & (pos >= 0) & (pos <= n_real - 1)
+    valid = ((axis_m >= axis_lo[:, None]) & (axis_m <= axis_hi[:, None])
+             & (pos >= cross_lo[:, None]) & (pos <= cross_hi[:, None])
              & (d_all >= p.znear) & (d_all <= p.zfar))
 
-    posq = jnp.where(valid, pos, jnp.inf)
+    # the window origins/extents index LOCAL table rows: the E/W cross
+    # axis (row coordinate) shifts by j_offset
+    pos_local = jnp.where(jd[:, None], pos, pos - offs_f)
+    posq = jnp.where(valid, pos_local, jnp.inf)
     pad_cols = w_pad - width
     if pad_cols:
         posq = jnp.pad(posq, ((0, pad_cols), (0, 0)),
@@ -428,7 +503,7 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
         mx = jnp.max(jnp.where(jnp.isfinite(sel), sel, -jnp.inf),
                      axis=(2, 3))
         act = jnp.isfinite(mn)
-        n_pad = -(-n // 64) * 64
+        n_pad = max(-(-ni // 64) * 64, -(-nj // 64) * 64)   # table cross_pad
         o = jnp.clip(jnp.floor(mn) - 1, 0,
                      max(n_pad - win, 0)).astype(jnp.int32)
         o = o & ~7                                 # 8-aligned DMA sublanes
@@ -448,9 +523,14 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
         # computed for the extent bound.
         dropped = dropped + jnp.sum(
             (act & (mx_safe > (o + win - 1))).astype(jnp.int32))
-        origins.append(jnp.where(act, o, 0))
+        o = jnp.where(act, o, 0)
+        origins.append(o)
+        # the GLOBAL-coordinate origin (slot 4+d): the kernel's position
+        # math runs in globals so band samples stay bitwise
+        origins.append(o + (offs if d >= 2 else jnp.int32(0)))
         actives.append(jnp.where(act, n_iter, 0))
-    origins = jnp.stack(origins, axis=-1)                      # (n_wt,n_kt,4)
+    # interleaved [local d0..d3, global d0..d3]
+    origins = jnp.stack(origins[0::2] + origins[1::2], axis=-1)  # (..., 8)
     actives = jnp.stack(actives, axis=-1)
 
     # --- inputs ------------------------------------------------------------
@@ -458,18 +538,21 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
     tallc = None
     if textured and tex_scale == 1:
         planes = jnp.concatenate([planes, color_planes.astype(jnp.float32)])
-        tall = _build_tables_multi(planes, p, k_kernel)  # (4, 4, n_pad, k)
+        tall = _build_tables_multi(planes, p, k_kernel,
+                                   j_offset=offs)      # (4, 4, n_pad, k)
     else:
-        tall = _build_tables_multi(planes, p, k_kernel)[:, 0]  # (4,n_pad,k)
+        tall = _build_tables_multi(planes, p, k_kernel,
+                                   j_offset=offs)[:, 0]  # (4, n_pad, k)
         if textured:
             tallc = _build_color_tables_2x(cp2x, p, k_kernel, n)  # bf16
     pcol = jnp.stack([
         geo.a, geo.t, geo.e, geo.scale,
         geo.axis0.astype(jnp.float32), geo.sign.astype(jnp.float32),
         dirid.astype(jnp.float32),
-        jnp.zeros_like(geo.a)], axis=1)                        # (W, 8)
+        axis_lo, axis_hi, cross_lo, cross_hi,
+        jnp.zeros_like(geo.a)], axis=1)                        # (W, 12)
     if pad_cols:
-        pad = jnp.zeros((pad_cols, 8), jnp.float32)
+        pad = jnp.zeros((pad_cols, 12), jnp.float32)
         pad = pad.at[:, 6].set(-1.0)
         pcol = jnp.concatenate([pcol, pad], axis=0)
     fscal = jnp.stack([jnp.asarray(p.viewer_z, jnp.float32),
@@ -538,10 +621,13 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
         cos_az = jnp.cos(geo.az)[:, None]
         iq = p.viewer_cell_i + dq * sin_az / cell_e
         jq = p.viewer_cell_j + dq * cos_az / cell_n
-        i0 = jnp.clip(jnp.floor(iq), 0, n_real - 2).astype(jnp.int32)
-        j0 = jnp.clip(jnp.floor(jq), 0, n_real - 2).astype(jnp.int32)
+        # band-local row: in-band f32 x - k with integer k is exact, so
+        # square grids (offs=0) stay bitwise (march_crossing:303-305)
+        jq_l = jq - offs_f
+        i0 = jnp.clip(jnp.floor(iq), 0, ni_real - 2).astype(jnp.int32)
+        j0 = jnp.clip(jnp.floor(jq_l), 0, nj_real - 2).astype(jnp.int32)
         fi = jnp.clip(iq - i0, 0.0, 1.0)
-        fj = jnp.clip(jq - j0, 0.0, 1.0)
+        fj = jnp.clip(jq_l - j0, 0.0, 1.0)
         # TWO pair-packed gathers fetch all 4 bilinear corners (gathers
         # cost ~10 ns/ELEMENT: the 4-take form was ~0.7 ms of the
         # headline frame; the full-grid pack is a ~0.1 ms stream). 0.5 m
@@ -549,13 +635,14 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
         # uses everywhere.
         from .raymarch import pack_dem_pairs, _unpack_pair
         flatp = pack_dem_pairs(dem).reshape(-1)
-        base = j0 * (n - 1) + i0
+        base = j0 * (ni - 1) + i0
         z00, z01 = _unpack_pair(jnp.take(flatp, base))
-        z10, z11 = _unpack_pair(jnp.take(flatp, base + (n - 1)))
+        z10, z11 = _unpack_pair(jnp.take(flatp, base + (ni - 1)))
         ztop = z00 + (z01 - z00) * fi
         zbot = z10 + (z11 - z10) * fi
         zq = ztop + (zbot - ztop) * fj
-        vq = ((iq >= 0) & (iq <= n_real - 1) & (jq >= 0) & (jq <= n_real - 1) &
+        vq = ((iq >= 0) & (iq <= ni_real - 1) &
+              (jq_l >= 0) & (jq_l <= j_hi_f) &
               (dq >= p.znear) & (dq <= p.zfar) & (dq < near_hi[:, None]))
         tanel_q = jnp.where(vq, (zq - p.viewer_z) / dq - dq * p.curv,
                             NEG_BIG)

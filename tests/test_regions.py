@@ -36,7 +36,7 @@ def test_region_sharded_horizon_matches_single(r, viewer_j):
                                  cells_per_deg=CPD)
 
     fn = make_region_sharded_horizon(_mesh(r), width=width, k_cross=k,
-                                     cells_per_deg=CPD)
+                                     cells_per_deg=CPD, sampler="crossing")
     az2, tan2 = fn(dem, p)
 
     t1, t2 = np.asarray(tan1), np.asarray(tan2)
@@ -57,7 +57,7 @@ def test_region_sharding_near_band_edge_viewer():
     az1, tan1 = horizon_crossing(pack_scene(dem), p, width=256, k_cross=k,
                                  cells_per_deg=CPD)
     fn = make_region_sharded_horizon(_mesh(4), width=256, k_cross=k,
-                                     cells_per_deg=CPD)
+                                     cells_per_deg=CPD, sampler="crossing")
     _, tan2 = fn(dem, p)
     t1, t2 = np.asarray(tan1), np.asarray(tan2)
     vis = t1 > -1e30
@@ -81,7 +81,7 @@ def test_region_sharding_north_edge_matches_single(viewer_j):
     az1, tan1 = horizon_crossing(pack_scene(dem), p, width=width, k_cross=k,
                                  cells_per_deg=CPD)
     fn = make_region_sharded_horizon(_mesh(4), width=width, k_cross=k,
-                                     cells_per_deg=CPD)
+                                     cells_per_deg=CPD, sampler="crossing")
     _, tan2 = fn(dem, p)
     t1, t2 = np.asarray(tan1), np.asarray(tan2)
     assert np.array_equal(t1 > -1e30, t2 > -1e30)
@@ -105,7 +105,8 @@ def test_region_x_az_2d_mesh():
     devs = np.array(jax.devices()[:8]).reshape(2, 4)
     mesh2 = Mesh(devs, ("region", "az"))
     fn = make_region_sharded_horizon(mesh2, width=width, k_cross=k,
-                                     cells_per_deg=CPD, az_axis="az")
+                                     cells_per_deg=CPD, az_axis="az",
+                                     sampler="crossing")
     az2, tan2 = fn(dem, p)
     t1, t2 = np.asarray(tan1), np.asarray(tan2)
     np.testing.assert_allclose(np.asarray(az1), np.asarray(az2), atol=1e-5)
@@ -143,7 +144,8 @@ def test_region_sharded_full_panorama_matches_single(mesh_kw):
     mesh = Mesh(devs, mesh_kw["names"])
     fn = make_region_sharded_renderer(mesh, width=width, height=height,
                                       k_cross=k, cells_per_deg=CPD,
-                                      az_axis=mesh_kw["az_axis"])
+                                      az_axis=mesh_kw["az_axis"],
+                                      sampler="crossing")
     img2, rng2 = fn(dem, p)
     assert img2.shape == (height, width, 3)
     if mesh_kw["az_axis"] is None:
@@ -158,3 +160,81 @@ def test_region_sharded_full_panorama_matches_single(mesh_kw):
         assert (~vis_agree).mean() < 0.002
         np.testing.assert_allclose(r_s[vis_agree], r_1[vis_agree],
                                    rtol=5e-3, atol=1.0)
+
+
+# --- window (Pallas) sampler on row bands ---------------------------------
+
+def test_region_window_horizon_bitwise_single_window():
+    """The production Pallas window march on rectangular row bands: the
+    pmax-combined per-band tanel must be BITWISE the single-device window
+    march's (integer-origin subtraction below 2^24 is exact, zero-hat
+    window rows contribute exact +0.0, and bands partition the valid
+    sample set with idempotent overlap)."""
+    from horizonator_tpu.render.window import march_window
+
+    dem = make_dem(256, rough=6.0)
+    d_np = np.asarray(dem)
+    vz = float(d_np[127:129, 128:130].max()) + 2.0
+    p = params_for(dem, 128.3, 127.6, vz, zfar=12000.0)
+    k = k_cross_for(12000.0, CPD, 34.0, n=256)
+    width = 360
+
+    tan1, _, dists1, az1 = march_window(dem, p, width=width, k_cross=k,
+                                        cells_per_deg=CPD, lat_hint_deg=34.0)
+    assert int(dists1.dropped) == 0
+    h1 = np.asarray(jnp.max(tan1, axis=1))
+
+    fn = make_region_sharded_horizon(_mesh(4), width=width, k_cross=k,
+                                     cells_per_deg=CPD, sampler="window",
+                                     lat_hint_deg=34.0)
+    az2, tan2 = fn(dem, p)
+    np.testing.assert_array_equal(h1, np.asarray(tan2))
+    np.testing.assert_allclose(np.asarray(az1), np.asarray(az2), atol=1e-6)
+
+
+@pytest.mark.parametrize("viewer_j", [2.5, 253.4])
+def test_region_window_horizon_edge_viewers(viewer_j):
+    # band-edge viewers: near band + fabricated last-band halo both route
+    # through march_window's j_hi/j_offset masking
+    from horizonator_tpu.render.window import march_window
+
+    dem = make_dem(256, rough=6.0)
+    d_np = np.asarray(dem)
+    vz = float(d_np[int(viewer_j):int(viewer_j) + 2, 128:130].max()) + 2.0
+    p = params_for(dem, 128.3, viewer_j, vz, zfar=9000.0)
+    k = k_cross_for(9000.0, CPD, 34.0, n=256)
+    width = 256
+
+    tan1, _, dists1, _ = march_window(dem, p, width=width, k_cross=k,
+                                      cells_per_deg=CPD, lat_hint_deg=34.0)
+    assert int(dists1.dropped) == 0
+    h1 = np.asarray(jnp.max(tan1, axis=1))
+    fn = make_region_sharded_horizon(_mesh(4), width=width, k_cross=k,
+                                     cells_per_deg=CPD, sampler="window",
+                                     lat_hint_deg=34.0)
+    _, tan2 = fn(dem, p)
+    np.testing.assert_array_equal(h1, np.asarray(tan2))
+
+
+def test_region_window_full_panorama_bitwise():
+    """Region-sharded renderer on the window sampler == single-device
+    render_panorama(sampler='window') EXACTLY (identical resolve input)."""
+    from horizonator_tpu.parallel.regions import make_region_sharded_renderer
+    from horizonator_tpu.render import render_panorama
+
+    dem = make_dem(256, rough=6.0)
+    d_np = np.asarray(dem)
+    vz = float(d_np[127:129, 128:130].max()) + 2.0
+    p = params_for(dem, 128.3, 127.6, vz, zfar=12000.0)
+    k = k_cross_for(12000.0, CPD, 34.0, n=256)
+    width, height = 256, 96
+
+    img1, rng1 = render_panorama(dem, p, width=width, height=height,
+                                 nsteps=k, cells_per_deg=CPD,
+                                 sampler="window", lat_hint_deg=34.0)
+    fn = make_region_sharded_renderer(_mesh(4), width=width, height=height,
+                                      k_cross=k, cells_per_deg=CPD,
+                                      sampler="window", lat_hint_deg=34.0)
+    img2, rng2 = fn(dem, p)
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+    np.testing.assert_array_equal(np.asarray(rng1), np.asarray(rng2))

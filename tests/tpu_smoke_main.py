@@ -77,6 +77,38 @@ def main():
         print(f"march tile_w={tile_w}: Mosaic == interpreter "
               f"(max err {err:.2e})", file=sys.stderr)
 
+    # rectangular row bands (region sharding's local shape): 4 bands of
+    # 128 rows + 1 halo row, marched with j_hi/j_offset on Mosaic; the
+    # max-combined tanel must be BITWISE the unsharded Mosaic march's
+    tan_full, _, _, _ = march_window(
+        dem, p, width=512, k_cross=k, cells_per_deg=1200,
+        lat_hint_deg=34.0, interpret=False)
+    nb = n // 4
+    comb = jnp.full_like(tan_full, -3.0e38)
+    drop_band = 0
+    for b in range(4):
+        hi = min((b + 1) * nb + 1, n)
+        band = dem[b * nb:hi]
+        if band.shape[0] < nb + 1:            # fabricated last-band halo
+            band = jnp.concatenate(
+                [band, jnp.zeros((nb + 1 - band.shape[0], n), band.dtype)])
+        j_hi = jnp.float32(nb - 1 if b == 3 else nb)
+        tan_b, _, dists_b, _ = march_window(
+            band, p, width=512, k_cross=k, cells_per_deg=1200,
+            lat_hint_deg=34.0, interpret=False, j_hi=j_hi,
+            j_offset=jnp.int32(b * nb))
+        drop_band += int(dists_b.dropped)
+        comb = jnp.maximum(comb, tan_b)
+    if drop_band != 0:
+        print(f"TPU_SMOKE_FAIL: banded march dropped {drop_band} tiles")
+        return 1
+    if not np.array_equal(np.asarray(comb), np.asarray(tan_full)):
+        nbad = int((np.asarray(comb) != np.asarray(tan_full)).sum())
+        print(f"TPU_SMOKE_FAIL: banded march != unsharded ({nbad} samples)")
+        return 1
+    print("banded march (4 row bands): Mosaic bitwise == unsharded",
+          file=sys.stderr)
+
     # textured march, BOTH color-plane resolutions: the 2x path adds a
     # second strided DMA ((3, 2*win, TK) window at origin 2*o) that only
     # Mosaic exercises for real
