@@ -267,7 +267,7 @@ class horizonator:
             textured=self.render_texture,
             atlas=self._atlas, atlas_params=self._atlas_params,
             sampler=sampler, lat_hint_deg=self._lat_hint(),
-            lod_plan=lod_plan,
+            lod_plan=lod_plan, znear_hint_m=float(znear),
             color_planes=self._color_planes if sampler == "window" else None)
 
         ranges_np = np.asarray(ranges)
@@ -346,7 +346,8 @@ class horizonator:
                   cells_per_deg=self.mosaic.cells_per_deg,
                   surface=self.surface, refine=self.refine,
                   sampler=sampler, lat_hint_deg=self._lat_hint(),
-                  lod_plan=lod_plan, textured=textured)
+                  lod_plan=lod_plan, textured=textured,
+                  znear_hint_m=float(znear))
         cp = self._color_planes if textured else None
 
         if mesh is None:
@@ -405,7 +406,7 @@ class horizonator:
                 self._dem, params, width=width,
                 k_cross=self._auto_nsteps(znear, zfar),
                 cells_per_deg=self.mosaic.cells_per_deg,
-                lat_hint_deg=self._lat_hint())
+                lat_hint_deg=self._lat_hint(), znear_hint_m=float(znear))
             # full-column horizon = plain max; the running-max scan
             # dead-codes out (it cost ~0.45 ms at headline widths)
             tan_el = jnp.max(tanel, axis=1)

@@ -31,9 +31,10 @@ DEG = math.pi / 180.0
 
 @functools.partial(
     jax.jit, static_argnames=("width", "nsteps", "cells_per_deg", "surface",
-                              "sampler", "lat_hint_deg"))
+                              "sampler", "lat_hint_deg", "znear_hint_m"))
 def viewshed_polar(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
-                   surface="bilinear", sampler="step", lat_hint_deg=45.0):
+                   surface="bilinear", sampler="step", lat_hint_deg=45.0,
+                   znear_hint_m=100.0):
     """Polar visibility field for one viewpoint.
 
     Returns (visible (W, K) bool, tanel (W, K), d, az (W,)): sample k of
@@ -68,10 +69,10 @@ def viewshed_polar(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
 
 @functools.partial(
     jax.jit, static_argnames=("width", "nsteps", "cells_per_deg", "surface",
-                              "out_halfwidth", "sampler", "lat_hint_deg"))
+                              "out_halfwidth", "sampler", "lat_hint_deg", "znear_hint_m"))
 def viewshed_grid(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
                   surface="bilinear", out_halfwidth=None, sampler="step",
-                  lat_hint_deg=45.0):
+                  lat_hint_deg=45.0, znear_hint_m=100.0):
     """GIS-style visibility raster around the viewer.
 
     Evaluates the polar visibility at each output CELL's own (az, dist)
@@ -88,7 +89,8 @@ def viewshed_grid(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
     if sampler in ("crossing", "window"):
         visible, tanel, _, _, dists = _polar_with_dists(
             dem, p, width=width, nsteps=nsteps, cells_per_deg=cells_per_deg,
-            surface=surface, sampler=sampler, lat_hint_deg=lat_hint_deg)
+            surface=surface, sampler=sampler, lat_hint_deg=lat_hint_deg,
+            znear_hint_m=znear_hint_m)
     else:
         visible, _, _, _ = viewshed_polar(
             dem, p, width=width, nsteps=nsteps, cells_per_deg=cells_per_deg,
@@ -151,14 +153,15 @@ def viewshed_grid(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
 
 
 def _polar_with_dists(dem, params, *, width, nsteps, cells_per_deg, surface,
-                      sampler, lat_hint_deg):
+                      sampler, lat_hint_deg, znear_hint_m=100.0):
     """viewshed_polar for the crossing samplers, also returning the
     CrossingDists (viewshed_grid needs the per-column distance map)."""
     if sampler == "window":
         from ..render.window import march_window
         tanel, run_max, dists, az = march_window(
             dem, params, width=width, k_cross=nsteps,
-            cells_per_deg=cells_per_deg, lat_hint_deg=lat_hint_deg)
+            cells_per_deg=cells_per_deg, lat_hint_deg=lat_hint_deg,
+            znear_hint_m=znear_hint_m)
     else:
         from ..render.crossing import CrossingScene, pack_scene, \
             march_crossing
@@ -187,10 +190,10 @@ def _unwrap(x, near):
 
 @functools.partial(
     jax.jit, static_argnames=("width", "nsteps", "cells_per_deg", "surface",
-                              "sampler", "lat_hint_deg"))
+                              "sampler", "lat_hint_deg", "znear_hint_m"))
 def horizon_sweep(dem, params_batch: RenderParams, *, width, nsteps,
                   cells_per_deg, surface="bilinear", sampler="step",
-                  lat_hint_deg=45.0):
+                  lat_hint_deg=45.0, znear_hint_m=100.0):
     """(B,) stacked viewpoints -> (B, W) horizon tan(el). The building block
     of the 10k-viewpoint sweep; shard the batch axis for multi-chip.
 
@@ -210,7 +213,8 @@ def horizon_sweep(dem, params_batch: RenderParams, *, width, nsteps,
         def one_w(p):
             tanel, _, _, _ = march_window(
                 dem, p, width=width, k_cross=nsteps,
-                cells_per_deg=cells_per_deg, lat_hint_deg=lat_hint_deg)
+                cells_per_deg=cells_per_deg, lat_hint_deg=lat_hint_deg,
+                znear_hint_m=znear_hint_m)
             return jnp.max(tanel, axis=1)   # scan dead-codes out
         return jax.lax.map(one_w, params_batch)
     if sampler == "crossing":
@@ -274,7 +278,7 @@ def viewshed_sweep(dem, viewpoints_ij, *, viewer_height_m=2.0, width=256,
     sweep = functools.partial(
         horizon_sweep, width=width, nsteps=nsteps,
         cells_per_deg=cells_per_deg, surface=surface, sampler=sampler,
-        lat_hint_deg=lat_hint_deg)
+        lat_hint_deg=lat_hint_deg, znear_hint_m=float(znear))
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
         try:

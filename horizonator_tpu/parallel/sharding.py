@@ -55,11 +55,11 @@ def broadcast_params_batch(params: RenderParams) -> RenderParams:
     jax.jit,
     static_argnames=("width", "height", "nsteps", "cells_per_deg", "surface",
                      "refine", "sampler", "lat_hint_deg", "lod_plan",
-                     "textured"))
+                     "textured", "znear_hint_m"))
 def render_batch(dem, params: RenderParams, *, width, height, nsteps,
                  cells_per_deg, surface="bilinear", refine=True,
                  sampler="step", lat_hint_deg=45.0, lod_plan=None,
-                 textured=False, color_planes=None):
+                 textured=False, color_planes=None, znear_hint_m=100.0):
     """Single-device batch render over a stacked RenderParams batch.
     Returns (images (B,H,W,3) u8, ranges (B,H,W) f32).
 
@@ -74,7 +74,8 @@ def render_batch(dem, params: RenderParams, *, width, height, nsteps,
         dem, p, width=width, height=height, nsteps=nsteps,
         cells_per_deg=cells_per_deg, surface=surface, refine=refine,
         sampler=sampler, lat_hint_deg=lat_hint_deg, lod_plan=lod_plan,
-        textured=textured, color_planes=color_planes)
+        textured=textured, color_planes=color_planes,
+        znear_hint_m=znear_hint_m)
     params = broadcast_params_batch(params)
     if sampler in ("window", "lod"):
         return jax.lax.map(fn, params)
@@ -97,7 +98,8 @@ def _wedge_params(p: RenderParams, az_idx, n_az: int) -> RenderParams:
 
 def make_sharded_renderer(mesh: Mesh, *, width, height, nsteps, cells_per_deg,
                           surface="bilinear", refine=True, sampler="step",
-                          lat_hint_deg=45.0, lod_plan=None, textured=False):
+                          lat_hint_deg=45.0, lod_plan=None, textured=False,
+                          znear_hint_m=100.0):
     """Build the multi-chip renderer over mesh axes ("batch", "az").
 
     Returns a jitted fn(dem, params_batch) -> (images (B,H,W,3), ranges
@@ -120,7 +122,7 @@ def make_sharded_renderer(mesh: Mesh, *, width, height, nsteps, cells_per_deg,
                 cells_per_deg=cells_per_deg, surface=surface, refine=refine,
                 sampler=sampler, lat_hint_deg=lat_hint_deg,
                 lod_plan=lod_plan, textured=textured,
-                color_planes=color_planes)
+                color_planes=color_planes, znear_hint_m=znear_hint_m)
 
         if sampler in ("window", "lod"):
             return jax.lax.map(one, params)
@@ -189,11 +191,11 @@ def make_sharded_horizon(mesh: Mesh, *, width, nsteps, cells_per_deg,
     jax.jit,
     static_argnames=("width", "height", "nsteps", "cells_per_deg", "surface",
                      "refine", "sampler", "lat_hint_deg", "lod_plan",
-                     "textured"))
+                     "textured", "znear_hint_m"))
 def render_path(dem, params_path: RenderParams, *, width, height, nsteps,
                 cells_per_deg, surface="bilinear", refine=True,
                 sampler="step", lat_hint_deg=45.0, lod_plan=None,
-                textured=False, color_planes=None):
+                textured=False, color_planes=None, znear_hint_m=100.0):
     """Fly-through: render a whole camera path in ONE dispatch via lax.map,
     avoiding per-frame host->device latency (SURVEY.md §7 'interactivity
     economics'). params_path: stacked RenderParams with leading axis =
@@ -203,5 +205,6 @@ def render_path(dem, params_path: RenderParams, *, width, height, nsteps,
         dem, p, width=width, height=height, nsteps=nsteps,
         cells_per_deg=cells_per_deg, surface=surface, refine=refine,
         sampler=sampler, lat_hint_deg=lat_hint_deg, lod_plan=lod_plan,
-        textured=textured, color_planes=color_planes)
+        textured=textured, color_planes=color_planes,
+        znear_hint_m=znear_hint_m)
     return jax.lax.map(fn, broadcast_params_batch(params_path))

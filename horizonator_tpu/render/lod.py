@@ -140,7 +140,8 @@ def _scaled_params(p: RenderParams, level: int):
 
 
 def march_lod(pyramid, params: RenderParams, *, width, plan, cells_per_deg,
-              lat_hint_deg=45.0, n_near=N_NEAR, interpret=None):
+              lat_hint_deg=45.0, n_near=N_NEAR, interpret=None,
+              znear_hint_m=100.0):
     """Multi-level crossing march. Same output contract as march_window:
     (tanel (W, n_near + sum(seg_len)), run_max, dists, az).
 
@@ -171,7 +172,8 @@ def march_lod(pyramid, params: RenderParams, *, width, plan, cells_per_deg,
         tanel_l, _, dists_l, az = march_window(
             dem_l, p_l, width=width, k_cross=spec.k_lo + spec.k_len,
             cells_per_deg=cpd_l, lat_hint_deg=lat_hint_deg,
-            n_near=n_near if is_first else 0, interpret=interpret)
+            n_near=n_near if is_first else 0, interpret=interpret,
+            znear_hint_m=znear_hint_m if is_first else None)
         nn = n_near if is_first else 0
         k_avail = tanel_l.shape[1] - nn
         hi = min(spec.k_lo + spec.k_len, k_avail)

@@ -773,12 +773,13 @@ def march_tanel(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
     jax.jit,
     static_argnames=("width", "height", "nsteps", "cells_per_deg",
                      "surface", "refine", "textured", "atlas_params",
-                     "sampler", "lat_hint_deg", "lod_plan"))
+                     "sampler", "lat_hint_deg", "lod_plan",
+                     "znear_hint_m"))
 def render_panorama(dem, params: RenderParams, *, width, height, nsteps,
                     cells_per_deg, surface="bilinear", refine=True,
                     textured=False, atlas=None, atlas_params=None,
                     sampler="step", lat_hint_deg=45.0, lod_plan=None,
-                    color_planes=None):
+                    color_planes=None, znear_hint_m=100.0):
     """Render one panorama.
 
     Args:
@@ -820,7 +821,8 @@ def render_panorama(dem, params: RenderParams, *, width, height, nsteps,
             pyramid = _lod.build_pyramid(dem, nlev)
         tanel, run_max, dists, az = _lod.march_lod(
             tuple(pyramid), p, width=width, plan=lod_plan,
-            cells_per_deg=cells_per_deg, lat_hint_deg=lat_hint_deg)
+            cells_per_deg=cells_per_deg, lat_hint_deg=lat_hint_deg,
+            znear_hint_m=znear_hint_m)
         d_of = dists.d_of
     elif sampler == "window":
         from . import window as _window
@@ -831,11 +833,12 @@ def render_panorama(dem, params: RenderParams, *, width, height, nsteps,
             tanel, run_max, dists, az, tex_samples = _window.march_window(
                 dem, p, width=width, k_cross=nsteps,
                 cells_per_deg=cells_per_deg, lat_hint_deg=lat_hint_deg,
-                color_planes=color_planes)
+                color_planes=color_planes, znear_hint_m=znear_hint_m)
         else:
             tanel, run_max, dists, az = _window.march_window(
                 dem, p, width=width, k_cross=nsteps,
-                cells_per_deg=cells_per_deg, lat_hint_deg=lat_hint_deg)
+                cells_per_deg=cells_per_deg, lat_hint_deg=lat_hint_deg,
+                znear_hint_m=znear_hint_m)
         d_of = dists.d_of
     elif sampler == "crossing":
         from . import crossing as _crossing

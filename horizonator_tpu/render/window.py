@@ -68,6 +68,31 @@ def window_size(width: int, k_cross: int, n: int,
     return min(win, -(-n // 64) * 64)
 
 
+NEAR_PATCH_CAP = 64
+
+
+def near_patch_size(znear_hint_m: float, cells_per_deg: int,
+                    lat_hint_deg: float) -> int:
+    """Static DEM-patch edge (cells) covering every near-band sample.
+
+    Near-band samples sit at horizontal distance in [znear, near_hi) of the
+    viewer with near_hi < znear + scale and scale <= cell_n * sqrt(2) for
+    any dominant-axis column, so a patch of radius
+    ceil((znear + 1.5*cell_n)/cell_min) + stencil slack centered on the
+    viewer contains every bilinear stencil. Like lat_hint_deg, znear_hint_m
+    is a STATIC hint; a true znear above it makes samples fall outside the
+    patch, which the dists.dropped self-guard counts (asserted 0 in tests
+    and the TPU smoke). Uncapped: callers compare against NEAR_PATCH_CAP
+    (march_window falls back to the gather path when the patch would not
+    fit the cap or the grid)."""
+    from .. import geometry
+    cell_n = geometry.EARTH_RADIUS_M * DEG / cells_per_deg
+    cell_e = cell_n * max(0.05, abs(math.cos(math.radians(lat_hint_deg))))
+    reach = znear_hint_m + 1.5 * cell_n
+    r = int(math.ceil(reach / min(cell_n, cell_e))) + 2
+    return -(-(2 * r + 2) // 8) * 8
+
+
 def pick_tile_w(width: int) -> int:
     """Column-tile width heuristic: narrow panoramas get narrow tiles.
 
@@ -359,10 +384,12 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
 
 @functools.partial(jax.jit, static_argnames=("width", "k_cross",
                                              "cells_per_deg", "lat_hint_deg",
-                                             "n_near", "interpret", "tile_w"))
+                                             "n_near", "interpret", "tile_w",
+                                             "znear_hint_m"))
 def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
                  lat_hint_deg=45.0, n_near=N_NEAR, interpret=None,
-                 tile_w=None, color_planes=None, j_hi=None, j_offset=None):
+                 tile_w=None, color_planes=None, j_hi=None, j_offset=None,
+                 znear_hint_m=100.0):
     """Pallas-kernel crossing march on a raw (n, n) float32 DEM.
 
     Same contract as crossing.march_crossing: returns
@@ -388,6 +415,17 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
     LOCAL table indexing shifts, so band samples are BITWISE the global
     march's); ``j_hi`` caps the VALID local row range (halo-row masking
     on the last band). Textured mode requires a square unsharded grid.
+
+    ``znear_hint_m`` (static, like lat_hint_deg): sizes the gather-free
+    near-band DEM patch -- every near-band sample lies within
+    ~znear + 1.5 cells of the viewer, so one static dynamic-slice patch +
+    a tensor-product hat contraction replaces the per-render pair pack and
+    the TPU gathers (~0.55 ms of the headline frame measured on v5e).
+    A true znear above the hint pushes samples outside the patch;
+    ``dists.dropped`` counts them (same loud-failure contract as the
+    window guard). ``znear_hint_m=None`` restores the gather path; a hint
+    whose patch would exceed NEAR_PATCH_CAP (or the grid) falls back to
+    the gather path automatically — never a silent drop.
     """
     if interpret is None:
         # CPU backend (tests, virtual multi-chip meshes) has no Mosaic
@@ -624,30 +662,104 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
         # band-local row: in-band f32 x - k with integer k is exact, so
         # square grids (offs=0) stay bitwise (march_crossing:303-305)
         jq_l = jq - offs_f
-        i0 = jnp.clip(jnp.floor(iq), 0, ni_real - 2).astype(jnp.int32)
-        j0 = jnp.clip(jnp.floor(jq_l), 0, nj_real - 2).astype(jnp.int32)
-        fi = jnp.clip(iq - i0, 0.0, 1.0)
-        fj = jnp.clip(jq_l - j0, 0.0, 1.0)
-        # TWO pair-packed gathers fetch all 4 bilinear corners (gathers
-        # cost ~10 ns/ELEMENT: the 4-take form was ~0.7 ms of the
-        # headline frame; the full-grid pack is a ~0.1 ms stream). 0.5 m
-        # elevation quantization -- the same class the crossing sampler
-        # uses everywhere.
-        from .raymarch import pack_dem_pairs, _unpack_pair
-        flatp = pack_dem_pairs(dem).reshape(-1)
-        base = j0 * (ni - 1) + i0
-        z00, z01 = _unpack_pair(jnp.take(flatp, base))
-        z10, z11 = _unpack_pair(jnp.take(flatp, base + (ni - 1)))
-        ztop = z00 + (z01 - z00) * fi
-        zbot = z10 + (z11 - z10) * fi
-        zq = ztop + (zbot - ztop) * fj
         vq = ((iq >= 0) & (iq <= ni_real - 1) &
               (jq_l >= 0) & (jq_l <= j_hi_f) &
               (dq >= p.znear) & (dq <= p.zfar) & (dq < near_hi[:, None]))
+        oi = oj = None
+        patch_n = (near_patch_size(znear_hint_m, cells_per_deg,
+                                   lat_hint_deg)
+                   if znear_hint_m is not None else None)
+        if patch_n is not None and (patch_n > NEAR_PATCH_CAP
+                                    or patch_n > min(ni, nj)):
+            # large znear (or tiny grid): the static patch would not fit;
+            # fall back to the gather path rather than dropping samples
+            patch_n = None
+        if patch_n is not None:
+            # gather-free: every near-band sample lies within
+            # ~znear + 1.5 cells of the viewer, so ONE static patch
+            # dynamic-slice + a tensor-product hat contraction evaluates
+            # the same bilinear surface with pure VPU/MXU math (the
+            # per-render pair pack + 2 gathers this replaces measured
+            # ~0.55 ms of the headline frame).
+            oi = jnp.clip(jnp.floor(p.viewer_cell_i).astype(jnp.int32)
+                          - (patch_n // 2 - 1), 0, ni - patch_n)
+            oj = jnp.clip(jnp.floor(p.viewer_cell_j - offs_f)
+                          .astype(jnp.int32)
+                          - (patch_n // 2 - 1), 0, nj - patch_n)
+            patch = jax.lax.dynamic_slice(dem, (oj, oi),
+                                          (patch_n, patch_n))
+            # same 0.5 m elevation class as the crossing sampler's pack
+            patch = jnp.round(patch * 2.0) * 0.5
+            ir = iq - oi.astype(jnp.float32)              # (W, n_near)
+            jr = jq_l - oj.astype(jnp.float32)
+            u = jnp.arange(patch_n, dtype=jnp.float32)
+            hi_w = jnp.maximum(1.0 - jnp.abs(ir[..., None] - u), 0.0)
+            hj_w = jnp.maximum(1.0 - jnp.abs(jr[..., None] - u), 0.0)
+            # zq[w,q] = sum_v hj[w,q,v] * (sum_u patch[v,u] * hi[w,q,u]):
+            # <= 4 cells carry weight, every other term is an exact +0.0
+            # (any reduction tree preserves the value bitwise -- the
+            # region-sharding parity rests on this)
+            acc = jnp.einsum("wqu,vu->wqv", hi_w, patch)
+            zq = jnp.sum(acc * hj_w, axis=-1)
+            # self-guard (same loud-failure contract as the window): a
+            # valid sample outside the patch means znear > znear_hint_m.
+            # Such samples are MASKED (same bounded failure class as the
+            # window's dropped samples -- never a garbage elevation) and
+            # counted.
+            in_patch = ((ir >= 0.0) & (ir <= patch_n - 1.0) &
+                        (jr >= 0.0) & (jr <= patch_n - 1.0))
+            dropped = dropped + jnp.sum((vq & ~in_patch).astype(jnp.int32))
+            vq = vq & in_patch
+        else:
+            i0 = jnp.clip(jnp.floor(iq), 0, ni_real - 2).astype(jnp.int32)
+            j0 = jnp.clip(jnp.floor(jq_l), 0, nj_real - 2).astype(jnp.int32)
+            fi = jnp.clip(iq - i0, 0.0, 1.0)
+            fj = jnp.clip(jq_l - j0, 0.0, 1.0)
+            # TWO pair-packed gathers fetch all 4 bilinear corners. 0.5 m
+            # elevation quantization -- the same class the crossing
+            # sampler uses everywhere.
+            from .raymarch import pack_dem_pairs, _unpack_pair
+            flatp = pack_dem_pairs(dem).reshape(-1)
+            base = j0 * (ni - 1) + i0
+            z00, z01 = _unpack_pair(jnp.take(flatp, base))
+            z10, z11 = _unpack_pair(jnp.take(flatp, base + (ni - 1)))
+            ztop = z00 + (z01 - z00) * fi
+            zbot = z10 + (z11 - z10) * fi
+            zq = ztop + (zbot - ztop) * fj
         tanel_q = jnp.where(vq, (zq - p.viewer_z) / dq - dq * p.curv,
                             NEG_BIG)
         tanel = jnp.concatenate([tanel_q, tanel], axis=1)
-        if textured:
+        if textured and patch_n is not None:
+            # near-band colors through the SAME patch contraction, at the
+            # planes' own resolution (textured mode is square unsharded,
+            # so jq_l == jq and the elevation guard covers the s-scaled
+            # stencil: ir <= P-1 implies s*ir <= s*P-2)
+            s = tex_scale
+            sp = s * patch_n
+            irc = iq * s - (s * oi).astype(jnp.float32)
+            jrc = jq_l * s - (s * oj).astype(jnp.float32)
+            uc = jnp.arange(sp, dtype=jnp.float32)
+            hic = jnp.maximum(1.0 - jnp.abs(irc[..., None] - uc), 0.0)
+            hjc = jnp.maximum(1.0 - jnp.abs(jrc[..., None] - uc), 0.0)
+
+            def contract(plane):           # (sP, sP) f32 -> (W, q) u8
+                accc = jnp.einsum("wqu,vu->wqv", hic, plane)
+                val = jnp.sum(accc * hjc, axis=-1)
+                return jnp.clip(jnp.round(val), 0, 255).astype(jnp.int32)
+
+            if cp2x is not None:
+                pc = jax.lax.dynamic_slice(cp2x.full_packed,
+                                           (s * oj, s * oi), (sp, sp))
+                chans = [contract(((pc >> sh) & 0xff).astype(jnp.float32))
+                         for sh in (16, 8, 0)]               # R, G, B
+                tex_q = (chans[0] << 16) | (chans[1] << 8) | chans[2]
+            else:
+                pc3 = jax.lax.dynamic_slice(full_planes, (0, oj, oi),
+                                            (3, sp, sp))     # B, G, R
+                tex_q = ((contract(pc3[2]) << 16)
+                         | (contract(pc3[1]) << 8) | contract(pc3[0]))
+            tex = jnp.concatenate([tex_q, tex], axis=1)
+        elif textured:
             # near-band colors: bilinear at the planes' own resolution
             # (tiny: (W, n_near) samples). TPU gathers cost ~10 ns per
             # ELEMENT with a per-op floor, so the fetch count matters:

@@ -236,3 +236,61 @@ class TestWindowGuard:
         # vanishes from the wrong-hint march (the failure the guard
         # exists to catch)
         assert (h_bad < h_good - 1e-3).any()
+
+
+class TestNearPatch:
+    """Gather-free near band: static viewer patch + hat contraction
+    (window.near_patch_size). Same 0.5 m quantization class as the gather
+    path; a wrong znear hint must fail loudly, an oversized one must fall
+    back to gathers."""
+
+    def _h(self, dem, p, k, **kw):
+        _, rm, dists, _ = march_window(dem, p, width=512, k_cross=k,
+                                       cells_per_deg=CPD, lat_hint_deg=34.0,
+                                       **kw)
+        return np.asarray(rm[:, -1]), int(dists.dropped)
+
+    def test_patch_matches_gather_path(self):
+        dem = make_dem(256)
+        vz = float(np.asarray(dem)[127:129, 128:130].max()) + 2.0
+        p = params_for(dem, 128.3, 127.6, vz)
+        k = k_cross_for(15000.0, CPD, 34.0, n=256)
+        hp, dp = self._h(dem, p, k)                     # default hint 100 m
+        hg, dg = self._h(dem, p, k, znear_hint_m=None)  # gather path
+        assert dp == 0 and dg == 0
+        assert ((hp > -1e30) == (hg > -1e30)).all()
+        vis = hg > -1e30
+        # both paths bilinearly interpolate the SAME 0.5 m-quantized
+        # elevations; only the contraction order differs (one rounding each)
+        assert np.abs(hp[vis] - hg[vis]).max() < 1e-6
+
+    def test_undersized_hint_fails_loudly(self):
+        # true znear 600 m with the default 100 m hint: near-band samples
+        # fall outside the static patch -> counted AND masked, never a
+        # garbage elevation
+        dem = make_dem(256)
+        vz = float(np.asarray(dem)[127:129, 128:130].max()) + 2.0
+        p = params_for(dem, 128.3, 127.6, vz, znear=600.0)
+        k = k_cross_for(15000.0, CPD, 34.0, n=256)
+        hp, dp = self._h(dem, p, k, znear_hint_m=100.0)
+        assert dp > 0
+        hg, dg = self._h(dem, p, k, znear_hint_m=600.0)
+        assert dg == 0
+        # masking only LOWERS horizons (bounded failure, window-guard class)
+        vis = hg > -1e30
+        assert (hp[vis] <= hg[vis] + 1e-6).all()
+
+    def test_oversized_hint_falls_back_to_gathers(self):
+        # znear 6 km needs a patch beyond NEAR_PATCH_CAP: march_window must
+        # use the gather path (dropped == 0, oracle agreement), not drop
+        from horizonator_tpu.render.window import (NEAR_PATCH_CAP,
+                                                   near_patch_size)
+        assert near_patch_size(6000.0, CPD, 34.0) > NEAR_PATCH_CAP
+        dem = make_dem(256)
+        vz = float(np.asarray(dem)[127:129, 128:130].max()) + 2.0
+        p = params_for(dem, 128.3, 127.6, vz, znear=6000.0)
+        k = k_cross_for(15000.0, CPD, 34.0, n=256)
+        hp, dp = self._h(dem, p, k, znear_hint_m=6000.0)
+        hg, dg = self._h(dem, p, k, znear_hint_m=None)
+        assert dp == 0 and dg == 0
+        np.testing.assert_array_equal(hp, hg)
