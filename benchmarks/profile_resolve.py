@@ -83,7 +83,7 @@ def main():
         return jnp.sum(rng_) + jnp.sum(img[..., 2].astype(jnp.float32))
     stages["D_full_render(+shade/T)"] = stage_render
 
-    R = 16
+    R = 48
 
     def chain(fn):
         @jax.jit
@@ -112,14 +112,17 @@ def main():
         float(run(params))
         log(f"{name}: first call {time.perf_counter()-t0:.1f} s")
         times = []
-        for i in range(5):
+        for i in range(8):
             p = params._replace(viewer_cell_i=f(n / 2 + i))
             t0 = time.perf_counter()
             float(run(p))
             times.append(time.perf_counter() - t0)
-        ms = 1e3 * max(1e-9, float(np.median(times)) - rtt) / R
+        # MIN wall: RTT jitter is strictly positive, so the min chain wall
+        # is the honest estimate (median mixes in multi-ms tunnel spikes)
+        ms = 1e3 * max(1e-9, float(np.min(times)) - rtt) / R
         results[name] = ms
-        log(f"{name}: {ms:.3f} ms")
+        log(f"{name}: {ms:.3f} ms  (walls ms: "
+            + str([round(1e3 * t, 1) for t in times]) + ")")
 
     log("\n=== per-viewpoint stage prefix times ===")
     prev = 0.0
