@@ -31,7 +31,7 @@ def perturb(a, i):
     *rest, pp = a
     return (*rest, pp._replace(viewer_cell_i=pp.viewer_cell_i + i))
 def t(name, fn, *args):
-    sec = device_time_chain(fn, *args, perturb=perturb, reps=8, iters=4)
+    sec = device_time_chain(fn, *args, perturb=perturb, reps=48, iters=6)
     print(f"{name}: {sec*1e3:.3f} ms", file=sys.stderr)
 
 t("march tanel-only", lambda d, c, pp: mw(d, pp, color_planes=c)[0].sum(), dem, cp2, p)

@@ -30,7 +30,7 @@ def perturb(a, i):
     return (*rest, pp._replace(viewer_cell_i=pp.viewer_cell_i + i))
 
 def t(name, fn, *args):
-    sec = device_time_chain(fn, *args, perturb=perturb, reps=8, iters=4)
+    sec = device_time_chain(fn, *args, perturb=perturb, reps=48, iters=6)
     print(f"{name}: {sec*1e3:.3f} ms", file=sys.stderr)
 
 mw = functools.partial(march_window, width=4096, k_cross=k, cells_per_deg=1200, lat_hint_deg=LAT)

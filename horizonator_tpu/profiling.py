@@ -58,7 +58,7 @@ def report() -> str:
 
 def device_time_chain(fn, *args, perturb, reps: int = 16, iters: int = 5,
                       rtt: float | None = None):
-    """Median seconds per call of fn, timed as chains of ``reps``
+    """MIN seconds per call of fn, timed as chains of ``reps``
     sequentially-executed perturbed calls per dispatch (lax.map).
 
     For workloads comparable to or smaller than the transport RTT, the
@@ -88,8 +88,9 @@ def device_time_chain(fn, *args, perturb, reps: int = 16, iters: int = 5,
         t0 = time.perf_counter()
         float(chain(*args))
         ts.append(time.perf_counter() - t0)
-    ts.sort()
-    return max(0.0, ts[len(ts) // 2] - rtt) / reps
+    # min, same rationale as measure_rtt: transport jitter only ever
+    # inflates a sample, so the fastest chain is the honest device time
+    return max(0.0, min(ts) - rtt) / reps
 
 
 def measure_rtt(iters: int = 8) -> float:

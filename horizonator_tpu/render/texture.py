@@ -66,18 +66,20 @@ class ColorPlanes2x(NamedTuple):
     """Pre-arranged half-cell color planes for the window kernel's 2x
     textured path (march_window). All camera-INDEPENDENT rearrangement is
     done here, once per scene, because doing it per render measured
-    ~5.2 ms/frame on v5e (strided even-row/col views + N/S transposes +
+    ~5.2 ms/frame on v5e (strided even-row/col views + transposes +
     reversals of ~280 MB of planes): at render time the per-direction
-    color tables become 12 plain column dynamic-slices.
+    color tables become 4 plain column dynamic-slices.
 
-    Layouts ([c] = B,G,R plane; x2 = 2x cross-axis index; bf16 -- exact
-    for the integer-rounded 0..255 color values, half the bytes):
-      ns     (3, 2n, n): [c][x2, j]   = plane at 2x col x2, DEM row j
-      ns_rev (3, 2n, n): ns with the j axis reversed (southward slices)
-      ew     (3, 2n, n): [c][J2, i]   = plane at 2x row J2, DEM col i
-      ew_rev (3, 2n, n): ew with the i axis reversed (westward slices)
-      full_packed (2n, 2n) int32: 0x00RRGGBB per texel (near-band
-        bilinear: TPU gathers cost ~10 ns/ELEMENT, so one packed fetch
+    All views are PACKED int32 (0x00RRGGBB, B low): the textured march
+    measured DMA/table-bound, not FMA-bound, so one packed plane beats
+    three bf16 planes -- 2/3 the window-DMA and table-build bytes and a
+    third of the build slices; the kernel unpacks with two shifts + masks
+    per 8-row block (x2 = 2x cross-axis index):
+      ns     (2n, n): [x2, j]  = texel at 2x col x2, DEM row j
+      ns_rev (2n, n): ns with the j axis reversed (southward slices)
+      ew     (2n, n): [J2, i]  = texel at 2x row J2, DEM col i
+      ew_rev (2n, n): ew with the i axis reversed (westward slices)
+      full_packed (2n, 2n) int32 (near-band bilinear: one packed fetch
         per corner replaces a 3-plane gather -- measured 2.4 ms/frame for
         the 12-take form)
     """
@@ -89,7 +91,7 @@ class ColorPlanes2x(NamedTuple):
 
     @property
     def n(self) -> int:
-        return self.ns.shape[2]
+        return self.ns.shape[1]
 
 
 def unpack_color_planes(full_packed) -> jnp.ndarray:
@@ -107,14 +109,12 @@ def prepare_color_planes(color2x) -> ColorPlanes2x:
     Run once per scene (jit-able); the result is what the API keeps on
     device."""
     ci = jnp.clip(jnp.round(jnp.asarray(color2x)), 0, 255)
-    c = ci.astype(jnp.bfloat16)
-    ev = c[:, ::2, :]                     # (3, n, 2n): DEM row j -> 2x 2j
-    eh = c[:, :, ::2]                     # (3, 2n, n): DEM col i -> 2x 2i
-    ns = ev.transpose(0, 2, 1)            # (3, 2n, n): [x2, j]
     ci32 = ci.astype(jnp.int32)
-    packed = (ci32[2] << 16) | (ci32[1] << 8) | ci32[0]
-    return ColorPlanes2x(ns=ns, ns_rev=ns[:, :, ::-1],
-                         ew=eh, ew_rev=eh[:, :, ::-1], full_packed=packed)
+    packed = (ci32[2] << 16) | (ci32[1] << 8) | ci32[0]   # (2n, 2n)
+    ns = packed[::2, :].T                 # (2n, n): [x2, j] (DEM row j = 2j)
+    eh = packed[:, ::2]                   # (2n, n): [J2, i] (DEM col i = 2i)
+    return ColorPlanes2x(ns=ns, ns_rev=ns[:, ::-1],
+                         ew=eh, ew_rev=eh[:, ::-1], full_packed=packed)
 
 
 def pack_atlas(atlas) -> jnp.ndarray:

@@ -191,37 +191,35 @@ def build_crossing_tables(dem, params: RenderParams, k_kernel: int):
 
 def _build_color_tables_2x(cp, params: RenderParams, k_kernel: int,
                            n: int):
-    """(4, 3, 2*n_pad, k_kernel) bf16 color tables from a prepared
+    """(4, 2*n_pad, k_kernel) PACKED int32 color tables from a prepared
     texture.ColorPlanes2x (half-cell planes).
 
     The line crossed at step m is a DEM grid line: row j0+m is 2x-grid row
     2*(j0+m) (N/S), column i0+m is 2x-grid column 2*(i0+m) (E/W) -- always
     an EVEN index, so the prestrided/transposed/reversed views in
-    ColorPlanes2x reduce this to 12 plain COLUMN dynamic-slices (cross
-    axis already on sublanes): table[d, c, x2, m] is color plane c at
-    2x-grid cross position x2 (grid coordinate x2/2) on direction d's
-    step-m line. Doing the stride/transpose/reverse here instead measured
-    ~5.2 ms/frame on v5e -- it is camera-independent and belongs to scene
-    prep. The kernel contracts these against hat weights at 2*pos --
-    half-cell bilinear interpolation along the crossing line."""
+    ColorPlanes2x reduce this to 4 plain COLUMN dynamic-slices (cross
+    axis already on sublanes): table[d, x2, m] is the packed 0x00RRGGBB
+    texel at 2x-grid cross position x2 (grid coordinate x2/2) on
+    direction d's step-m line. Doing the stride/transpose/reverse here
+    instead measured ~5.2 ms/frame on v5e -- it is camera-independent and
+    belongs to scene prep; packed int32 (vs 3 bf16 planes) is 2/3 the
+    build+DMA bytes of a DMA-bound path. The kernel unpacks per 8-row
+    block and contracts against hat weights at 2*pos -- half-cell
+    bilinear interpolation along the crossing line."""
     cj, ci = params.viewer_cell_j, params.viewer_cell_i
     j0n = (jnp.floor(cj) + 1).astype(jnp.int32)
     j0s = (jnp.ceil(cj) - 1).astype(jnp.int32)
     i0e = (jnp.floor(ci) + 1).astype(jnp.int32)
     i0w = (jnp.ceil(ci) - 1).astype(jnp.int32)
 
-    def per_plane(nsp, nsrp, ewp, ewrp):
-        t_n = _slice_roll_cols(nsp, j0n, k_kernel)               # (2n, k)
-        t_s = _slice_roll_cols(nsrp, (n - 1) - j0s, k_kernel)
-        t_e = _slice_roll_cols(ewp, i0e, k_kernel)
-        t_w = _slice_roll_cols(ewrp, (n - 1) - i0w, k_kernel)
-        return jnp.stack([t_n, t_s, t_e, t_w])                   # (4, 2n, k)
-
-    tall = jax.vmap(per_plane, in_axes=(0, 0, 0, 0), out_axes=1)(
-        cp.ns, cp.ns_rev, cp.ew, cp.ew_rev)
+    t_n = _slice_roll_cols(cp.ns, j0n, k_kernel)                 # (2n, k)
+    t_s = _slice_roll_cols(cp.ns_rev, (n - 1) - j0s, k_kernel)
+    t_e = _slice_roll_cols(cp.ew, i0e, k_kernel)
+    t_w = _slice_roll_cols(cp.ew_rev, (n - 1) - i0w, k_kernel)
+    tall = jnp.stack([t_n, t_s, t_e, t_w])                       # (4, 2n, k)
     n_pad2 = 2 * (-(-n // 64) * 64)
     if n_pad2 != 2 * n:
-        tall = jnp.pad(tall, ((0, 0), (0, 0), (0, n_pad2 - 2 * n), (0, 0)))
+        tall = jnp.pad(tall, ((0, 0), (0, n_pad2 - 2 * n), (0, 0)))
     return tall
 
 
@@ -237,7 +235,7 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
                    pcol_ref, tall_ref,             # inputs
                    *rest,                          # outs + scratch
                    win: int, tile_w: int, tile_k: int, n: int,
-                   textured: bool, tex_scale: int = 1):
+                   textured: bool, tex_scale: int = 1, _dbg: int = 0):
     tallc_ref = winc_ref = semc_ref = None
     if textured and tex_scale == 2:
         # split layout: elevation keeps the fast 2D window; half-cell
@@ -273,9 +271,9 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
             src = tall_ref.at[d, pl.ds(o, win), pl.ds(kt * tile_k, tile_k)]
         dma = pltpu.make_async_copy(src, win_ref, sem_ref)
         dma.start()
-        if tex_scale == 2 and textured:
+        if tex_scale == 2 and textured and _dbg < 2:
             oc = pl.multiple_of(o * 2, 16)           # 2x window origin
-            srcc = tallc_ref.at[d, pl.ds(0, 3), pl.ds(oc, 2 * win),
+            srcc = tallc_ref.at[d, pl.ds(oc, 2 * win),
                                 pl.ds(kt * tile_k, tile_k)]
             dmac = pltpu.make_async_copy(srcc, winc_ref, semc_ref)
             dmac.start()
@@ -324,7 +322,7 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
                  & (dm >= znear) & (dm <= zfar))
 
         dma.wait()
-        if tex_scale == 2 and textured:
+        if tex_scale == 2 and textured and _dbg < 2:
             dmac.wait()
 
         zero = jnp.zeros((tile_w, tile_k), jnp.float32)
@@ -346,13 +344,14 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
                     1.0 - jnp.abs(pos - (basef + float(r))), 0.0)
                 for p in range(n_planes):
                     accs[p] = accs[p] + hat * w4[p][r:r + 1, :]
-            if textured and tex_scale == 2:
+            if textured and tex_scale == 2 and _dbg < 1:
                 # half-cell colors: 8 rows of the 2x window per elevation
                 # iteration, hats at 2*pos (their own finer support)
                 cbase = base * 2
                 cbasef = cbase.astype(jnp.float32)
-                c8 = [winc_ref[p, pl.ds(cbase, 8), :].astype(jnp.float32)
-                      for p in range(3)]
+                blk = winc_ref[pl.ds(cbase, 8), :]   # packed 0x00RRGGBB
+                c8 = [((blk >> sh) & 0xff).astype(jnp.float32)
+                      for sh in (0, 8, 16)]          # B, G, R
                 for r in range(8):                             # unrolled
                     hat2 = jnp.maximum(
                         1.0 - jnp.abs(pos2 - (cbasef + float(r))), 0.0)
@@ -385,11 +384,11 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
 @functools.partial(jax.jit, static_argnames=("width", "k_cross",
                                              "cells_per_deg", "lat_hint_deg",
                                              "n_near", "interpret", "tile_w",
-                                             "znear_hint_m"))
+                                             "znear_hint_m", "_dbg"))
 def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
                  lat_hint_deg=45.0, n_near=N_NEAR, interpret=None,
                  tile_w=None, color_planes=None, j_hi=None, j_offset=None,
-                 znear_hint_m=100.0):
+                 znear_hint_m=100.0, _dbg=0):
     """Pallas-kernel crossing march on a raw (n, n) float32 DEM.
 
     Same contract as crossing.march_crossing: returns
@@ -621,7 +620,7 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
     if tallc is not None:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         inputs.append(tallc)
-        scratch.append(pltpu.VMEM((3, 2 * win, TILE_K), jnp.bfloat16))
+        scratch.append(pltpu.VMEM((2 * win, TILE_K), jnp.int32))
     scratch.append(pltpu.SemaphoreType.DMA)
     if tallc is not None:
         scratch.append(pltpu.SemaphoreType.DMA)
@@ -634,7 +633,7 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
     )
     kern = functools.partial(_window_kernel, win=win, tile_w=tile_w,
                              tile_k=TILE_K, n=n_real, textured=textured,
-                             tex_scale=tex_scale)
+                             tex_scale=tex_scale, _dbg=_dbg)
     outs = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
