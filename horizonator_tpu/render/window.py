@@ -235,7 +235,7 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
                    pcol_ref, tall_ref,             # inputs
                    *rest,                          # outs + scratch
                    win: int, tile_w: int, tile_k: int, n: int,
-                   textured: bool, tex_scale: int = 1, _dbg: int = 0):
+                   textured: bool, tex_scale: int = 1):
     tallc_ref = winc_ref = semc_ref = None
     if textured and tex_scale == 2:
         # split layout: elevation keeps the fast 2D window; half-cell
@@ -271,7 +271,7 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
             src = tall_ref.at[d, pl.ds(o, win), pl.ds(kt * tile_k, tile_k)]
         dma = pltpu.make_async_copy(src, win_ref, sem_ref)
         dma.start()
-        if tex_scale == 2 and textured and _dbg < 2:
+        if tex_scale == 2 and textured:
             oc = pl.multiple_of(o * 2, 16)           # 2x window origin
             srcc = tallc_ref.at[d, pl.ds(oc, 2 * win),
                                 pl.ds(kt * tile_k, tile_k)]
@@ -322,7 +322,7 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
                  & (dm >= znear) & (dm <= zfar))
 
         dma.wait()
-        if tex_scale == 2 and textured and _dbg < 2:
+        if tex_scale == 2 and textured:
             dmac.wait()
 
         zero = jnp.zeros((tile_w, tile_k), jnp.float32)
@@ -344,7 +344,7 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
                     1.0 - jnp.abs(pos - (basef + float(r))), 0.0)
                 for p in range(n_planes):
                     accs[p] = accs[p] + hat * w4[p][r:r + 1, :]
-            if textured and tex_scale == 2 and _dbg < 1:
+            if textured and tex_scale == 2:
                 # half-cell colors: 8 rows of the 2x window per elevation
                 # iteration, hats at 2*pos (their own finer support)
                 cbase = base * 2
@@ -384,11 +384,11 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
 @functools.partial(jax.jit, static_argnames=("width", "k_cross",
                                              "cells_per_deg", "lat_hint_deg",
                                              "n_near", "interpret", "tile_w",
-                                             "znear_hint_m", "_dbg"))
+                                             "znear_hint_m"))
 def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
                  lat_hint_deg=45.0, n_near=N_NEAR, interpret=None,
                  tile_w=None, color_planes=None, j_hi=None, j_offset=None,
-                 znear_hint_m=100.0, _dbg=0):
+                 znear_hint_m=100.0):
     """Pallas-kernel crossing march on a raw (n, n) float32 DEM.
 
     Same contract as crossing.march_crossing: returns
@@ -633,7 +633,7 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
     )
     kern = functools.partial(_window_kernel, win=win, tile_w=tile_w,
                              tile_k=TILE_K, n=n_real, textured=textured,
-                             tex_scale=tex_scale, _dbg=_dbg)
+                             tex_scale=tex_scale)
     outs = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
