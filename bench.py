@@ -73,6 +73,12 @@ def main():
     kw = dict(width=WIDTH, height=HEIGHT, nsteps=nsteps, cells_per_deg=CPD,
               sampler="window", lat_hint_deg=LAT)
 
+    # camera-independent prebuilt crossing tables (window.AlignedScene):
+    # built once per scene, exactly as api.horizonator does on first render
+    from horizonator_tpu.render.window import prepare_aligned_scene
+    scene = prepare_aligned_scene(dem, nsteps)
+    jax.block_until_ready(scene.elev)
+
     # NOTE on timing: under the axon dev tunnel, dispatch is asynchronous and
     # block_until_ready alone under-reports; we force completion by reducing
     # to a scalar on device and pulling it (the reduction itself is
@@ -87,26 +93,26 @@ def main():
     #          48-chains) out of the per-viewpoint metric
 
     @jax.jit
-    def render_reduced(dem, p):
-        img, rng_ = render_panorama(dem, p, **kw)
+    def render_reduced(dem, scene, p):
+        img, rng_ = render_panorama(dem, p, aligned_scene=scene, **kw)
         return (jnp.sum(rng_) + jnp.sum(img[..., 2].astype(jnp.float32)),
                 (rng_ > 0).mean())
 
     @jax.jit
-    def render_chain(dem, p0):
+    def render_chain(dem, scene, p0):
         def one(i):
             p = p0._replace(viewer_cell_i=p0.viewer_cell_i + i,
                             viewer_cell_j=p0.viewer_cell_j - i)
-            s, _ = render_reduced(dem, p)
+            s, _ = render_reduced(dem, scene, p)
             return s
         return jax.lax.map(one, jnp.arange(R, dtype=jnp.float32)).sum()
 
     t0 = time.perf_counter()
-    s, vis = render_reduced(dem, params)
+    s, vis = render_reduced(dem, scene, params)
     s.block_until_ready()
     log(f"first call (compile + run): {time.perf_counter() - t0:.2f} s")
     log(f"visible fraction: {float(vis):.3f}")
-    float(render_chain(dem, params))   # compile the chain
+    float(render_chain(dem, scene, params))   # compile the chain
 
     # RTT of a bare scalar pull, to subtract from per-iter timings. Use the
     # MINIMUM: transport jitter only ever inflates a sample, so the min is
@@ -132,7 +138,7 @@ def main():
     for i in range(iters):
         p = params._replace(viewer_cell_i=f(n / 2 + i))
         t0 = time.perf_counter()
-        float(render_chain(dem, p))
+        float(render_chain(dem, scene, p))
         times.append(time.perf_counter() - t0)
     rtts += measure_rtt()
     rtt = float(np.min(rtts))

@@ -24,7 +24,7 @@ def perturb(a, i):
     *rest, pp = a
     return (*rest, pp._replace(viewer_cell_i=pp.viewer_cell_i + i))
 def t(name, fn, *args):
-    sec = device_time_chain(fn, *args, perturb=perturb, reps=8, iters=4)
+    sec = device_time_chain(fn, *args, perturb=perturb, reps=48, iters=6)
     print(f"{name}: {sec*1e3:.3f} ms", file=sys.stderr)
 
 mw = functools.partial(march_window, width=4096, k_cross=k, cells_per_deg=1200, lat_hint_deg=LAT)
@@ -32,3 +32,32 @@ t("march full", lambda d, pp: mw(d, pp)[0].sum(), dem, p)
 t("march n_near=0 (no near band)", lambda d, pp: march_window(d, pp, width=4096, k_cross=k, cells_per_deg=1200, lat_hint_deg=LAT, n_near=0)[0].sum(), dem, p)
 kk = max(128, min(k, (n//128)*128)); kk = -(-kk//128)*128
 t("elev table build", lambda d, pp: _build_tables_multi(d[None], pp, kk)[:,0].sum(), dem, p)
+
+# XLA-side prep alone (origins/actives/posq over (W, K)): approximate by the
+# full march minus the kernel -- measured here as the table build + the
+# pos/axis/valid min-max reductions, reconstructed inline
+from horizonator_tpu.render.crossing import crossing_geometry
+from horizonator_tpu.render.window import _dir_id, pick_tile_w, TILE_K, window_size
+
+def prep_only(d, pp):
+    geo = crossing_geometry(pp, width=4096, cells_per_deg=1200)
+    dirid = _dir_id(geo)
+    m = jnp.arange(kk, dtype=jnp.float32)[None, :]
+    pos = geo.a[:, None] + m * geo.t[:, None]
+    axis_m = geo.axis0.astype(jnp.float32)[:, None] + m * geo.sign.astype(jnp.float32)[:, None]
+    d_all = (m + geo.e[:, None]) * geo.scale[:, None]
+    valid = ((axis_m >= 0) & (axis_m <= n - 1) & (pos >= 0) & (pos <= n - 1)
+             & (d_all >= pp.znear) & (d_all <= pp.zfar))
+    posq = jnp.where(valid, pos, jnp.inf)
+    tile_w = pick_tile_w(4096)
+    n_wt, n_kt = 4096 // tile_w, kk // TILE_K
+    post = posq.reshape(n_wt, tile_w, n_kt, TILE_K).transpose(0, 2, 1, 3)
+    dir_t = jnp.broadcast_to(dirid.reshape(n_wt, 1, tile_w, 1), post.shape)
+    s = jnp.float32(0)
+    for d4 in range(4):
+        sel = jnp.where(dir_t == d4, post, jnp.inf)
+        mn = jnp.min(sel, axis=(2, 3))
+        mx = jnp.max(jnp.where(jnp.isfinite(sel), sel, -jnp.inf), axis=(2, 3))
+        s = s + jnp.sum(jnp.where(jnp.isfinite(mn), mn, 0.0)) + jnp.sum(jnp.where(jnp.isfinite(mx), mx, 0.0))
+    return s
+t("origins/actives prep only", prep_only, dem, p)

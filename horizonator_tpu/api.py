@@ -156,6 +156,7 @@ class horizonator:
         self.viewer_lat = float(lat)
         self.viewer_lon = float(lon)
         self.viewer_z = self.mosaic.auto_viewer_z(lat, lon)
+        self._aligned = None   # lazily-built window.AlignedScene
         self._last = None   # (ranges ndarray, render kwargs) for pick()
 
     # -- geometry helpers ---------------------------------------------------
@@ -180,6 +181,46 @@ class horizonator:
         # to keep recompiles rare and shapes friendly.
         n = (zfar - znear) / self.cell_m_north * self.oversample
         return max(256, min(8192, _round_up(int(math.ceil(n)), 256)))
+
+    # Prebuilt aligned crossing tables trade HBM for per-frame time
+    # (~0.4 ms of table builds at the headline config); skip them when
+    # they would not comfortably fit next to the DEM/atlas/planes.
+    ALIGNED_TABLE_CAP_BYTES = 1_500_000_000
+
+    def _aligned_for(self, nsteps):
+        """Camera-independent window.AlignedScene for the window sampler,
+        built lazily on first render and regrown if a later render needs a
+        larger step budget. None (= keep march_window's per-render table
+        build) for non-square grids, tiny grids, or when the prebuilt
+        tables would exceed ALIGNED_TABLE_CAP_BYTES."""
+        from .render.window import aligned_k_lanes, prepare_aligned_scene, \
+            TILE_K
+        from .render.texture import ColorPlanes2x
+        dem = self._dem
+        if not (hasattr(dem, "ndim") and dem.ndim == 2
+                and dem.shape[0] == dem.shape[1]
+                and dem.shape[0] >= TILE_K + 8):
+            return None
+        n = dem.shape[0]
+        k_lanes = aligned_k_lanes(nsteps, n)
+        cross_pad = -(-n // 64) * 64
+        n_padk = ((n - 1) // 128) * 128 + k_lanes
+        bytes_est = 4 * cross_pad * n_padk * 4
+        cp = self._color_planes
+        tex2x = isinstance(cp, ColorPlanes2x)
+        if cp is not None and not tex2x:
+            # cell-resolution textured marches fuse colors+elevation into
+            # one per-render table; march_window cannot use an aligned
+            # scene there, so don't build one it would ignore
+            return None
+        if tex2x:
+            bytes_est *= 3           # + (4, 2*cross_pad, n_padk) int32
+        if bytes_est > self.ALIGNED_TABLE_CAP_BYTES:
+            return None
+        if self._aligned is None or self._aligned.k_lanes < k_lanes:
+            self._aligned = prepare_aligned_scene(
+                dem, nsteps, color_planes=cp if tex2x else None)
+        return self._aligned
 
     def resized(self, width, height):
         """Change the output viewport (horizonator_resized,
@@ -268,7 +309,9 @@ class horizonator:
             atlas=self._atlas, atlas_params=self._atlas_params,
             sampler=sampler, lat_hint_deg=self._lat_hint(),
             lod_plan=lod_plan, znear_hint_m=float(znear),
-            color_planes=self._color_planes if sampler == "window" else None)
+            color_planes=self._color_planes if sampler == "window" else None,
+            aligned_scene=(self._aligned_for(nsteps)
+                           if sampler == "window" else None))
 
         ranges_np = np.asarray(ranges)
         self._last = dict(ranges=ranges_np, az_deg0=az_deg0, az_deg1=az_deg1,

@@ -59,7 +59,8 @@ def broadcast_params_batch(params: RenderParams) -> RenderParams:
 def render_batch(dem, params: RenderParams, *, width, height, nsteps,
                  cells_per_deg, surface="bilinear", refine=True,
                  sampler="step", lat_hint_deg=45.0, lod_plan=None,
-                 textured=False, color_planes=None, znear_hint_m=100.0):
+                 textured=False, color_planes=None, znear_hint_m=100.0,
+                 aligned_scene=None):
     """Single-device batch render over a stacked RenderParams batch.
     Returns (images (B,H,W,3) u8, ranges (B,H,W) f32).
 
@@ -69,13 +70,15 @@ def render_batch(dem, params: RenderParams, *, width, height, nsteps,
     amortized identically. ``textured``/``color_planes``: the in-kernel
     texture path (window sampler), shared by every viewpoint in the batch
     -- the reference textures every .render() call
-    (horizonator-pywrap.c:175-182), so batches must too."""
+    (horizonator-pywrap.c:175-182), so batches must too.
+    ``aligned_scene``: optional window.AlignedScene, shared by the whole
+    batch (camera-independent -- one prep covers every viewpoint)."""
     fn = lambda p: render_panorama(
         dem, p, width=width, height=height, nsteps=nsteps,
         cells_per_deg=cells_per_deg, surface=surface, refine=refine,
         sampler=sampler, lat_hint_deg=lat_hint_deg, lod_plan=lod_plan,
         textured=textured, color_planes=color_planes,
-        znear_hint_m=znear_hint_m)
+        znear_hint_m=znear_hint_m, aligned_scene=aligned_scene)
     params = broadcast_params_batch(params)
     if sampler in ("window", "lod"):
         return jax.lax.map(fn, params)
@@ -195,16 +198,18 @@ def make_sharded_horizon(mesh: Mesh, *, width, nsteps, cells_per_deg,
 def render_path(dem, params_path: RenderParams, *, width, height, nsteps,
                 cells_per_deg, surface="bilinear", refine=True,
                 sampler="step", lat_hint_deg=45.0, lod_plan=None,
-                textured=False, color_planes=None, znear_hint_m=100.0):
+                textured=False, color_planes=None, znear_hint_m=100.0,
+                aligned_scene=None):
     """Fly-through: render a whole camera path in ONE dispatch via lax.map,
     avoiding per-frame host->device latency (SURVEY.md §7 'interactivity
     economics'). params_path: stacked RenderParams with leading axis =
     frames. Returns (images (F,H,W,3), ranges (F,H,W)).
-    ``textured``/``color_planes``: in-kernel texture, as in render_batch."""
+    ``textured``/``color_planes``/``aligned_scene``: in-kernel texture and
+    prebuilt tables, as in render_batch."""
     fn = lambda p: render_panorama(
         dem, p, width=width, height=height, nsteps=nsteps,
         cells_per_deg=cells_per_deg, surface=surface, refine=refine,
         sampler=sampler, lat_hint_deg=lat_hint_deg, lod_plan=lod_plan,
         textured=textured, color_planes=color_planes,
-        znear_hint_m=znear_hint_m)
+        znear_hint_m=znear_hint_m, aligned_scene=aligned_scene)
     return jax.lax.map(fn, broadcast_params_batch(params_path))

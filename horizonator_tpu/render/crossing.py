@@ -192,15 +192,29 @@ class CrossingDists(NamedTuple):
     # the window) and the horizon may be lowered. 0 == all samples covered.
     # Asserted zero in tests and the TPU smoke run.
     dropped: jax.Array | None = None
+    # march_window AlignedScene path only: (W,) per-column lane offset --
+    # sample lane l past the near band is crossing STEP l - lane0 (the
+    # sub-128 residual of the camera-dependent table start that the
+    # prebuilt aligned tables cannot absorb into the DMA offset).
+    lane0: jax.Array | None = None
 
     def d_of(self, idx):
         """Sample distance for (W, ...) integer sample indices."""
         q = self.n_near
         idxf = idx.astype(jnp.float32)
+        if self.lane0 is not None:
+            # aligned-scene lanes: crossing lane l is step l - lane0
+            # (exact small-int chain, so the crossing branch stays bitwise
+            # the unaligned mapping). Residual-GAP lanes [q, q + lane0)
+            # shift back into [q - lane0, q) and take the near branch:
+            # they carry copies of the near band (march_window's gap
+            # fill), so the refine bracket distance of a first-crossing
+            # hit is the near-band top, exactly as unaligned.
+            idxf = jnp.where(idxf >= q, idxf - self.lane0[:, None], idxf)
         d_near = self.znear + idxf * (
             (self.near_hi[:, None] - self.znear) / q)
         d_crossing = (idxf - q + self.e[:, None]) * self.scale[:, None]
-        return jnp.where(idx < q, d_near, d_crossing)
+        return jnp.where(idxf < q, d_near, d_crossing)
 
 
 N_NEAR = 4

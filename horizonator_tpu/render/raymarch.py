@@ -779,7 +779,8 @@ def render_panorama(dem, params: RenderParams, *, width, height, nsteps,
                     cells_per_deg, surface="bilinear", refine=True,
                     textured=False, atlas=None, atlas_params=None,
                     sampler="step", lat_hint_deg=45.0, lod_plan=None,
-                    color_planes=None, znear_hint_m=100.0):
+                    color_planes=None, znear_hint_m=100.0,
+                    aligned_scene=None):
     """Render one panorama.
 
     Args:
@@ -803,6 +804,11 @@ def render_panorama(dem, params: RenderParams, *, width, height, nsteps,
         (0.7*texture + 0.3*shading blend, fragment.glsl:21).
       sampler: 'step' (v0 uniform march) or 'crossing' (grid-crossing DDA,
         ~4x fewer DEM fetches -- the fast path; see crossing.py).
+      aligned_scene: optional window.AlignedScene
+        (window.prepare_aligned_scene), 'window' sampler only:
+        camera-independent prebuilt crossing tables -- skips the
+        per-render table builds (bitwise-identical output; see
+        march_window).
 
     Returns:
       image: (H, W, 3) uint8 **BGR** (the reference's byte order,
@@ -833,12 +839,13 @@ def render_panorama(dem, params: RenderParams, *, width, height, nsteps,
             tanel, run_max, dists, az, tex_samples = _window.march_window(
                 dem, p, width=width, k_cross=nsteps,
                 cells_per_deg=cells_per_deg, lat_hint_deg=lat_hint_deg,
-                color_planes=color_planes, znear_hint_m=znear_hint_m)
+                color_planes=color_planes, znear_hint_m=znear_hint_m,
+                scene=aligned_scene)
         else:
             tanel, run_max, dists, az = _window.march_window(
                 dem, p, width=width, k_cross=nsteps,
                 cells_per_deg=cells_per_deg, lat_hint_deg=lat_hint_deg,
-                znear_hint_m=znear_hint_m)
+                znear_hint_m=znear_hint_m, scene=aligned_scene)
         d_of = dists.d_of
     elif sampler == "crossing":
         from . import crossing as _crossing

@@ -53,18 +53,26 @@ from .raymarch import _ROWQ_BITS
 
 TILE_W = 64
 _BIG = 2 ** 30
+# alpha (refine fraction) bit budget: capped so the quantum is the same
+# for every K that fits the budget (the headline's natural budget is 10)
+_A_CAP = 10
 
 
 def _plan(k: int, height: int):
     """(kp, hp, hb, kb, a_bits, n2) for the packed layout. The row axis is
     padded to a 128-multiple hp: the extra bottom thresholds sort after
     every real one, count no samples anyone else would, and are sliced
-    off -- so any image height is exact."""
+    off -- so any image height is exact. a_bits is CAPPED at _A_CAP so the
+    alpha quantum is independent of K whenever the bit budget allows:
+    without the cap, K landing in a different kb bucket (e.g. the aligned
+    scene's +TILE_K lanes vs the per-render build) changes refined ranges
+    by up to one alpha quantum, breaking aligned-vs-unaligned bitwise
+    range parity."""
     kp = -(-k // 128) * 128
     hp = max(-(-height // 128) * 128, 128)
     hb = max((hp - 1).bit_length(), 1)
     kb = max(kp.bit_length(), 1)
-    a_bits = 31 - hb - kb - 1
+    a_bits = min(31 - hb - kb - 1, _A_CAP)
     n2 = 1 << (kp + hp - 1).bit_length()
     return kp, hp, hb, kb, a_bits, n2
 

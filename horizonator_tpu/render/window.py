@@ -93,6 +93,90 @@ def near_patch_size(znear_hint_m: float, cells_per_deg: int,
     return -(-(2 * r + 2) // 8) * 8
 
 
+class AlignedScene:
+    """Camera-independent crossing tables, built ONCE per scene.
+
+    The per-render table build (_build_tables_multi / _build_color_tables_2x)
+    only exists to rebase the k axis so the kernel's lane-dim DMA offsets are
+    128-aligned -- it re-materializes ~35 MB (elevation) + ~70 MB (colors)
+    of HBM every frame (measured 0.24 + 0.16 ms on v5e). But the tables are
+    just column slices of 4 fixed views of the DEM/color planes: table
+    column m of direction d is view_d column start_d + m, with start_d
+    camera-dependent. Splitting start_d = cb_d + r_d (cb_d 128-aligned,
+    r_d < 128) moves cb_d into the DMA lane offset (stays aligned) while
+    the kernel subtracts r_d from the lane index (exact small-int f32
+    math, so samples stay BITWISE the per-render-build march's), so the
+    views themselves, padded once here, ARE the tables and the
+    per-render build disappears.
+
+    elev   (4, cross_pad, n_padk) float32: [dem.T, dem.T j-reversed,
+           dem, dem i-reversed], k-axis right-padded to cb_max + k_lanes
+    colors (4, 2*cross_pad, n_padk) int32 packed 0x00RRGGBB (from
+           texture.ColorPlanes2x views; same starts, same cb/r), or None
+    Square unsharded grids only: region-sharded band grids keep the
+    per-render build (their band-local starts break the shared lane
+    layout the pmax combine needs)."""
+
+    def __init__(self, elev, colors, n, k_lanes):
+        self.elev = elev
+        self.colors = colors
+        self.n = n
+        self.k_lanes = k_lanes
+
+    def tree_flatten(self):
+        return (self.elev, self.colors), (self.n, self.k_lanes)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], aux[1])
+
+
+jax.tree_util.register_pytree_node(
+    AlignedScene, AlignedScene.tree_flatten, AlignedScene.tree_unflatten)
+
+
+def aligned_k_lanes(k_cross: int, n: int) -> int:
+    """Lane count of the aligned k axis: the worst-case residual r_d < 128
+    shifts samples right, so one extra TILE_K of lanes covers any start."""
+    k_kernel = max(TILE_K, min(k_cross, (n // TILE_K) * TILE_K))
+    return -(-k_kernel // TILE_K) * TILE_K + TILE_K
+
+
+def prepare_aligned_scene(dem, k_cross: int, color_planes=None):
+    """Build the AlignedScene for a square DEM (jit-able; run once per
+    scene, like texture.prepare_color_planes). ``k_cross``: the largest
+    step budget renders will use (a bigger one later needs a re-prep)."""
+    from .texture import ColorPlanes2x, prepare_color_planes
+    nj, ni = dem.shape
+    if nj != ni:
+        raise ValueError("AlignedScene requires a square grid")
+    n = ni
+    k_lanes = aligned_k_lanes(k_cross, n)
+    cb_max = ((n - 1) // 128) * 128
+    n_padk = cb_max + k_lanes
+    cross_pad = -(-n // 64) * 64
+
+    def pad_to(x, rows):
+        return jnp.pad(x, ((0, rows - x.shape[0]),
+                           (0, n_padk - x.shape[1])))
+
+    g = jnp.asarray(dem, jnp.float32)
+    gt = g.T
+    elev = jnp.stack([pad_to(gt, cross_pad), pad_to(gt[:, ::-1], cross_pad),
+                      pad_to(g, cross_pad), pad_to(g[:, ::-1], cross_pad)])
+    colors = None
+    if color_planes is not None:
+        cp = (color_planes if isinstance(color_planes, ColorPlanes2x)
+              else prepare_color_planes(color_planes))
+        if cp.n != n:
+            raise ValueError(f"ColorPlanes2x for n={cp.n}, DEM n={n}")
+        colors = jnp.stack([pad_to(cp.ns, 2 * cross_pad),
+                            pad_to(cp.ns_rev, 2 * cross_pad),
+                            pad_to(cp.ew, 2 * cross_pad),
+                            pad_to(cp.ew_rev, 2 * cross_pad)])
+    return AlignedScene(elev, colors, n, k_lanes)
+
+
 def pick_tile_w(width: int) -> int:
     """Column-tile width heuristic: narrow panoramas get narrow tiles.
 
@@ -231,11 +315,11 @@ def _dir_id(geo):
                      jnp.where(pos_sign, 2, 3)).astype(jnp.int32)
 
 
-def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
+def _window_kernel(orig_ref, act_ref, cb_ref, fscal_ref,   # scalar prefetch
                    pcol_ref, tall_ref,             # inputs
                    *rest,                          # outs + scratch
                    win: int, tile_w: int, tile_k: int, n: int,
-                   textured: bool, tex_scale: int = 1):
+                   k_kernel: int, textured: bool, tex_scale: int = 1):
     tallc_ref = winc_ref = semc_ref = None
     if textured and tex_scale == 2:
         # split layout: elevation keeps the fast 2D window; half-cell
@@ -262,19 +346,22 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
     @pl.when(act_ref[wt, kt, d] > 0)
     def _():
         o = pl.multiple_of(orig_ref[wt, kt, d], 8)   # 8-aligned origin
+        # lane offset: cb_ref carries the per-direction 128-aligned base
+        # of the aligned-scene tables (0 for per-render-built tables)
+        ck = pl.multiple_of(cb_ref[d] + kt * tile_k, 128)
         if fused_tex:
             src = tall_ref.at[d, pl.ds(0, n_planes), pl.ds(o, win),
-                              pl.ds(kt * tile_k, tile_k)]
+                              pl.ds(ck, tile_k)]
         else:
             # untextured keeps the plane-free 2D window (measurably faster
             # than a leading size-1 plane axis)
-            src = tall_ref.at[d, pl.ds(o, win), pl.ds(kt * tile_k, tile_k)]
+            src = tall_ref.at[d, pl.ds(o, win), pl.ds(ck, tile_k)]
         dma = pltpu.make_async_copy(src, win_ref, sem_ref)
         dma.start()
         if tex_scale == 2 and textured:
             oc = pl.multiple_of(o * 2, 16)           # 2x window origin
             srcc = tallc_ref.at[d, pl.ds(oc, 2 * win),
-                                pl.ds(kt * tile_k, tile_k)]
+                                pl.ds(ck, tile_k)]
             dmac = pltpu.make_async_copy(srcc, winc_ref, semc_ref)
             dmac.start()
 
@@ -298,6 +385,9 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
         axis_hi = pblk[:, 8:9]
         cross_lo = pblk[:, 9:10]
         cross_hi = pblk[:, 10:11]
+        # aligned-scene lane residual: lane l is step l - r (0 when the
+        # tables were built per render)
+        r = pblk[:, 11:12]
         vz = fscal_ref[0]
         znear = fscal_ref[1]
         zfar = fscal_ref[2]
@@ -310,7 +400,7 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
         of = orig_ref[wt, kt, 4 + d].astype(jnp.float32)
 
         mf = (jax.lax.broadcasted_iota(jnp.int32, (1, tile_k), 1)
-              + kt * tile_k).astype(jnp.float32)               # (1, TK)
+              + kt * tile_k).astype(jnp.float32) - r           # (TW, TK)
         pos = a + mf * t - of                                  # (TW, TK)
         axis_m = axis0 + mf * sgn
         dm = (mf + e) * scale
@@ -319,7 +409,8 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
                  & (axis_m >= axis_lo) & (axis_m <= axis_hi)
                  & (posg >= cross_lo) & (posg <= cross_hi)
                  & (pos >= 0.0) & (pos <= win - 1.0)
-                 & (dm >= znear) & (dm <= zfar))
+                 & (dm >= znear) & (dm <= zfar)
+                 & (mf >= 0.0) & (mf < float(k_kernel)))
 
         dma.wait()
         if tex_scale == 2 and textured:
@@ -388,8 +479,19 @@ def _window_kernel(orig_ref, act_ref, fscal_ref,   # scalar prefetch
 def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
                  lat_hint_deg=45.0, n_near=N_NEAR, interpret=None,
                  tile_w=None, color_planes=None, j_hi=None, j_offset=None,
-                 znear_hint_m=100.0):
+                 znear_hint_m=100.0, scene=None):
     """Pallas-kernel crossing march on a raw (n, n) float32 DEM.
+
+    ``scene``: optional AlignedScene (prepare_aligned_scene) -- skips the
+    per-render crossing-table builds entirely (~0.24 ms elevation +
+    0.16 ms colors on v5e): the kernel DMAs straight from the scene's
+    padded views at 128-aligned lane offsets; the sub-128 start residual
+    r_d is subtracted from the lane index in-kernel (exact small-int f32
+    subtraction), so every sample value is BITWISE the per-render-build
+    march's, column-rolled by r_d along the lane axis (dists.lane0
+    carries r_d for d_of). Requires a square unsharded grid and, when
+    textured, half-cell colors prepared into the scene; other
+    configurations silently use the per-render build path.
 
     Same contract as crossing.march_crossing: returns
     (tanel (W, n_near+K), run_max, dists, az). ``dists.dropped`` carries
@@ -488,8 +590,41 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
     w_pad = -(-width // tile_w) * tile_w
     win = window_size(width, k_kernel, n_ax, lat_hint_deg, tile_w)
 
+    # aligned-scene path: square unsharded grid, prebuilt tables wide
+    # enough for this step budget, colors in the scene when textured
+    aligned = (scene is not None and not banded and not (pad_j or pad_i)
+               and scene.n == n_real
+               and (not textured
+                    or (tex_scale == 2 and scene.colors is not None)))
+    if aligned and scene.k_lanes < k_kernel + TILE_K:
+        raise ValueError(
+            f"AlignedScene prepared for k_lanes={scene.k_lanes}, render "
+            f"needs {k_kernel + TILE_K}: re-prepare with the larger "
+            f"k_cross (prepare_aligned_scene)")
+    k_axis = k_kernel + TILE_K if aligned else k_kernel
+
     geo = crossing_geometry(params, width=width, cells_per_deg=cells_per_deg)
     dirid = _dir_id(geo)
+
+    if aligned:
+        cj, ci = p.viewer_cell_j, p.viewer_cell_i
+        starts = jnp.stack([
+            (jnp.floor(cj) + 1).astype(jnp.int32),
+            (n - 1) - ((jnp.ceil(cj) - 1).astype(jnp.int32)),
+            (jnp.floor(ci) + 1).astype(jnp.int32),
+            (n - 1) - ((jnp.ceil(ci) - 1).astype(jnp.int32))])
+        cbase = jnp.clip((starts // 128) * 128, 0, ((n - 1) // 128) * 128)
+        # lane index l of direction d covers step m = l - r_d: the
+        # 128-aligned base cb_d rides the DMA lane offset, the residual
+        # r_d is subtracted from the lane index inside the kernel (exact
+        # small-int f32 subtraction), so every downstream value -- pos,
+        # axis, distance, tanel -- is BITWISE the per-render-build
+        # march's, just column-rolled by r_d along the lane axis.
+        r_d = starts - cbase                              # (4,) in [0, 128]
+        r_col = jnp.take(r_d, dirid).astype(jnp.float32)  # (W,)
+    else:
+        cbase = jnp.zeros((4,), jnp.int32)
+        r_col = jnp.zeros_like(geo.a)
 
     # Per-column validity bounds in GLOBAL coordinates: the row coordinate
     # is bounded by [j_offset, j_offset + j_hi] (the axis for row-dominant
@@ -506,15 +641,17 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
 
     # --- per-tile window origins + active flags (exact, masked) -----------
     n_wt = w_pad // tile_w
-    n_kt = k_kernel // TILE_K
-    m = jnp.arange(k_kernel, dtype=jnp.float32)[None, :]
+    n_kt = k_axis // TILE_K
+    m = (jnp.arange(k_axis, dtype=jnp.float32)[None, :]
+         - r_col[:, None])                                 # step, not lane
     pos = geo.a[:, None] + m * geo.t[:, None]                  # (W, K)
     axis_m = (geo.axis0.astype(jnp.float32)[:, None]
               + m * geo.sign.astype(jnp.float32)[:, None])
     d_all = (m + geo.e[:, None]) * geo.scale[:, None]
     valid = ((axis_m >= axis_lo[:, None]) & (axis_m <= axis_hi[:, None])
              & (pos >= cross_lo[:, None]) & (pos <= cross_hi[:, None])
-             & (d_all >= p.znear) & (d_all <= p.zfar))
+             & (d_all >= p.znear) & (d_all <= p.zfar)
+             & (m >= 0.0) & (m < k_kernel))
 
     # the window origins/extents index LOCAL table rows: the E/W cross
     # axis (row coordinate) shifts by j_offset
@@ -571,23 +708,30 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
     actives = jnp.stack(actives, axis=-1)
 
     # --- inputs ------------------------------------------------------------
-    planes = dem.astype(jnp.float32)[None]
     tallc = None
-    if textured and tex_scale == 1:
-        planes = jnp.concatenate([planes, color_planes.astype(jnp.float32)])
+    n_planes = 1
+    if aligned:
+        tall = scene.elev                  # (4, cross_pad, n_padk), no build
+        if textured:
+            tallc = scene.colors
+    elif textured and tex_scale == 1:
+        planes = jnp.concatenate([dem.astype(jnp.float32)[None],
+                                  color_planes.astype(jnp.float32)])
+        n_planes = planes.shape[0]
         tall = _build_tables_multi(planes, p, k_kernel,
                                    j_offset=offs)      # (4, 4, n_pad, k)
     else:
-        tall = _build_tables_multi(planes, p, k_kernel,
+        tall = _build_tables_multi(dem.astype(jnp.float32)[None], p,
+                                   k_kernel,
                                    j_offset=offs)[:, 0]  # (4, n_pad, k)
         if textured:
-            tallc = _build_color_tables_2x(cp2x, p, k_kernel, n)  # bf16
+            tallc = _build_color_tables_2x(cp2x, p, k_kernel, n)
     pcol = jnp.stack([
         geo.a, geo.t, geo.e, geo.scale,
         geo.axis0.astype(jnp.float32), geo.sign.astype(jnp.float32),
         dirid.astype(jnp.float32),
         axis_lo, axis_hi, cross_lo, cross_hi,
-        jnp.zeros_like(geo.a)], axis=1)                        # (W, 12)
+        r_col], axis=1)                                        # (W, 12)
     if pad_cols:
         pad = jnp.zeros((pad_cols, 12), jnp.float32)
         pad = pad.at[:, 6].set(-1.0)
@@ -597,15 +741,14 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
                        jnp.asarray(p.zfar, jnp.float32),
                        jnp.asarray(p.curv, jnp.float32)])
 
-    n_planes = planes.shape[0]
     out_spec = pl.BlockSpec((tile_w, TILE_K),
                             lambda wt, kt, d, *_: (wt, kt),
                             memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((w_pad, k_kernel), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((w_pad, k_axis), jnp.float32)
     if textured:
         out_specs = (out_spec, out_spec)
         out_shapes = (out_shape,
-                      jax.ShapeDtypeStruct((w_pad, k_kernel), jnp.int32))
+                      jax.ShapeDtypeStruct((w_pad, k_axis), jnp.int32))
     else:
         out_specs, out_shapes = out_spec, out_shape
     in_specs = [
@@ -625,21 +768,21 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
     if tallc is not None:
         scratch.append(pltpu.SemaphoreType.DMA)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_wt, n_kt, 4),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
     kern = functools.partial(_window_kernel, win=win, tile_w=tile_w,
-                             tile_k=TILE_K, n=n_real, textured=textured,
-                             tex_scale=tex_scale)
+                             tile_k=TILE_K, n=n_real, k_kernel=k_kernel,
+                             textured=textured, tex_scale=tex_scale)
     outs = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
-    )(origins, actives, fscal, *inputs)
+    )(origins, actives, cbase, fscal, *inputs)
     if textured:
         tanel, tex = (o[:width] for o in outs)
     else:
@@ -809,9 +952,31 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
                          | (bil(full_planes[1]) << 8) | bil(full_planes[0]))
             tex = jnp.concatenate([tex_q, tex], axis=1)
 
+    if aligned and n_near > 0:
+        # Residual-gap lanes [n_near, n_near + r) sit between the near
+        # band and the first crossing ONLY on the aligned path (the
+        # unaligned lane axis has no gap there). Fill them with the near
+        # band's LAST sample so the resolve's refine bracket for a
+        # first-crossing hit (sample idx-1) sees exactly what it sees
+        # unaligned -- the near-band top -- keeping alpha/d_prev and
+        # therefore ranges bitwise. d_of maps these indices back into the
+        # near band (crossing.CrossingDists.d_of lane0 handling). The
+        # copies are inert otherwise: they duplicate an EARLIER sample,
+        # so they never win a pixel and never raise a running min/max.
+        lane = jnp.arange(tanel.shape[1], dtype=jnp.float32)[None, :]
+        gap = (lane >= n_near) & (lane < n_near + r_col[:, None])
+        tanel = jnp.where(gap, tanel[:, n_near - 1:n_near], tanel)
+        if textured:
+            tex = jnp.where(gap, tex[:, n_near - 1:n_near], tex)
+
     run_max = _scan_shift(tanel, jnp.maximum, NEG_BIG)
+    # lane0 (= r_d on the aligned path) keeps d_of consistent with the
+    # lane indexing: distance of lane l is (l - lane0 + e) * scale, with
+    # the subtraction exact (small ints) so d_of stays bitwise the
+    # unaligned path's
     dists = CrossingDists(e=geo.e, scale=geo.scale, znear=p.znear,
-                          near_hi=near_hi, n_near=n_near, dropped=dropped)
+                          near_hi=near_hi, n_near=n_near, dropped=dropped,
+                          lane0=r_col if aligned else None)
     if textured:
         return tanel, run_max, dists, geo.az, tex
     return tanel, run_max, dists, geo.az

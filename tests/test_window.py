@@ -294,3 +294,111 @@ class TestNearPatch:
         hg, dg = self._h(dem, p, k, znear_hint_m=None)
         assert dp == 0 and dg == 0
         np.testing.assert_array_equal(hp, hg)
+
+
+class TestAlignedScene:
+    """Prebuilt camera-independent crossing tables (window.AlignedScene):
+    the kernel DMAs from padded DEM views at 128-aligned lane offsets and
+    subtracts the sub-128 start residual from the lane index in-kernel --
+    samples must be BITWISE the per-render-build march's, column-rolled by
+    the residual, and the resolved (image, ranges) bitwise the unaligned
+    render's."""
+
+    def _march(self, dem, p, k, **kw):
+        return march_window(dem, p, width=256, k_cross=k,
+                            cells_per_deg=CPD, lat_hint_deg=34.0, **kw)
+
+    @staticmethod
+    def _compare_rolled(base, al, extra_base=None, extra_al=None):
+        from horizonator_tpu.render.crossing import N_NEAR
+        t0, t1 = np.asarray(base[0]), np.asarray(al[0])
+        assert int(base[2].dropped) == 0 and int(al[2].dropped) == 0
+        assert base[2].lane0 is None and al[2].lane0 is not None
+        r = np.asarray(al[2].lane0).astype(int)
+        kk = t0.shape[1] - N_NEAR
+        # near band is untouched by the table alignment
+        np.testing.assert_array_equal(t0[:, :N_NEAR], t1[:, :N_NEAR])
+        for w in range(t0.shape[0]):
+            sl = slice(N_NEAR + r[w], N_NEAR + r[w] + kk)
+            np.testing.assert_array_equal(t1[w, sl], t0[w, N_NEAR:],
+                                          err_msg=f"column {w} (r={r[w]})")
+            # residual-gap lanes carry inert copies of the near-band top
+            # (the resolve's refine-bracket fill); tail lanes are empty
+            assert (t1[w, N_NEAR:N_NEAR + r[w]] == t1[w, N_NEAR - 1]).all()
+            assert (t1[w, N_NEAR + r[w] + kk:] <= -1e30).all()
+            if extra_al is not None:
+                vis = t0[w, N_NEAR:] > -1e30
+                np.testing.assert_array_equal(
+                    np.asarray(extra_al)[w, sl][vis],
+                    np.asarray(extra_base)[w, N_NEAR:][vis],
+                    err_msg=f"tex column {w}")
+
+    def test_bitwise_parity(self):
+        from horizonator_tpu.render.window import prepare_aligned_scene
+        dem = make_dem(257)
+        vz = float(np.asarray(dem)[120:122, 131:133].max()) + 2.0
+        p = params_for(dem, 131.3, 120.7, vz, zfar=9000.0)
+        k = k_cross_for(9000.0, CPD, 34.0, n=257)
+        base = self._march(dem, p, k)
+        scene = prepare_aligned_scene(dem, k)
+        al = self._march(dem, p, k, scene=scene)
+        self._compare_rolled(base, al)
+
+    def test_textured_bitwise_parity(self):
+        from horizonator_tpu.render.window import prepare_aligned_scene
+        from horizonator_tpu.render.texture import prepare_color_planes
+        n = 257
+        dem = make_dem(n)
+        rng = np.random.default_rng(1)
+        cp = prepare_color_planes(jnp.asarray(
+            rng.integers(0, 256, (3, 2 * n, 2 * n)).astype(np.float32)))
+        vz = float(np.asarray(dem)[120:122, 131:133].max()) + 2.0
+        p = params_for(dem, 131.3, 120.7, vz, zfar=9000.0)
+        k = k_cross_for(9000.0, CPD, 34.0, n=n)
+        base = self._march(dem, p, k, color_planes=cp)
+        scene = prepare_aligned_scene(dem, k, color_planes=cp)
+        al = self._march(dem, p, k, color_planes=cp, scene=scene)
+        self._compare_rolled(base, al, extra_base=base[4], extra_al=al[4])
+
+    def test_render_bitwise_parity(self):
+        # the full (image, ranges) contract through render_panorama: d_of
+        # consumes dists.lane0, the resolve sees column-rolled rows --
+        # output must be bitwise the unaligned render's
+        from horizonator_tpu.render.window import prepare_aligned_scene
+        dem = make_dem(257)
+        vz = float(np.asarray(dem)[120:122, 131:133].max()) + 2.0
+        p = params_for(dem, 131.3, 120.7, vz, zfar=9000.0)
+        k = k_cross_for(9000.0, CPD, 34.0, n=257)
+        img0, rng0 = render_panorama(dem, p, width=256, height=128,
+                                     nsteps=k, cells_per_deg=CPD,
+                                     sampler="window", lat_hint_deg=34.0)
+        scene = prepare_aligned_scene(dem, k)
+        img1, rng1 = render_panorama(dem, p, width=256, height=128,
+                                     nsteps=k, cells_per_deg=CPD,
+                                     sampler="window", lat_hint_deg=34.0,
+                                     aligned_scene=scene)
+        np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+        np.testing.assert_array_equal(np.asarray(rng0), np.asarray(rng1))
+
+    def test_undersized_scene_raises(self):
+        from horizonator_tpu.render.window import prepare_aligned_scene
+        dem = make_dem(257)
+        vz = float(np.asarray(dem)[120:122, 131:133].max()) + 2.0
+        p = params_for(dem, 131.3, 120.7, vz)
+        scene = prepare_aligned_scene(dem, 128)   # one TILE_K of budget
+        with pytest.raises(ValueError, match="re-prepare"):
+            self._march(dem, p, 256, scene=scene)
+
+    def test_banded_grid_ignores_scene(self):
+        # region-sharded band grids keep the per-render build: passing a
+        # scene must silently fall back (lane0 None), not corrupt output
+        from horizonator_tpu.render.window import prepare_aligned_scene
+        dem = make_dem(257)
+        vz = float(np.asarray(dem)[120:122, 131:133].max()) + 2.0
+        p = params_for(dem, 131.3, 120.7, vz, zfar=9000.0)
+        k = k_cross_for(9000.0, CPD, 34.0, n=257)
+        scene = prepare_aligned_scene(dem, k)
+        base = self._march(dem, p, k, j_hi=200)
+        al = self._march(dem, p, k, j_hi=200, scene=scene)
+        assert al[2].lane0 is None
+        np.testing.assert_array_equal(np.asarray(base[0]), np.asarray(al[0]))

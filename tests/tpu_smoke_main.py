@@ -109,6 +109,30 @@ def main():
     print("banded march (4 row bands): Mosaic bitwise == unsharded",
           file=sys.stderr)
 
+    # aligned-scene march: prebuilt padded tables with a camera-dependent
+    # 128-aligned DMA lane base (cb_ref) + in-kernel lane-residual shift;
+    # must be BITWISE the per-render-build Mosaic march, column-rolled by
+    # the residual (compare through the resolved render below and the
+    # run_max horizon here: max over lanes is roll-invariant)
+    from horizonator_tpu.render.window import prepare_aligned_scene
+    al_scene = prepare_aligned_scene(dem, k)
+    tan_al, rm_al, dists_al, _ = march_window(
+        dem, p, width=512, k_cross=k, cells_per_deg=1200,
+        lat_hint_deg=34.0, interpret=False, scene=al_scene)
+    if int(dists_al.dropped) != 0:
+        print(f"TPU_SMOKE_FAIL: aligned march dropped "
+              f"{int(dists_al.dropped)}")
+        return 1
+    h_al = np.asarray(jnp.max(tan_al, axis=1))
+    h_full = np.asarray(jnp.max(tan_full, axis=1))
+    if not np.array_equal(h_al, h_full):
+        nbad = int((h_al != h_full).sum())
+        print(f"TPU_SMOKE_FAIL: aligned-scene march != per-render build "
+              f"({nbad} columns)")
+        return 1
+    print("aligned-scene march: Mosaic bitwise == per-render build",
+          file=sys.stderr)
+
     # textured march, BOTH color-plane resolutions: the 2x path adds a
     # second strided DMA ((3, 2*win, TK) window at origin 2*o) that only
     # Mosaic exercises for real
@@ -132,6 +156,35 @@ def main():
                   f"(err {err}, tex_eq {tex_eq})")
             return 1
         print(f"textured march s={s}: Mosaic == interpreter", file=sys.stderr)
+        if s == 2:
+            # textured aligned scene: the 2x color window DMA now uses the
+            # dynamic 128-aligned lane base too
+            from horizonator_tpu.render.texture import prepare_color_planes
+            cp2 = prepare_color_planes(colors)
+            sc2 = prepare_aligned_scene(dem, k, color_planes=cp2)
+            tan_a, _, d_a, _, tex_a = march_window(
+                dem, p, width=512, k_cross=k, cells_per_deg=1200,
+                lat_hint_deg=34.0, interpret=False, color_planes=cp2,
+                scene=sc2)
+            tan_b, _, _, _, tex_b = march_window(
+                dem, p, width=512, k_cross=k, cells_per_deg=1200,
+                lat_hint_deg=34.0, interpret=False, color_planes=cp2)
+            r0 = np.asarray(d_a.lane0).astype(int)
+            ta, tb = np.asarray(tan_a), np.asarray(tan_b)
+            xa, xb = np.asarray(tex_a), np.asarray(tex_b)
+            from horizonator_tpu.render.crossing import N_NEAR
+            kkb = tb.shape[1] - N_NEAR
+            for w in range(0, 512, 17):
+                sl = slice(N_NEAR + r0[w], N_NEAR + r0[w] + kkb)
+                visb = tb[w, N_NEAR:] > -1e30
+                if (not np.array_equal(ta[w, sl], tb[w, N_NEAR:])
+                        or not np.array_equal(xa[w, sl][visb],
+                                              xb[w, N_NEAR:][visb])):
+                    print(f"TPU_SMOKE_FAIL: textured aligned scene "
+                          f"mismatch at column {w}")
+                    return 1
+            print("textured aligned-scene march: Mosaic bitwise == "
+                  "per-render build", file=sys.stderr)
 
     # fused resolve kernel: Mosaic vs interpreter must agree BITWISE
     # (idx, quantized alpha, ok) on identical input rows
