@@ -61,3 +61,36 @@ def prep_only(d, pp):
         s = s + jnp.sum(jnp.where(jnp.isfinite(mn), mn, 0.0)) + jnp.sum(jnp.where(jnp.isfinite(mx), mx, 0.0))
     return s
 t("origins/actives prep only", prep_only, dem, p)
+
+# aligned-scene march (prebuilt tables): full march minus the table builds
+from horizonator_tpu.render.window import prepare_aligned_scene
+al = prepare_aligned_scene(dem, k)
+jax.block_until_ready(al.elev)
+t("march aligned (prebuilt tables)",
+  lambda d, pp: mw(d, pp, scene=al)[0].sum(), dem, p)
+
+# resolve + arctan tail alone: reuse one march's tanel as input
+from horizonator_tpu.render.raymarch import resolve_to_image
+tanel, run_max, dists, az = jax.block_until_ready(mw(dem, p, scene=al))
+
+def tail(tn, rm, pp):
+    img, rngs = resolve_to_image(tn, rm, dists.d_of, az, pp, width=4096,
+                                 height=1024, cells_per_deg=1200)
+    return jnp.sum(rngs) + jnp.sum(img[..., 2].astype(jnp.float32))
+
+def perturb_first(a, i):
+    tn, rm, pp = a
+    return (tn + i * 1e-9, rm, pp)
+sec = device_time_chain(tail, tanel, run_max, p, perturb=perturb_first,
+                        reps=48, iters=6)
+print(f"resolve tail (arctan+kernel+assembly): {sec*1e3:.3f} ms",
+      file=sys.stderr)
+
+# arctan+rowmap alone
+def rowmap(tn, pp):
+    el = jnp.arctan(tn)
+    y = (1.0 - el * 1.2732395) * 512.0 - 0.5
+    return jnp.sum(y)
+sec = device_time_chain(rowmap, tanel, p, perturb=lambda a, i: (a[0] + i*1e-9, a[1]),
+                        reps=48, iters=6)
+print(f"arctan+rowmap alone: {sec*1e3:.3f} ms", file=sys.stderr)

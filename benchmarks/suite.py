@@ -187,9 +187,12 @@ def config5(iters):
         jnp.asarray(jj.ravel(), jnp.float32),
         f(700.0), f(math.cos(math.radians(34.3))),
         f(-math.pi), f(math.pi), f(50.0), f(20000.0), f(50.0), f(20000.0))
+    from horizonator_tpu.render.window import prepare_aligned_scene
+    scene = prepare_aligned_scene(dem, nsteps)   # shared by all viewpoints
     fn = functools.partial(horizon_sweep, width=256, nsteps=nsteps,
                            cells_per_deg=1200, sampler="window")
-    sec = timed(fn, dem, ps, iters=iters)
+    sec = timed(lambda dem, scene, ps: fn(dem, ps, aligned_scene=scene),
+                dem, scene, ps, iters=iters)
     per = sec / B
     return {"config": 5, "metric": "viewshed_sweep_per_viewpoint", "value":
             round(per * 1e6, 2), "unit": "us/viewpoint",
@@ -255,17 +258,22 @@ def config7(iters):
 def config8(iters):
     """Textured fly-through: config 4's 60-frame path with the in-kernel
     texture (batch-path texture parity -- the reference textures every
-    render call, horizonator-pywrap.c:175-182)."""
+    render call, horizonator-pywrap.c:175-182). Half-cell (grid2x) colors
+    + aligned scene: the API's default textured configuration."""
     import functools
     import jax, jax.numpy as jnp
     from horizonator_tpu.parallel import render_path, stack_params
     from horizonator_tpu.render.crossing import k_cross_for
+    from horizonator_tpu.render.texture import prepare_color_planes
+    from horizonator_tpu.render.window import prepare_aligned_scene
     n = 3400
     dem = jax.device_put(synth_dem(n))
     k = k_cross_for(40000.0, 1200, 34.3, n=n)
     rng = np.random.default_rng(3)
-    colors = jax.device_put(jnp.asarray(
-        rng.integers(0, 255, (3, n, n)).astype(np.float32)))
+    colors = prepare_color_planes(jnp.asarray(
+        rng.integers(0, 255, (3, 2 * n, 2 * n)).astype(np.float32)))
+    colors = jax.tree.map(jax.device_put, colors)
+    scene = prepare_aligned_scene(dem, k, color_planes=colors)
     frames = stack_params(
         [make_params(n, az0=-60 + 0.5 * i, az1=60 + 0.5 * i, zfar=40000.0)
          ._replace(viewer_cell_i=jnp.float32(1700 + 3 * i),
@@ -274,8 +282,9 @@ def config8(iters):
     fn = functools.partial(render_path, width=1920, height=480, nsteps=k,
                            cells_per_deg=1200, sampler="window",
                            lat_hint_deg=34.3, textured=True)
-    sec = timed(lambda dem, colors, ps: fn(dem, ps, color_planes=colors),
-                dem, colors, frames, iters=iters)
+    sec = timed(lambda dem, colors, scene, ps:
+                fn(dem, ps, color_planes=colors, aligned_scene=scene),
+                dem, colors, scene, frames, iters=iters)
     fps = 60 / sec
     return {"config": 8, "metric": "flythrough_textured_1920x480_fps",
             "value": round(fps, 1), "unit": "fps"}

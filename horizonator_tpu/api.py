@@ -445,11 +445,12 @@ class horizonator:
             zfar_color=f(zfar), curv=f(self._curv))
         if self.sampler == "window":
             from .render.window import march_window
+            nsteps = self._auto_nsteps(znear, zfar)
             tanel, _, _, az = march_window(
-                self._dem, params, width=width,
-                k_cross=self._auto_nsteps(znear, zfar),
+                self._dem, params, width=width, k_cross=nsteps,
                 cells_per_deg=self.mosaic.cells_per_deg,
-                lat_hint_deg=self._lat_hint(), znear_hint_m=float(znear))
+                lat_hint_deg=self._lat_hint(), znear_hint_m=float(znear),
+                scene=self._aligned_for(nsteps))
             # full-column horizon = plain max; the running-max scan
             # dead-codes out (it cost ~0.45 ms at headline widths)
             tan_el = jnp.max(tanel, axis=1)

@@ -193,7 +193,7 @@ def _unwrap(x, near):
                               "sampler", "lat_hint_deg", "znear_hint_m"))
 def horizon_sweep(dem, params_batch: RenderParams, *, width, nsteps,
                   cells_per_deg, surface="bilinear", sampler="step",
-                  lat_hint_deg=45.0, znear_hint_m=100.0):
+                  lat_hint_deg=45.0, znear_hint_m=100.0, aligned_scene=None):
     """(B,) stacked viewpoints -> (B, W) horizon tan(el). The building block
     of the 10k-viewpoint sweep; shard the batch axis for multi-chip.
 
@@ -204,7 +204,11 @@ def horizon_sweep(dem, params_batch: RenderParams, *, width, nsteps,
     viewpoint in one fused lax.map dispatch (dem = raw (n, n) float32);
     lat_hint_deg sizes its VMEM cross-axis window -- pass the viewer
     latitude, or the kernel silently underestimates the fan above ~50 deg
-    and drops valid samples."""
+    and drops valid samples. ``aligned_scene``: optional
+    window.AlignedScene, shared by every viewpoint -- skips the
+    PER-VIEWPOINT crossing-table builds (the horizon is a max over
+    samples, which the aligned path's lane roll and inert gap copies
+    cannot change)."""
     from ..parallel.sharding import broadcast_params_batch
     params_batch = broadcast_params_batch(params_batch)
     if sampler == "window":
@@ -214,7 +218,7 @@ def horizon_sweep(dem, params_batch: RenderParams, *, width, nsteps,
             tanel, _, _, _ = march_window(
                 dem, p, width=width, k_cross=nsteps,
                 cells_per_deg=cells_per_deg, lat_hint_deg=lat_hint_deg,
-                znear_hint_m=znear_hint_m)
+                znear_hint_m=znear_hint_m, scene=aligned_scene)
             return jnp.max(tanel, axis=1)   # scan dead-codes out
         return jax.lax.map(one_w, params_batch)
     if sampler == "crossing":
@@ -263,6 +267,7 @@ def viewshed_sweep(dem, viewpoints_ij, *, viewer_height_m=2.0, width=256,
     vz = ground + viewer_height_m
 
     lat_hint_deg = 45.0
+    al_scene = None
     if sampler in ("crossing", "window"):
         from ..render.crossing import pack_scene, k_cross_for
         if lat_deg is None:
@@ -272,6 +277,15 @@ def viewshed_sweep(dem, viewpoints_ij, *, viewer_height_m=2.0, width=256,
         lat_hint_deg = float(lat_deg)
         dem_packed = (dem_f.astype(jnp.float32) if sampler == "window"
                       else pack_scene(dem_f.astype(jnp.float32)))
+        if (sampler == "window" and dem_f.ndim == 2
+                and dem_f.shape[0] == dem_f.shape[1]
+                and dem_f.shape[0] >= 136):    # window.py tiny-grid pad
+            # one aligned-table prep amortizes over EVERY viewpoint of
+            # the sweep (the per-viewpoint builds it replaces scale with
+            # the batch, the prep doesn't)
+            from ..render.window import prepare_aligned_scene
+            al_scene = prepare_aligned_scene(dem_f.astype(jnp.float32),
+                                             nsteps)
     elif nsteps is None:
         nsteps = 512
 
@@ -289,10 +303,15 @@ def viewshed_sweep(dem, viewpoints_ij, *, viewer_height_m=2.0, width=256,
             raise ValueError(
                 f"batch {batch} not divisible by mesh batch axis "
                 f"{mesh.shape['batch']}")
-        sweep = jax.jit(shard_map(
-            sweep, mesh=mesh, in_specs=(P(), P("batch")),
+        inner = (lambda dem, scene, p:
+                 sweep(dem, p, aligned_scene=scene))
+        sharded = jax.jit(shard_map(
+            inner, mesh=mesh, in_specs=(P(), P(), P("batch")),
             out_specs=P("batch"),
             check_vma=False))   # pallas window kernel under shard_map
+        sweep_call = lambda dem, p: sharded(dem, al_scene, p)
+    else:
+        sweep_call = lambda dem, p: sweep(dem, p, aligned_scene=al_scene)
 
     f = jnp.float32
     outs = []
@@ -314,5 +333,5 @@ def viewshed_sweep(dem, viewpoints_ij, *, viewer_height_m=2.0, width=256,
             znear_color=jnp.full((batch,), znear, jnp.float32),
             zfar_color=jnp.full((batch,), zfar, jnp.float32))
         from ..parallel.sharding import broadcast_params_batch
-        outs.append(sweep(dem_packed, broadcast_params_batch(params)))
+        outs.append(sweep_call(dem_packed, broadcast_params_batch(params)))
     return jnp.concatenate(outs, axis=0)[:nview]
