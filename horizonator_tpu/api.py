@@ -157,6 +157,7 @@ class horizonator:
         self.viewer_lon = float(lon)
         self.viewer_z = self.mosaic.auto_viewer_z(lat, lon)
         self._aligned = None   # lazily-built window.AlignedScene
+        self._sharded_cache = {}   # (mesh, kw) -> make_sharded_renderer fn
         self._last = None   # (ranges ndarray, render kwargs) for pick()
 
     # -- geometry helpers ---------------------------------------------------
@@ -283,23 +284,7 @@ class horizonator:
             znear_color=f(znear_color), zfar_color=f(zfar_color),
             curv=f(self._curv))
 
-        nsteps = self._auto_nsteps(znear, zfar)
-        sampler = self.sampler
-        lod_plan = None
-        dem = self._dem
-        if sampler == "window" and nsteps > 1536:
-            # Long clip ranges (e.g. 300 km at SRTM1): switch to the LOD
-            # mip-chain march; step count grows ~logarithmically with zfar.
-            from .render.lod import lod_plan as _mk_plan, build_pyramid
-            lod_plan = _mk_plan(zfar, self.width, self.mosaic.cells_per_deg,
-                                self.viewer_lat, self.mosaic.grid.shape[0])
-            nlev = 1 + max(s.level for s in lod_plan)
-            if self._pyramid is None or len(self._pyramid) < nlev:
-                self._pyramid = tuple(
-                    jax.device_put(x)
-                    for x in build_pyramid(self._dem, nlev))
-            dem = self._pyramid
-            sampler = "lod"
+        dem, sampler, nsteps, lod_plan = self._batch_render_plan(znear, zfar)
         image, ranges = render_panorama(
             dem, params,
             width=self.width, height=self.height, nsteps=nsteps,
@@ -308,7 +293,7 @@ class horizonator:
             textured=self.render_texture,
             atlas=self._atlas, atlas_params=self._atlas_params,
             sampler=sampler, lat_hint_deg=self._lat_hint(),
-            lod_plan=lod_plan, znear_hint_m=float(znear),
+            lod_plan=lod_plan, znear_hint_m=self._znear_hint(znear),
             color_planes=self._color_planes if sampler == "window" else None,
             aligned_scene=(self._aligned_for(nsteps)
                            if sampler == "window" else None))
@@ -324,10 +309,21 @@ class horizonator:
             out.append(ranges_np)
         return tuple(out) if len(out) > 1 else out[0]
 
+    @staticmethod
+    def _znear_hint(znear):
+        """Static near-patch hint: znear rounded UP to a power of two
+        (floor 128) so animating znear never recompiles (znear itself is a
+        traced scalar; only this hint is static). A hint above the true
+        znear only grows the patch (window.near_patch_size) -- never drops
+        samples -- and patch size does not change sample values (every
+        extra hat term is an exact +0.0)."""
+        return float(max(128.0, 2.0 ** math.ceil(math.log2(max(znear, 1.0)))))
+
     def _batch_render_plan(self, znear, zfar):
-        """(dem, sampler, nsteps, lod_plan) for a batch/path render: the
-        same auto-LOD switch render() performs at long clip ranges (a
-        300 km SRTM1 batch must not compile the flat march)."""
+        """(dem, sampler, nsteps, lod_plan): the auto-LOD switch shared by
+        render() and the batch/path renderers -- long clip ranges (e.g.
+        300 km at SRTM1) swap the flat march for the LOD mip-chain; step
+        count then grows ~logarithmically with zfar."""
         nsteps = self._auto_nsteps(znear, zfar)
         sampler = self.sampler if self.sampler != "lod" else "window"
         dem = self._dem
@@ -384,17 +380,29 @@ class horizonator:
                 znear_color=f(znear_color), zfar_color=f(zfar_color),
                 curv=f(self._curv)))
         dem, sampler, nsteps, lod_plan = self._batch_render_plan(znear, zfar)
-        textured = self.render_texture and self._color_planes is not None
+        # textured follows render(): the window sampler textures in-kernel
+        # from the grid color planes; the LOD sampler (long clip ranges)
+        # textures from the atlas at resolve time, so the atlas must ride
+        # along or the resolve would crash on atlas=None
+        textured = self.render_texture and (
+            self._color_planes is not None or self._atlas is not None)
         kw = dict(width=self.width, height=self.height, nsteps=nsteps,
                   cells_per_deg=self.mosaic.cells_per_deg,
                   surface=self.surface, refine=self.refine,
                   sampler=sampler, lat_hint_deg=self._lat_hint(),
                   lod_plan=lod_plan, textured=textured,
-                  znear_hint_m=float(znear))
-        cp = self._color_planes if textured else None
+                  atlas_params=self._atlas_params if textured else None,
+                  znear_hint_m=self._znear_hint(znear))
+        cp = (self._color_planes if textured and sampler == "window"
+              else None)
+        atlas = self._atlas if textured and cp is None else None
 
         if mesh is None:
-            imgs, rngs = _rb(dem, stack_params(ps), color_planes=cp, **kw)
+            imgs, rngs = _rb(dem, stack_params(ps), color_planes=cp,
+                             atlas=atlas,
+                             aligned_scene=(self._aligned_for(nsteps)
+                                            if sampler == "window" else None),
+                             **kw)
             return np.asarray(imgs), np.asarray(rngs)
 
         # multi-chip: batch axis (+ optional azimuth wedges) via shard_map
@@ -410,8 +418,14 @@ class horizonator:
         b_real = len(ps)
         while len(ps) % n_batch:
             ps.append(ps[-1])       # pad: repeat the last viewpoint
-        fn = make_sharded_renderer(mesh, **kw)
-        imgs, rngs = fn(dem, stack_params(ps), color_planes=cp)
+        # cache the shard_map+jit closure per (mesh, static config):
+        # rebuilding it every call would recompile every call
+        key = (mesh, tuple(sorted(kw.items())))
+        fn = self._sharded_cache.get(key)
+        if fn is None:
+            fn = make_sharded_renderer(mesh, **kw)
+            self._sharded_cache[key] = fn
+        imgs, rngs = fn(dem, stack_params(ps), color_planes=cp, atlas=atlas)
         return (np.asarray(imgs)[:b_real], np.asarray(rngs)[:b_real])
 
     def pick(self, x, y):

@@ -158,7 +158,21 @@ def _fetch_dem(url_fmt: str, path, warn: bool = True) -> bool:
                            if m.lower().endswith(".hgt")]
                 if not members:
                     raise ValueError("no .hgt member in zip")
-                data = z.read(members[0])
+                # multi-tile archives (e.g. viewfinderpanoramas zips hold
+                # a whole region): pick the member for THIS tile, never
+                # just the first -- caching the wrong tile's elevations
+                # would silently corrupt every later render
+                want = name.lower()
+                match = [m for m in members
+                         if m.replace("\\", "/").rsplit("/", 1)[-1].lower()
+                         == want]
+                if not match:
+                    if len(members) > 1:
+                        raise ValueError(
+                            f"zip has {len(members)} .hgt members, none "
+                            f"named {name}")
+                    match = members
+                data = z.read(match[0])
         elif data[:2] == b"\x1f\x8b":
             import gzip
             data = gzip.decompress(data)

@@ -53,7 +53,7 @@ def viewshed_polar(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
         visible, tanel, d, az, _ = _polar_with_dists(
             dem, params, width=width, nsteps=nsteps,
             cells_per_deg=cells_per_deg, surface=surface, sampler=sampler,
-            lat_hint_deg=lat_hint_deg)
+            lat_hint_deg=lat_hint_deg, znear_hint_m=znear_hint_m)
         return visible, tanel, d, az
     tanel, run_max, d, az = march_tanel(
         dem, params, width=width, nsteps=nsteps,

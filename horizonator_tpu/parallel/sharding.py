@@ -55,12 +55,12 @@ def broadcast_params_batch(params: RenderParams) -> RenderParams:
     jax.jit,
     static_argnames=("width", "height", "nsteps", "cells_per_deg", "surface",
                      "refine", "sampler", "lat_hint_deg", "lod_plan",
-                     "textured", "znear_hint_m"))
+                     "textured", "znear_hint_m", "atlas_params"))
 def render_batch(dem, params: RenderParams, *, width, height, nsteps,
                  cells_per_deg, surface="bilinear", refine=True,
                  sampler="step", lat_hint_deg=45.0, lod_plan=None,
                  textured=False, color_planes=None, znear_hint_m=100.0,
-                 aligned_scene=None):
+                 aligned_scene=None, atlas=None, atlas_params=None):
     """Single-device batch render over a stacked RenderParams batch.
     Returns (images (B,H,W,3) u8, ranges (B,H,W) f32).
 
@@ -72,12 +72,16 @@ def render_batch(dem, params: RenderParams, *, width, height, nsteps,
     -- the reference textures every .render() call
     (horizonator-pywrap.c:175-182), so batches must too.
     ``aligned_scene``: optional window.AlignedScene, shared by the whole
-    batch (camera-independent -- one prep covers every viewpoint)."""
+    batch (camera-independent -- one prep covers every viewpoint).
+    ``atlas``/``atlas_params``: the resolve-time texture source for
+    samplers without in-kernel colors (the LOD march of a textured
+    long-clip batch)."""
     fn = lambda p: render_panorama(
         dem, p, width=width, height=height, nsteps=nsteps,
         cells_per_deg=cells_per_deg, surface=surface, refine=refine,
         sampler=sampler, lat_hint_deg=lat_hint_deg, lod_plan=lod_plan,
         textured=textured, color_planes=color_planes,
+        atlas=atlas, atlas_params=atlas_params,
         znear_hint_m=znear_hint_m, aligned_scene=aligned_scene)
     params = broadcast_params_batch(params)
     if sampler in ("window", "lod"):
@@ -102,7 +106,7 @@ def _wedge_params(p: RenderParams, az_idx, n_az: int) -> RenderParams:
 def make_sharded_renderer(mesh: Mesh, *, width, height, nsteps, cells_per_deg,
                           surface="bilinear", refine=True, sampler="step",
                           lat_hint_deg=45.0, lod_plan=None, textured=False,
-                          znear_hint_m=100.0):
+                          znear_hint_m=100.0, atlas_params=None):
     """Build the multi-chip renderer over mesh axes ("batch", "az").
 
     Returns a jitted fn(dem, params_batch) -> (images (B,H,W,3), ranges
@@ -115,7 +119,7 @@ def make_sharded_renderer(mesh: Mesh, *, width, height, nsteps, cells_per_deg,
         raise ValueError(f"width {width} not divisible by az axis {n_az}")
     w_local = width // n_az
 
-    def local_fn(dem, color_planes, params):
+    def local_fn(dem, color_planes, atlas, params):
         az_idx = jax.lax.axis_index("az")
 
         def one(p):
@@ -125,7 +129,8 @@ def make_sharded_renderer(mesh: Mesh, *, width, height, nsteps, cells_per_deg,
                 cells_per_deg=cells_per_deg, surface=surface, refine=refine,
                 sampler=sampler, lat_hint_deg=lat_hint_deg,
                 lod_plan=lod_plan, textured=textured,
-                color_planes=color_planes, znear_hint_m=znear_hint_m)
+                color_planes=color_planes, atlas=atlas,
+                atlas_params=atlas_params, znear_hint_m=znear_hint_m)
 
         if sampler in ("window", "lod"):
             return jax.lax.map(one, params)
@@ -137,13 +142,13 @@ def make_sharded_renderer(mesh: Mesh, *, width, height, nsteps, cells_per_deg,
     kw = dict(check_vma=False)
     sharded = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(), P(), P("batch")),
+        in_specs=(P(), P(), P(), P("batch")),
         out_specs=(P("batch", None, "az", None), P("batch", None, "az")),
         **kw)
     jitted = jax.jit(sharded)
 
-    def call(dem, params, color_planes=None):
-        return jitted(dem, color_planes, params)
+    def call(dem, params, color_planes=None, atlas=None):
+        return jitted(dem, color_planes, atlas, params)
     return call
 
 
@@ -194,22 +199,23 @@ def make_sharded_horizon(mesh: Mesh, *, width, nsteps, cells_per_deg,
     jax.jit,
     static_argnames=("width", "height", "nsteps", "cells_per_deg", "surface",
                      "refine", "sampler", "lat_hint_deg", "lod_plan",
-                     "textured", "znear_hint_m"))
+                     "textured", "znear_hint_m", "atlas_params"))
 def render_path(dem, params_path: RenderParams, *, width, height, nsteps,
                 cells_per_deg, surface="bilinear", refine=True,
                 sampler="step", lat_hint_deg=45.0, lod_plan=None,
                 textured=False, color_planes=None, znear_hint_m=100.0,
-                aligned_scene=None):
+                aligned_scene=None, atlas=None, atlas_params=None):
     """Fly-through: render a whole camera path in ONE dispatch via lax.map,
     avoiding per-frame host->device latency (SURVEY.md §7 'interactivity
     economics'). params_path: stacked RenderParams with leading axis =
     frames. Returns (images (F,H,W,3), ranges (F,H,W)).
-    ``textured``/``color_planes``/``aligned_scene``: in-kernel texture and
-    prebuilt tables, as in render_batch."""
+    ``textured``/``color_planes``/``aligned_scene``/``atlas``: in-kernel
+    texture, prebuilt tables, and the LOD-path atlas, as in render_batch."""
     fn = lambda p: render_panorama(
         dem, p, width=width, height=height, nsteps=nsteps,
         cells_per_deg=cells_per_deg, surface=surface, refine=refine,
         sampler=sampler, lat_hint_deg=lat_hint_deg, lod_plan=lod_plan,
         textured=textured, color_planes=color_planes,
+        atlas=atlas, atlas_params=atlas_params,
         znear_hint_m=znear_hint_m, aligned_scene=aligned_scene)
     return jax.lax.map(fn, broadcast_params_batch(params_path))

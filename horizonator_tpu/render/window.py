@@ -318,7 +318,7 @@ def _dir_id(geo):
 def _window_kernel(orig_ref, act_ref, cb_ref, fscal_ref,   # scalar prefetch
                    pcol_ref, tall_ref,             # inputs
                    *rest,                          # outs + scratch
-                   win: int, tile_w: int, tile_k: int, n: int,
+                   win: int, tile_w: int, tile_k: int,
                    k_kernel: int, textured: bool, tex_scale: int = 1):
     tallc_ref = winc_ref = semc_ref = None
     if textured and tex_scale == 2:
@@ -591,9 +591,13 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
     win = window_size(width, k_kernel, n_ax, lat_hint_deg, tile_w)
 
     # aligned-scene path: square unsharded grid, prebuilt tables wide
-    # enough for this step budget, colors in the scene when textured
+    # enough for this step budget, colors in the scene when textured.
+    # n_near == 0 falls back to the per-render build: the bitwise-parity
+    # contract needs the residual-gap fill below, which copies the near
+    # band's last sample -- with no near band there is nothing to fill
+    # the [0, r_d) gap lanes with.
     aligned = (scene is not None and not banded and not (pad_j or pad_i)
-               and scene.n == n_real
+               and n_near > 0 and scene.n == n_real
                and (not textured
                     or (tex_scale == 2 and scene.colors is not None)))
     if aligned and scene.k_lanes < k_kernel + TILE_K:
@@ -775,7 +779,7 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
         scratch_shapes=scratch,
     )
     kern = functools.partial(_window_kernel, win=win, tile_w=tile_w,
-                             tile_k=TILE_K, n=n_real, k_kernel=k_kernel,
+                             tile_k=TILE_K, k_kernel=k_kernel,
                              textured=textured, tex_scale=tex_scale)
     outs = pl.pallas_call(
         kern,

@@ -247,6 +247,13 @@ def test_render_batch_multichip_through_api(dem_dir):
                                mesh=mesh_b)
     np.testing.assert_array_equal(imgs_b, imgs1)
 
+    # the shard_map closure is cached per (mesh, static config): a second
+    # call with the same mesh must reuse it (a fresh jit wrapper identity
+    # every call would recompile every call)
+    n_cached = len(h._sharded_cache)
+    h.render_batch(-60, 60, lats, lons, zfar=20000.0, mesh=mesh_b)
+    assert len(h._sharded_cache) == n_cached
+
 
 def test_cli_ranges_output(dem_dir, tmp_path):
     out = tmp_path / "pano.png"

@@ -245,6 +245,56 @@ class TestDemAutoDownload:
         finally:
             srv.shutdown()
 
+    def test_fetch_multi_member_zip_picks_named_tile(self, tmp_path):
+        """Region zips (viewfinderpanoramas style) hold many .hgt members;
+        the fetch must extract the member for THIS tile, not namelist[0] --
+        the wrong tile's elevations would be silently cached forever."""
+        import io
+        import zipfile
+        from horizonator_tpu.dem.mosaic import load_mosaic
+
+        zb = io.BytesIO()
+        with zipfile.ZipFile(zb, "w") as z:
+            z.writestr("L11/N35W118.hgt", self._tile_bytes(999))  # decoy 1st
+            z.writestr("L11/N34W118.hgt", self._tile_bytes(321))
+            z.writestr("L11/N34W119.hgt", self._tile_bytes(555))
+        srv, _hits = self._serve({"/dem/N34W118.hgt.zip": zb.getvalue()})
+        port = srv.server_address[1]
+        try:
+            m = load_mosaic(34.4, -117.5, render_radius_cells=100,
+                            datadir=str(tmp_path / "dems"),
+                            dem_url_fmt=f"http://127.0.0.1:{port}"
+                                        "/dem/{name}.zip")
+            assert m.missing_tiles == []
+            assert (m.grid == 321).all()
+        finally:
+            srv.shutdown()
+
+    def test_fetch_multi_member_zip_without_match_fails_loudly(
+            self, tmp_path, capsys):
+        """A multi-member zip with NO member for the requested tile must
+        degrade to sea+warning, never cache an arbitrary member."""
+        import io
+        import zipfile
+        from horizonator_tpu.dem.mosaic import load_mosaic
+
+        zb = io.BytesIO()
+        with zipfile.ZipFile(zb, "w") as z:
+            z.writestr("N35W118.hgt", self._tile_bytes(999))
+            z.writestr("N35W119.hgt", self._tile_bytes(888))
+        srv, _hits = self._serve({"/dem/N34W118.hgt.zip": zb.getvalue()})
+        port = srv.server_address[1]
+        try:
+            m = load_mosaic(34.4, -117.5, render_radius_cells=100,
+                            datadir=str(tmp_path / "dems"),
+                            dem_url_fmt=f"http://127.0.0.1:{port}"
+                                        "/dem/{name}.zip")
+            assert len(m.missing_tiles) == 1
+            assert (m.grid == 0).all()
+            assert "none named N34W118.hgt" in capsys.readouterr().err
+        finally:
+            srv.shutdown()
+
     def test_fetch_failure_degrades_to_sea(self, tmp_path, capsys):
         from horizonator_tpu.dem.mosaic import load_mosaic
         srv, hits = self._serve({})   # 404 everything

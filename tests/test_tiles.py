@@ -320,3 +320,44 @@ def test_halfcell_texture_beats_grid_on_checkerboard(tmp_path):
     d_g = np.abs(img_g[near].astype(int) - img_e[near].astype(int)).mean()
     assert d_2x < 14.0, d_2x
     assert d_2x < 0.55 * d_g, (d_2x, d_g)
+
+
+def test_textured_render_batch_auto_lod(tmp_path):
+    """A textured long-clip BATCH must survive the auto-LOD switch: the
+    LOD march has no in-kernel colors, so the batch renderers need the
+    atlas at resolve time (crashed on atlas=None before round 3) and must
+    match the single textured render() bit for bit."""
+    from horizonator_tpu import horizonator
+    from horizonator_tpu.dem import hgt
+
+    d = tmp_path / "dems"
+    edge = hgt.SRTM3_EDGE
+    z = np.full((edge, edge), 400, np.int16)
+    hgt.write_hgt(d / "N34W118.hgt", z)
+    lat, lon = 34.40, -117.45
+    x_lo, y_lo = tile_xy_from_latlon(lat + 160 / 1200, lon - 160 / 1200, 12)
+    x_hi, y_hi = tile_xy_from_latlon(lat - 160 / 1200, lon + 160 / 1200, 12)
+    _fill_cache(tmp_path, range(x_lo - 1, x_hi + 2), range(y_lo - 1, y_hi + 2),
+                lambda x, y: (200, 100, 50))
+
+    # nsteps far above the 1536 LOD threshold forces the switch on a
+    # small scene (a real SRTM1 300 km atlas is too large for a test)
+    h = horizonator(lat, lon, 128, 64, render_texture=True,
+                    dir_dems=str(d), dir_tiles=str(tmp_path),
+                    allow_downloads=False, render_radius_cells=150,
+                    nsteps=2048)
+    dem, sampler, nsteps, plan = h._batch_render_plan(100.0, 9000.0)
+    assert sampler == "lod" and plan is not None
+    imgs, rngs = h.render_batch(-45, 45, [lat, lat + 0.01], [lon, lon],
+                                zfar=9000.0)
+    assert imgs.shape == (2, 64, 128, 3)
+    img1, rng1 = h.render(-45, 45, lat=lat, lon=lon, zfar=9000.0)
+    np.testing.assert_array_equal(imgs[0], img1)
+    np.testing.assert_array_equal(rngs[0], rng1)
+    vis = rngs[0] > 0
+    assert vis.any()
+    # blend parity: B = 0.7*50, G = 0.7*100 (fragment.glsl:21)
+    b = imgs[0][vis][:, 0].astype(float)
+    g = imgs[0][vis][:, 1].astype(float)
+    assert np.abs(b - 35).max() <= 2.0
+    assert np.abs(g - 70).max() <= 2.0

@@ -178,3 +178,41 @@ def test_viewshed_grid_window_matches_step_oracle(sampler):
         sampler="window" if sampler == "crossing" else "crossing",
         lat_hint_deg=0.0, **kw))
     assert (g_fast == g_x).mean() > 0.995
+
+
+def test_polar_window_large_znear_hint_forwarded():
+    """viewshed_polar must FORWARD znear_hint_m to the window march: a
+    znear far above the default 100 m hint would otherwise size the
+    gather-free near patch too small, silently masking every near-band
+    sample (the hint was accepted and dropped before round 3)."""
+    n = 512
+    rng = np.random.default_rng(3)
+    dem_np = 40.0 * rng.standard_normal((n, n)).astype(np.float32)
+    dem_np[290:294, :] += 500.0                     # wall north of viewer
+    # integer meters (real SRTM class): the crossing sampler's pair pack
+    # quantizes to 0.5 m while the window kernel marches raw f32 -- both
+    # are exact on integer elevations, so equality below is bitwise
+    dem = jnp.asarray(np.round(np.maximum(dem_np, 0.0)))
+    f = jnp.float32
+    znear = 1500.0
+    p = RenderParams(f(256), f(256), f(30.0), f(1.0),
+                     f(-np.pi), f(np.pi), f(znear), f(15000.0),
+                     f(znear), f(15000.0))
+    kw = dict(width=180, nsteps=256, cells_per_deg=CPD,
+              znear_hint_m=znear)
+    vis_w, tan_w, d_w, az_w = viewshed_polar(dem, p, sampler="window",
+                                             lat_hint_deg=0.0, **kw)
+    vis_c, tan_c, d_c, az_c = viewshed_polar(dem, p, sampler="crossing",
+                                             **kw)
+    tan_w, tan_c = np.asarray(tan_w), np.asarray(tan_c)
+    # The drop detector: the two samplers share a sample set, so their
+    # VALID masks must agree exactly -- an undersized near patch masks the
+    # whole near band to NEG_BIG on the window path only.
+    np.testing.assert_array_equal(tan_w > -1.0e30, tan_c > -1.0e30)
+    near = np.asarray(d_w) < znear + 400.0
+    assert near.any() and (tan_w[near] > -1.0e30).any()
+    # values agree to the samplers' form/quantization class (hat
+    # contraction vs nested lerp: ulp-level reassociation)
+    ok = tan_c > -1.0e30
+    np.testing.assert_allclose(tan_w[ok], tan_c[ok], atol=2e-5, rtol=0)
+    assert (np.asarray(vis_w) == np.asarray(vis_c)).mean() > 0.999
