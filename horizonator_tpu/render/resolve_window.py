@@ -38,6 +38,17 @@ identities after stage 1); lane padding of the sample axis must go on the
 LEFT (the merge needs the valley shape) with threshold parity (the scans
 must skip pads); the row axis pads to a 128-multiple with inert extra
 bottom thresholds, so any image height is exact.
+
+Lane-count economics: stages 2-4 and 6-7 run at m = kp + hp physical
+lanes (a 128-multiple), NOT the power-of-two n2 -- the pow-2 merge
+network is evaluated with lanes [m, n2) virtual: they hold INT_MAX at
+every stage (each compare leaves the max at the higher index), so a low
+lane whose partner is virtual is simply left unchanged and the pad region
+needs no storage, rolls, or compares. Only the butterfly router (stage 8)
+physically pads to n2, because a packet's mid-route lane interleaves its
+own high bits with its destination's low bits and can exceed m. At the
+4096x1024 headline this trims 19% of every merge/scan/fill stage; at the
+1920x480 fly-through shape, 44%.
 """
 
 from __future__ import annotations
@@ -59,22 +70,31 @@ _A_CAP = 10
 
 
 def _plan(k: int, height: int):
-    """(kp, hp, hb, kb, a_bits, n2) for the packed layout. The row axis is
-    padded to a 128-multiple hp: the extra bottom thresholds sort after
+    """(kp, hp, hb, kb, a_bits, n2, m) for the packed layout. The row axis
+    is padded to a 128-multiple hp: the extra bottom thresholds sort after
     every real one, count no samples anyone else would, and are sliced
     off -- so any image height is exact. a_bits is CAPPED at _A_CAP so the
     alpha quantum is independent of K whenever the bit budget allows:
     without the cap, K landing in a different kb bucket (e.g. the aligned
     scene's +TILE_K lanes vs the per-render build) changes refined ranges
     by up to one alpha quantum, breaking aligned-vs-unaligned bitwise
-    range parity."""
+    range parity.
+
+    m = kp + hp is the PHYSICAL merged-lane count (a 128-multiple): the
+    merge, bracket scans and fill run at m lanes, virtually padded to the
+    power-of-two n2 by INT_MAX tail lanes that provably never move (see
+    the stage notes in the module docstring); only the butterfly router
+    physically pads to n2. At the 4096x1024 headline m/n2 = 1664/2048
+    (19% of every trimmed stage), at the 1920x480 fly-through 1152/2048
+    (44%)."""
     kp = -(-k // 128) * 128
     hp = max(-(-height // 128) * 128, 128)
     hb = max((hp - 1).bit_length(), 1)
     kb = max(kp.bit_length(), 1)
     a_bits = min(31 - hb - kb - 1, _A_CAP)
-    n2 = 1 << (kp + hp - 1).bit_length()
-    return kp, hp, hb, kb, a_bits, n2
+    m = kp + hp
+    n2 = 1 << (m - 1).bit_length()
+    return kp, hp, hb, kb, a_bits, n2, m
 
 
 # The kernel holds ~6 live (TILE_W, n2) int32 buffers (keys, lane iota,
@@ -90,7 +110,7 @@ def resolve_fits(k: int, height: int) -> bool:
     return plan[4] >= 5 and plan[5] <= _N2_MAX
 
 
-def _resolve_kernel(y_ref, *rest, kp, k_real, h, n2, kb, a_bits, monotone,
+def _resolve_kernel(y_ref, *rest, kp, k_real, h, n2, m, kb, a_bits, monotone,
                     textured):
     if textured:
         tex_ref, out_ref, outtex_ref = rest
@@ -130,7 +150,7 @@ def _resolve_kernel(y_ref, *rest, kp, k_real, h, n2, kb, a_bits, monotone,
     lane_t = jax.lax.broadcasted_iota(jnp.int32, (tw, h), 1)
     key_t = (lane_t << (_ROWQ_BITS + 1)) | 1
     parts = [key_s, key_t]
-    pad_cnt = n2 - kp - h
+    pad_cnt = m - kp - h
     if pad_cnt:
         # pads are threshold-parity (odd) so the bracket scans skip them
         # and their huge rank routes them to the sentinel
@@ -139,28 +159,41 @@ def _resolve_kernel(y_ref, *rest, kp, k_real, h, n2, kb, a_bits, monotone,
     v = jnp.concatenate(parts, axis=1)
     if textured:
         texm = jnp.concatenate(
-            [tex_ref[:], jnp.zeros((tw, n2 - kp), jnp.int32)], axis=1)
+            [tex_ref[:], jnp.zeros((tw, m - kp), jnp.int32)], axis=1)
     else:
         texm = None
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tw, n2), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tw, m), 1)
 
-    # 4. bitonic merge of the valley (key-value when carrying colors)
+    # 4. bitonic merge of the valley at m physical lanes (key-value when
+    # carrying colors). The network is the pow-2 n2 XOR-partner merge with
+    # lanes [m, n2) VIRTUAL: they hold INT_MAX forever (max with the top
+    # lane of a compare keeps INT_MAX there; min with a lower lane returns
+    # the real key), so a physical low lane whose partner lane+s >= m is
+    # simply left unchanged -- no physical storage or rolls over the pad
+    # region. Only low lanes can have virtual partners (a high lane's
+    # partner lane-s is physical because lane & s != 0 implies lane >= s).
     s = n2 // 2
     while s >= 1:
-        fwd = pltpu.roll(v, shift=n2 - s, axis=1)      # v[i+s] -> i
-        bwd = pltpu.roll(v, shift=s, axis=1)           # v[i-s] -> i
+        fwd = pltpu.roll(v, shift=(m - s) % m, axis=1)  # v[i+s] -> i
+        bwd = pltpu.roll(v, shift=s % m, axis=1)        # v[i-s] -> i
         low = (lane & s) == 0
+        # a LOW lane whose partner lane+s is virtual stays frozen (its
+        # partner holds INT_MAX: min is a no-op); a high lane's partner
+        # lane-s is always physical (lane & s != 0 implies lane >= s)
+        frozen = low & (lane + s >= m)
         part = jnp.where(low, fwd, bwd)
         if textured:
             # ties keep self on both ends, so (key, tex) pairs stay paired
             # (boolean algebra, not where: Mosaic cannot select between
             # i1 vectors -- "Unsupported target bitwidth for truncation")
-            took = (low & (part < v)) | (~low & (part > v))
-            tpart = jnp.where(low, pltpu.roll(texm, shift=n2 - s, axis=1),
-                              pltpu.roll(texm, shift=s, axis=1))
+            took = (~frozen) & ((low & (part < v)) | (~low & (part > v)))
+            tpart = jnp.where(low, pltpu.roll(texm, shift=(m - s) % m,
+                                              axis=1),
+                              pltpu.roll(texm, shift=s % m, axis=1))
             texm = jnp.where(took, tpart, texm)
-        v = jnp.where(low, jnp.minimum(v, part), jnp.maximum(v, part))
+        cex = jnp.where(low, jnp.minimum(v, part), jnp.maximum(v, part))
+        v = jnp.where(frozen, v, cex)
         s //= 2
 
     # 5. rank (= a threshold's destination row, read off its own key),
@@ -174,16 +207,16 @@ def _resolve_kernel(y_ref, *rest, kp, k_real, h, n2, kb, a_bits, monotone,
     # the array ends hold running values, not scan identities)
     x = jnp.where(is_thr, -big, skey)
     d = 1
-    while d < n2:
+    while d < m:
         r = pltpu.roll(x, shift=d, axis=1)
         x = jnp.maximum(x, jnp.where(lane >= d, r, -big))
         d <<= 1
     y_cur = x
     x = jnp.where(is_thr, big, skey)
     d = 1
-    while d < n2:
-        r = pltpu.roll(x, shift=n2 - d, axis=1)
-        x = jnp.minimum(x, jnp.where(lane < n2 - d, r, big))
+    while d < m:
+        r = pltpu.roll(x, shift=m - d, axis=1)
+        x = jnp.minimum(x, jnp.where(lane < m - d, r, big))
         d <<= 1
     y_prev = x
 
@@ -193,7 +226,7 @@ def _resolve_kernel(y_ref, *rest, kp, k_real, h, n2, kb, a_bits, monotone,
         # equal-key ties): forward fill of sample colors
         t = jnp.where(is_thr, jnp.int32(-1), texm)
         d = 1
-        while d < n2:
+        while d < m:
             r = pltpu.roll(t, shift=d, axis=1)
             t = jnp.where(t < 0, jnp.where(lane >= d, r, jnp.int32(-1)), t)
             d <<= 1
@@ -213,7 +246,18 @@ def _resolve_kernel(y_ref, *rest, kp, k_real, h, n2, kb, a_bits, monotone,
                        | (aq << 1) | okv.astype(jnp.int32),
                        jnp.int32(-1))
 
-    # 8. LSB-first inverse-butterfly concentration to dense rank dests
+    # 8. LSB-first inverse-butterfly concentration to dense rank dests.
+    # The router alone needs the power-of-two lane domain (a packet's
+    # intermediate lane can exceed m: lane = own-high-bits | dest-low-bits
+    # mid-route), so only HERE do the arrays physically pad to n2 --
+    # sentinel lanes route nowhere, exactly like the n2-wide pads did.
+    if n2 != m:
+        padw = jnp.full((tw, n2 - m), jnp.int32(-1))
+        packed = jnp.concatenate([packed, padw], axis=1)
+        if textured:
+            tex_thr = jnp.concatenate(
+                [tex_thr, jnp.zeros((tw, n2 - m), jnp.int32)], axis=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tw, n2), 1)
     for bi in range((n2 - 1).bit_length()):
         s = 1 << bi
         fwd = pltpu.roll(packed, shift=n2 - s, axis=1)
@@ -252,7 +296,7 @@ def resolve_window(y_k, height, *, tex=None, monotone=True, interpret=None,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     w, k = y_k.shape
-    kp, hp, hb, kb, a_bits, n2 = _plan(k, height)
+    kp, hp, hb, kb, a_bits, n2, m = _plan(k, height)
     if a_bits < 5:
         raise ValueError("resolve_window bit budget exceeded; use "
                          "_resolve_rows")
@@ -274,8 +318,8 @@ def resolve_window(y_k, height, *, tex=None, monotone=True, interpret=None,
             tex = jnp.pad(tex, ((0, w_pad - w), (0, 0)))
 
     kern = functools.partial(_resolve_kernel, kp=kp, k_real=k, h=hp,
-                             n2=n2, kb=kb, a_bits=a_bits, monotone=monotone,
-                             textured=textured)
+                             n2=n2, m=m, kb=kb, a_bits=a_bits,
+                             monotone=monotone, textured=textured)
     in_spec = pl.BlockSpec((tile_w, kp), lambda wt: (wt, 0),
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((tile_w, hp), lambda wt: (wt, 0),

@@ -299,6 +299,34 @@ def test_resolve_window_kernel_tex_routing():
                     assert t[c, r] == tex[c, kk], (c, r, kk)
 
 
+def test_resolve_window_kernel_tex_routing_nonpow2_m():
+    # the trimmed merged axis (m = kp + hp not a power of two: the merge/
+    # scans/fill run at m lanes, only the butterfly pads to n2) must carry
+    # the texture payload identically -- same oracle as the pow-2 test at
+    # (kp, hp) = (128, 256), m 384 vs n2 512
+    from horizonator_tpu.render.resolve_window import resolve_window, _plan
+    rng = np.random.default_rng(29)
+    w, k, h = 8, 60, 130
+    assert _plan(k, h)[6] != _plan(k, h)[5]   # m != n2: the trimmed regime
+    y = np.sort(rng.uniform(-20.0, h + 20.0, size=(w, k)).astype(np.float32),
+                axis=1)[:, ::-1].copy()
+    y = np.round(y * 16.0) / 16.0
+    y = np.minimum.accumulate(y, axis=1)
+    tex = rng.integers(0, 1 << 24, size=(w, k)).astype(np.int32)
+    idx, alpha, ok, tex_out = resolve_window(
+        jnp.asarray(y), h, tex=jnp.asarray(tex))
+    i = np.asarray(idx)
+    t = np.asarray(tex_out)
+    uniq = np.abs(np.diff(np.round(y * 256.0), axis=1)) >= 2
+    for c in range(w):
+        for r in range(h):
+            if i[c, r] < k:
+                kk = i[c, r]
+                if (kk == 0 or uniq[c, kk - 1]) and (kk == k - 1
+                                                     or uniq[c, kk]):
+                    assert t[c, r] == tex[c, kk], (c, r, kk)
+
+
 def test_resolve_fits_caps_vmem_footprint():
     from horizonator_tpu.render.resolve_window import resolve_fits, _plan
     # headline config stays on the kernel
