@@ -44,11 +44,12 @@ lanes (a 128-multiple), NOT the power-of-two n2 -- the pow-2 merge
 network is evaluated with lanes [m, n2) virtual: they hold INT_MAX at
 every stage (each compare leaves the max at the higher index), so a low
 lane whose partner is virtual is simply left unchanged and the pad region
-needs no storage, rolls, or compares. Only the butterfly router (stage 8)
-physically pads to n2, because a packet's mid-route lane interleaves its
-own high bits with its destination's low bits and can exceed m. At the
-4096x1024 headline this trims 19% of every merge/scan/fill stage; at the
-1920x480 fly-through shape, 44%.
+needs no storage, rolls, or compares. The butterfly router (stage 8) is
+the one part that outgrows m -- a packet's mid-route lane interleaves its
+own high bits with its destination's low bits -- but only progressively:
+stage bi needs ((m-1) | (2^{bi+1}-1)) + 1 lanes, so the arrays widen
+toward n2 only over the last stages (at the 4096x1024 headline 9 of 11
+router stages run at m; at the 1920x480 fly-through shape, 7 of 11).
 """
 
 from __future__ import annotations
@@ -83,10 +84,10 @@ def _plan(k: int, height: int):
     m = kp + hp is the PHYSICAL merged-lane count (a 128-multiple): the
     merge, bracket scans and fill run at m lanes, virtually padded to the
     power-of-two n2 by INT_MAX tail lanes that provably never move (see
-    the stage notes in the module docstring); only the butterfly router
-    physically pads to n2. At the 4096x1024 headline m/n2 = 1664/2048
-    (19% of every trimmed stage), at the 1920x480 fly-through 1152/2048
-    (44%)."""
+    the stage notes in the module docstring); the butterfly router widens
+    toward n2 progressively, one 128-lane granule at a time as its
+    stage-bi packet-lane bound ((m-1) | (2^{bi+1}-1)) first exceeds the
+    current width."""
     kp = -(-k // 128) * 128
     hp = max(-(-height // 128) * 128, 128)
     hb = max((hp - 1).bit_length(), 1)
@@ -247,21 +248,34 @@ def _resolve_kernel(y_ref, *rest, kp, k_real, h, n2, m, kb, a_bits, monotone,
                        jnp.int32(-1))
 
     # 8. LSB-first inverse-butterfly concentration to dense rank dests.
-    # The router alone needs the power-of-two lane domain (a packet's
-    # intermediate lane can exceed m: lane = own-high-bits | dest-low-bits
-    # mid-route), so only HERE do the arrays physically pad to n2 --
-    # sentinel lanes route nowhere, exactly like the n2-wide pads did.
-    if n2 != m:
-        padw = jnp.full((tw, n2 - m), jnp.int32(-1))
-        packed = jnp.concatenate([packed, padw], axis=1)
-        if textured:
-            tex_thr = jnp.concatenate(
-                [tex_thr, jnp.zeros((tw, n2 - m), jnp.int32)], axis=1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (tw, n2), 1)
+    # The router is the one part that outgrows m (a packet's mid-route
+    # lane interleaves its own high bits with its destination's low bits),
+    # but only PROGRESSIVELY: before stage bi a real packet sits at
+    # lane = (own & ~(2^bi-1)) | (dest & (2^bi-1)) <= (m-1) | (2^bi - 1),
+    # so stage bi only needs ((m-1) | (2^{bi+1}-1)) + 1 lanes (a 2^{bi+1}
+    # multiple by construction; rounded up to the 128-lane granule). The
+    # arrays widen with sentinel pads exactly when a stage's bound first
+    # exceeds the current width -- at the headline (m=1792, n2=2048) 9 of
+    # 11 stages run at 1792 lanes, at the fly-through shape (m=1152) 7 of
+    # 11 run at 1152.
+    cur = m
     for bi in range((n2 - 1).bit_length()):
         s = 1 << bi
-        fwd = pltpu.roll(packed, shift=n2 - s, axis=1)
-        bwd = pltpu.roll(packed, shift=s, axis=1)
+        need = ((m - 1) | (2 * s - 1)) + 1
+        need = min(n2, -(-need // 128) * 128)
+        if need > cur:
+            padw = jnp.full((tw, need - cur), jnp.int32(-1))
+            packed = jnp.concatenate([packed, padw], axis=1)
+            if textured:
+                tex_thr = jnp.concatenate(
+                    [tex_thr, jnp.zeros((tw, need - cur), jnp.int32)],
+                    axis=1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (tw, need), 1)
+            cur = need
+        # cur is a multiple of 2s, so XOR-partner pairs never straddle the
+        # wrap and the (cur - s)/(s) roll pair is exact
+        fwd = pltpu.roll(packed, shift=cur - s, axis=1)
+        bwd = pltpu.roll(packed, shift=s % cur, axis=1)
         low = (lane & s) == 0
         part = jnp.where(low, fwd, bwd)
         av = jnp.where(low, packed, part)
@@ -274,8 +288,8 @@ def _resolve_kernel(y_ref, *rest, kp, k_real, h, n2, m, kb, a_bits, monotone,
             swap = bv >= 0          # dest bit bi is 0 for every real dest
         packed = jnp.where(swap, part, packed)
         if textured:
-            tp = jnp.where(low, pltpu.roll(tex_thr, shift=n2 - s, axis=1),
-                           pltpu.roll(tex_thr, shift=s, axis=1))
+            tp = jnp.where(low, pltpu.roll(tex_thr, shift=cur - s, axis=1),
+                           pltpu.roll(tex_thr, shift=s % cur, axis=1))
             tex_thr = jnp.where(swap, tp, tex_thr)
 
     out_ref[:] = packed[:, :h]

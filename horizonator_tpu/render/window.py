@@ -319,7 +319,7 @@ def _window_kernel(orig_ref, act_ref, cb_ref, fscal_ref,   # scalar prefetch
                    pcol_ref, tall_ref,             # inputs
                    *rest,                          # outs + scratch
                    win: int, tile_w: int, tile_k: int,
-                   k_kernel: int, textured: bool, tex_scale: int = 1):
+                   k_limit: int, textured: bool, tex_scale: int = 1):
     tallc_ref = winc_ref = semc_ref = None
     if textured and tex_scale == 2:
         # split layout: elevation keeps the fast 2D window; half-cell
@@ -410,7 +410,7 @@ def _window_kernel(orig_ref, act_ref, cb_ref, fscal_ref,   # scalar prefetch
                  & (posg >= cross_lo) & (posg <= cross_hi)
                  & (pos >= 0.0) & (pos <= win - 1.0)
                  & (dm >= znear) & (dm <= zfar)
-                 & (mf >= 0.0) & (mf < float(k_kernel)))
+                 & (mf >= 0.0) & (mf < float(k_limit)))
 
         dma.wait()
         if tex_scale == 2 and textured:
@@ -420,6 +420,14 @@ def _window_kernel(orig_ref, act_ref, cb_ref, fscal_ref,   # scalar prefetch
         n_accs = 4 if textured else 1
         pos2 = pos * 2.0 if (textured and tex_scale == 2) else None
 
+        # NOTE (tried, measured, reverted): a second-difference rewrite
+        # sum_r relu(1-|p-r|) z_r = z_0 + p*(z_1-z_0) + sum_{r<p} (p-r)*d2z_r
+        # cuts the per-row ALU count but sums over ALL rows below p, so the
+        # result depends on the window origin at the ulp level -- and the
+        # aligned path's lane->step rebase shifts tile boundaries, breaking
+        # the aligned-vs-unaligned BITWISE contract (the hat form's
+        # non-support terms are exact +0.0, making it origin-invariant).
+        # Measured only -0.06 ms at the headline: not worth the invariant.
         def body(i, accs):
             base = i * 4
             basef = base.astype(jnp.float32)
@@ -587,6 +595,12 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
     n_ax = max(nj, ni)
     k_kernel = max(TILE_K, min(k_cross, (n_ax // TILE_K) * TILE_K))
     k_kernel = -(-k_kernel // TILE_K) * TILE_K
+    # The march honors the caller's step budget EXACTLY: lanes beyond
+    # k_cross (the TILE_K round-up slack) are masked like march_crossing's
+    # k axis ending there, and the outputs are sliced to the last lane
+    # that can carry a valid sample -- the resolve then pads ~1 fewer
+    # 128-lane block (measured ~0.05 ms at the 4096x1024 headline).
+    k_limit = min(k_cross, k_kernel)
     w_pad = -(-width // tile_w) * tile_w
     win = window_size(width, k_kernel, n_ax, lat_hint_deg, tile_w)
 
@@ -655,7 +669,7 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
     valid = ((axis_m >= axis_lo[:, None]) & (axis_m <= axis_hi[:, None])
              & (pos >= cross_lo[:, None]) & (pos <= cross_hi[:, None])
              & (d_all >= p.znear) & (d_all <= p.zfar)
-             & (m >= 0.0) & (m < k_kernel))
+             & (m >= 0.0) & (m < k_limit))
 
     # the window origins/extents index LOCAL table rows: the E/W cross
     # axis (row coordinate) shifts by j_offset
@@ -779,7 +793,7 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
         scratch_shapes=scratch,
     )
     kern = functools.partial(_window_kernel, win=win, tile_w=tile_w,
-                             tile_k=TILE_K, k_kernel=k_kernel,
+                             tile_k=TILE_K, k_limit=k_limit,
                              textured=textured, tex_scale=tex_scale)
     outs = pl.pallas_call(
         kern,
@@ -973,6 +987,17 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
         if textured:
             tex = jnp.where(gap, tex[:, n_near - 1:n_near], tex)
 
+    # Trim the lane tail past the last possibly-valid sample: lane l holds
+    # step l - r_col (r_col < TILE_K, 0 unaligned) and steps are masked at
+    # k_limit, so lanes >= n_near + (TILE_K if aligned) + k_limit are
+    # always NEG_BIG. The slice keeps every consumer bitwise (the tail
+    # raises no running max and wins no pixel) while the resolve pads one
+    # fewer 128-lane block.
+    keep = n_near + (TILE_K if aligned else 0) + k_limit
+    if keep < tanel.shape[1]:
+        tanel = tanel[:, :keep]
+        if textured:
+            tex = tex[:, :keep]
     run_max = _scan_shift(tanel, jnp.maximum, NEG_BIG)
     # lane0 (= r_d on the aligned path) keeps d_of consistent with the
     # lane indexing: distance of lane l is (l - lane0 + e) * scale, with
