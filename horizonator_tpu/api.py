@@ -52,7 +52,8 @@ class horizonator:
                  oversample=1.5, sampler="auto", device=None,
                  texture_on_error="raise", texture_quality="grid2x",
                  curvature="none", allow_dem_downloads=False,
-                 dem_url_fmt=None):
+                 dem_url_fmt=None, hillshade=False, sun_az_deg=315.0,
+                 sun_alt_deg=45.0):
         if render_radius_cells < 0 and render_radius_m < 0:
             render_radius_cells = RADIUS_CELLS_DEFAULT_PY  # horizonator-pywrap.c:65,98-99
         elif render_radius_cells > 0 and render_radius_m > 0:
@@ -67,6 +68,9 @@ class horizonator:
         self._curv = geometry.curvature_coeff(curvature)
 
         self.render_texture = bool(render_texture)
+        if hillshade and render_texture:
+            raise ValueError(
+                "hillshade and render_texture are mutually exclusive")
         self.surface = surface
         self.refine = bool(refine)
         self.oversample = float(oversample)
@@ -152,6 +156,27 @@ class horizonator:
                     planes = prepare_color_planes(planes)
                 self._color_planes = jax.tree.map(
                     lambda x: jax.device_put(x, device), planes)
+
+        self.hillshade = bool(hillshade)
+        if hillshade:
+            # Beyond-reference: Lambertian sun shading from the DEM itself,
+            # rendered through the same in-kernel textured path (the gray
+            # hillshade planes stand in for OSM colors; the reference's
+            # 0.7*tex + 0.3*distance-ramp blend applies unchanged,
+            # fragment.glsl:21).
+            if self.sampler != "window":
+                raise ValueError("hillshade requires sampler='window'")
+            from .render.texture import hillshade_planes, \
+                prepare_color_planes
+            scale = 2 if texture_quality == "grid2x" else 1
+            planes = hillshade_planes(
+                dem_f32, self.mosaic.cells_per_deg, lat,
+                sun_az_deg=sun_az_deg, sun_alt_deg=sun_alt_deg, scale=scale)
+            if scale == 2:
+                planes = prepare_color_planes(planes)
+            self._color_planes = jax.tree.map(
+                lambda x: jax.device_put(x, device), planes)
+            self.render_texture = True   # drives the textured render path
 
         self.viewer_lat = float(lat)
         self.viewer_lon = float(lon)

@@ -35,6 +35,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dirtiles", type=str, default=None)
     p.add_argument("--tiles", type=str, default=None, metavar="NAME=FMT")
     p.add_argument("--texture", action="store_true")
+    p.add_argument("--hillshade", action="store_true",
+                   help="beyond-reference: Lambertian sun shading computed "
+                        "from the DEM (no tiles needed); exclusive with "
+                        "--texture")
+    p.add_argument("--sun-az", type=float, default=315.0, dest="sun_az",
+                   metavar="DEG", help="hillshade sun azimuth, deg cw from "
+                                       "north (default 315 = NW)")
+    p.add_argument("--sun-alt", type=float, default=45.0, dest="sun_alt",
+                   metavar="DEG", help="hillshade sun altitude above the "
+                                       "horizon (default 45)")
     p.add_argument("--SRTM1", action="store_true")
     p.add_argument("--curvature", choices=["none", "spherical", "refracted"],
                    default="none",
@@ -128,6 +138,9 @@ def main(argv=None) -> int:
             vargs += ["--SRTM1"]
         if args.texture:
             vargs += ["--texture"]
+        if args.hillshade:
+            vargs += ["--hillshade", "--sun-az", str(args.sun_az),
+                      "--sun-alt", str(args.sun_alt)]
         if args.curvature != "none":
             vargs += ["--curvature", args.curvature]
         return viewer.main(vargs)
@@ -170,7 +183,9 @@ def main(argv=None) -> int:
                     nsteps=args.nsteps, surface=args.surface,
                     curvature=args.curvature,
                     allow_dem_downloads=args.allow_dem_downloads,
-                    dem_url_fmt=args.dem_url_fmt)
+                    dem_url_fmt=args.dem_url_fmt,
+                    hillshade=args.hillshade, sun_az_deg=args.sun_az,
+                    sun_alt_deg=args.sun_alt)
 
     image, ranges = h.render(args.az_center_deg - az_radius,
                              args.az_center_deg + az_radius,

@@ -117,6 +117,61 @@ def prepare_color_planes(color2x) -> ColorPlanes2x:
                          ew=eh, ew_rev=eh[:, ::-1], full_packed=packed)
 
 
+def hillshade_planes(dem, cells_per_deg: int, lat_deg: float, *,
+                     sun_az_deg: float = 315.0, sun_alt_deg: float = 45.0,
+                     ambient: float = 0.25, scale: int = 2):
+    """Lambertian hillshade planes computed from the DEM itself -- a
+    beyond-reference shading mode (the reference's only fragment shading
+    is the distance-red ramp plus the optional OSM texture blend,
+    vertex.glsl:159-162, fragment.glsl:21). Output matches
+    atlas_to_grid_colors' contract -- (3, scale*n_j, scale*n_i) float32
+    gray BGR in [0, 255], plane index J = grid coordinate J/scale, row 0 =
+    SOUTH -- so it drops straight into the in-kernel textured path:
+    render(..., textured=True) with these planes renders sun-shaded
+    terrain at full march speed (zero gathers per frame).
+
+    Surface normals from central differences (one-sided at the grid
+    edges; meters per cell from ``cells_per_deg`` and the latitude); the
+    sun sits at ``sun_az_deg`` clockwise from north, ``sun_alt_deg``
+    above the horizon; shade = ambient + (1-ambient) * max(n.s, 0).
+    ``scale=2`` emits half-cell planes by linear interpolation AT the
+    half-cell coordinates u/2 (jax.image.resize's pixel-center grid sits
+    a quarter cell off the planes' index contract)."""
+    from .. import geometry
+    z = jnp.asarray(dem, jnp.float32)
+    cell_n = geometry.EARTH_RADIUS_M * DEG / cells_per_deg
+    cell_e = cell_n * max(0.05, abs(math.cos(math.radians(lat_deg))))
+    dzdn = jnp.concatenate([z[1:2] - z[0:1],
+                            (z[2:] - z[:-2]) * 0.5,
+                            z[-1:] - z[-2:-1]], axis=0) / cell_n
+    dzde = jnp.concatenate([z[:, 1:2] - z[:, 0:1],
+                            (z[:, 2:] - z[:, :-2]) * 0.5,
+                            z[:, -1:] - z[:, -2:-1]], axis=1) / cell_e
+    az = math.radians(sun_az_deg)
+    alt = math.radians(sun_alt_deg)
+    # unnormalized surface normal (-dz/de, -dz/dn, 1); row 0 = SOUTH, so
+    # +j IS north and no sign flip is needed
+    ndot = (-dzde * math.sin(az) * math.cos(alt)
+            - dzdn * math.cos(az) * math.cos(alt)
+            + math.sin(alt))
+    ndot = ndot / jnp.sqrt(dzde * dzde + dzdn * dzdn + 1.0)
+    shade = ambient + (1.0 - ambient) * jnp.maximum(ndot, 0.0)
+    gray = jnp.clip(shade * 255.0, 0.0, 255.0)
+    if scale == 2:
+        def up2(a):
+            mid = jnp.concatenate([0.5 * (a[:-1] + a[1:]), a[-1:]], axis=0)
+            a = jnp.stack([a, mid], axis=1).reshape(2 * a.shape[0],
+                                                    a.shape[1])
+            midc = jnp.concatenate([0.5 * (a[:, :-1] + a[:, 1:]),
+                                    a[:, -1:]], axis=1)
+            return jnp.stack([a, midc], axis=2).reshape(a.shape[0],
+                                                        2 * a.shape[1])
+        gray = up2(gray)
+    elif scale != 1:
+        raise ValueError(f"scale must be 1 or 2, got {scale}")
+    return jnp.broadcast_to(gray[None], (3,) + gray.shape)
+
+
 def pack_atlas(atlas) -> jnp.ndarray:
     """Pack a (Hat, Wat, 3) uint8 BGR atlas into ONE int32 per texel
     (0x00RRGGBB, B in the low byte). Do this once per scene: TPU gathers

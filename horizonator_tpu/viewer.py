@@ -344,6 +344,10 @@ def main(argv=None) -> int:
                    choices=["none", "spherical", "refracted"],
                    default="none")
     p.add_argument("--texture", action="store_true")
+    p.add_argument("--hillshade", action="store_true",
+                   help="Lambertian sun shading from the DEM (no tiles)")
+    p.add_argument("--sun-az", type=float, default=315.0, dest="sun_az")
+    p.add_argument("--sun-alt", type=float, default=45.0, dest="sun_alt")
     p.add_argument("--dirtiles", type=str, default=None)
     p.add_argument("--tiles", type=str, default=None, metavar="NAME=FMT",
                    help="tile set name and printf-style URL format "
@@ -376,6 +380,8 @@ def main(argv=None) -> int:
               allow_downloads=args.allow_downloads,
               render_radius_m=args.zfar,
               curvature=args.curvature,
+              hillshade=args.hillshade, sun_az_deg=args.sun_az,
+              sun_alt_deg=args.sun_alt,
               # per-tile failures become gray placeholders + warnings
               # (reference GUI behavior, orb_osmlayer.cpp:146-155)
               texture_on_error="placeholder")

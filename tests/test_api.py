@@ -273,3 +273,46 @@ def test_cli_ranges_output(dem_dir, tmp_path):
     assert (a > 0).any() and (a == -1).any()
     b = np.fromfile(rng_raw, dtype="<f4").reshape(80, 200)
     np.testing.assert_array_equal(a, b)
+
+
+def test_hillshade_render(dem_dir):
+    """Beyond-reference hillshade: sun-shaded terrain through the in-kernel
+    textured path, no tiles required."""
+    hs = horizonator(34.40, -117.45, 200, 80, dir_dems=dem_dir,
+                     render_radius_m=25000.0, nsteps=512, hillshade=True,
+                     sun_az_deg=90.0, sun_alt_deg=35.0)
+    img, rng = hs.render(-30, 30)
+    assert img.shape == (80, 200, 3) and rng.shape == (80, 200)
+    vis = rng > 0
+    assert vis.any()
+    # the red-ramp-only render has G == 0 on terrain; hillshade's gray
+    # texture puts weight in every channel (0.7*tex + 0.3*ramp blend)
+    assert img[..., 1][vis].max() > 40
+    # sun from the east vs the west shades the two flanks differently
+    hw = horizonator(34.40, -117.45, 200, 80, dir_dems=dem_dir,
+                     render_radius_m=25000.0, nsteps=512, hillshade=True,
+                     sun_az_deg=270.0, sun_alt_deg=35.0)
+    img_w, _ = hw.render(-30, 30)
+    assert (img[..., 1][vis] != img_w[..., 1][vis]).any()
+    with pytest.raises(ValueError):
+        horizonator(34.40, -117.45, 100, 50, dir_dems=dem_dir,
+                    render_radius_m=25000.0, render_texture=True,
+                    hillshade=True)
+
+
+def test_cli_hillshade(dem_dir, tmp_path):
+    out = tmp_path / "hs.png"
+    r = subprocess.run(
+        [sys.executable, "-m", "horizonator_tpu.cli",
+         "--width", "200", "--height", "80", "--image", str(out),
+         "--dirdems", dem_dir, "--zfar", "25000", "--nsteps", "512",
+         "--hillshade", "--sun-az", "90", "--sun-alt", "35",
+         "34.40", "-117.45", "0", "40"],
+        capture_output=True, text=True, cwd="/root/repo", env=_CLI_ENV)
+    assert r.returncode == 0, r.stderr
+    from PIL import Image
+    im = np.asarray(Image.open(out))
+    assert im.shape == (80, 200, 3)
+    # terrain pixels are gray-ish (hillshade), not pure red-ramp
+    ground = im[-10:]                       # bottom rows: near terrain
+    assert ground[..., 1].max() > 40

@@ -178,3 +178,40 @@ def test_viewer_outside_terrain_sees_sky():
     assert (ranges[:16] == -1).all()
     # looking down still hits the in-window plane
     assert (ranges[-8:] > 0).all()
+
+
+def test_hillshade_planes():
+    """Lambertian hillshade planes: exact flat-ground value, sun-facing
+    directionality, and the half-cell index contract (plane index J =
+    grid coordinate J/scale, even indices bitwise the cell values)."""
+    import math
+    from horizonator_tpu.render.texture import hillshade_planes
+    n = 64
+    # flat ground: shade = ambient + (1-ambient)*sin(alt) everywhere
+    flat = jnp.zeros((n, n), jnp.float32)
+    pl = np.asarray(hillshade_planes(flat, 1200, 0.0, sun_alt_deg=30.0,
+                                     ambient=0.25, scale=1))
+    expect = (0.25 + 0.75 * math.sin(math.radians(30.0))) * 255.0
+    assert pl.shape == (3, n, n)
+    np.testing.assert_allclose(pl, expect, atol=0.01)
+    # plane rising to the EAST faces west: brighter under a western sun
+    ramp = jnp.broadcast_to(jnp.arange(n, dtype=jnp.float32)[None, :] * 30.0,
+                            (n, n))
+    bright = np.asarray(hillshade_planes(ramp, 1200, 0.0, sun_az_deg=270.0,
+                                         sun_alt_deg=30.0, scale=1))
+    dim = np.asarray(hillshade_planes(ramp, 1200, 0.0, sun_az_deg=90.0,
+                                      sun_alt_deg=30.0, scale=1))
+    assert bright[0, 32, 32] > dim[0, 32, 32] + 20.0
+    # all three BGR planes identical (gray)
+    np.testing.assert_array_equal(bright[0], bright[1])
+    np.testing.assert_array_equal(bright[0], bright[2])
+    # scale=2: even indices ARE the cell values; odd = midpoints
+    rng = np.random.default_rng(5)
+    rough = jnp.asarray(rng.normal(500, 40, (n, n)), jnp.float32)
+    p1 = np.asarray(hillshade_planes(rough, 1200, 34.0, scale=1))
+    p2 = np.asarray(hillshade_planes(rough, 1200, 34.0, scale=2))
+    assert p2.shape == (3, 2 * n, 2 * n)
+    np.testing.assert_array_equal(p2[:, ::2, ::2], p1)
+    np.testing.assert_allclose(p2[0, ::2, 1:-1:2],
+                               0.5 * (p1[0, :, :-1] + p1[0, :, 1:]),
+                               atol=1e-4)
