@@ -120,7 +120,8 @@ def annotate(out_filename: str, image_bgr, range_image, *,
              az_deg0: float, az_deg1: float,
              ele_m: float, curv: float = 0.0) -> None:
     """Write an annotated panorama to .pdf or .svg (annotator.c:142-205
-    contract: the extension picks the backend)."""
+    contract: the extension picks the backend), or -- beyond the
+    reference -- to a labeled .png bitmap (no hyperlink grid there)."""
     scene = build_annotation_scene(
         np.asarray(image_bgr), np.asarray(range_image), cut_off_bottom_px,
         pois or [], lat, lon, az_deg0, az_deg1, ele_m, curv=curv)
@@ -131,9 +132,12 @@ def annotate(out_filename: str, image_bgr, range_image, *,
     elif low.endswith(".svg"):
         from .svg import write_svg
         write_svg(scene, out_filename)
+    elif low.endswith(".png"):
+        from .png import write_png
+        write_png(scene, out_filename)
     else:
         raise ValueError(
-            f"output filename must be either xxx.pdf or xxx.svg; got "
+            f"output filename must be xxx.pdf, xxx.svg, or xxx.png; got "
             f"'{out_filename}'")
 
 

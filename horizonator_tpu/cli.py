@@ -200,11 +200,13 @@ def main(argv=None) -> int:
             np.save(args.ranges, r)
         else:
             r.astype("<f4").tofile(args.ranges)
-    if suffix == ".png":
+    if suffix == ".png" and not args.pois:
         from PIL import Image
         out = image[: image.shape[0] - crop, :, ::-1]   # BGR -> RGB
         Image.fromarray(out).save(args.image)
     else:
+        # .pdf/.svg (reference annotator parity) or .png with --pois
+        # (beyond reference: labels rasterized straight into the bitmap)
         from .annotate import annotate, load_pois
         pois = load_pois(args.pois) if args.pois else []
         annotate(args.image, image, ranges,

@@ -184,3 +184,27 @@ def test_dome_shoulder_occlusion_semantics(tmp_path):
         lat0, lon0, vz, -30.0, 30.0, 256)
     assert bool(keep[0]), "tangent shoulder must be labelable"
     assert not bool(keep[1]), "occluded summit must fail the range fuzz"
+
+
+def test_png_backend(tmp_path):
+    """PNG annotation backend (beyond reference): labels rasterized into
+    the bitmap; label pixels must appear in yellow near the POI."""
+    import numpy as np
+    from horizonator_tpu.annotate import annotate, Poi
+    h, w = 120, 400
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:, :, 0] = 255                       # blue sky (BGR)
+    rng = np.full((h, w), -1.0, np.float32)
+    rng[60:, :] = 5000.0                     # terrain in the lower half
+    img[60:, :, 0] = 0
+    img[60:, :, 2] = 120
+    poi = Poi("Testberg", 34.55, -117.45, 2500.0)
+    out = tmp_path / "anno.png"
+    annotate(str(out), img, rng, pois=[poi], lat=34.40, lon=-117.45,
+             az_deg0=-30.0, az_deg1=30.0, ele_m=900.0)
+    from PIL import Image
+    arr = np.asarray(Image.open(out))
+    assert arr.shape == (h, w, 3)
+    # yellow annotation pixels exist (RGB: high R, high G, low B)
+    yellow = (arr[..., 0] > 200) & (arr[..., 1] > 200) & (arr[..., 2] < 80)
+    assert yellow.sum() > 20
