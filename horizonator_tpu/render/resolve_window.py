@@ -300,17 +300,25 @@ def _resolve_kernel(y_ref, *rest, kp, k_real, h, n2, m, kb, a_bits, monotone,
 @functools.partial(jax.jit, static_argnames=("height", "monotone",
                                              "interpret", "tile_w"))
 def resolve_window(y_k, height, *, tex=None, monotone=True, interpret=None,
-                   tile_w=TILE_W):
+                   tile_w=None):
     """Fused-resolve entry: y_k (W, K) f32 horizon rows (non-increasing
     along k when monotone=True, raw otherwise) -> (idx, alpha, ok), each
     (W, H), matching raymarch._resolve_rows' packed branch (idx/ok
     bit-identical). With ``tex`` (W, K) int32 per-sample packed colors, a
     fourth (W, H) int32 output routes each pixel's winning sample color.
-    Check resolve_fits(K, H) first."""
+    Check resolve_fits(K, H) first.
+
+    ``tile_w=None`` picks 128 columns per block when n2 <= 2048 (measured
+    0.86 -> 0.80 ms at the 4096x1024 headline -- fewer grid instances,
+    same per-element work) and falls back to 64 above (the _N2_MAX VMEM
+    budget assumes <= ~6.3 MB of live (tile_w, n2) buffers). Outputs are
+    bitwise tile_w-invariant: columns are independent."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     w, k = y_k.shape
     kp, hp, hb, kb, a_bits, n2, m = _plan(k, height)
+    if tile_w is None:
+        tile_w = 2 * TILE_W if n2 <= 2048 else TILE_W
     if a_bits < 5:
         raise ValueError("resolve_window bit budget exceeded; use "
                          "_resolve_rows")

@@ -182,12 +182,17 @@ def pick_tile_w(width: int) -> int:
 
     The per-tile cross-axis fan scales with tile_w * k / width (a 64-column
     tile of a 256-wide full circle spans a quarter turn!), while per-instance
-    overheads scale with 1/tile_w. Measured on v5e (full-circle horizon
-    sweeps, 1-deg SRTM3 grid): width 256 -> 16 beats 64 by 4.2x; width 512
-    -> 32; width >= 1024 -> 64. Power of two (the output block's sublane
-    dim must be a multiple of 8).
+    overheads scale with 1/tile_w. Measured on v5e (full-circle marches,
+    1-deg/3x3 SRTM3 grids): width 256 -> 16 beats 64 by 4.2x; width 512
+    -> 32; 1024/2048 -> 64 (0.287/0.403 ms vs 0.333/0.409 at 128);
+    width >= 4096 -> 128 (0.621 vs 0.689 at 64: the fan is thin enough
+    that halving the instance count wins). Power of two (the output
+    block's sublane dim must be a multiple of 8). Outputs are bitwise
+    tile_w-invariant (hat terms outside a sample's support are exact +0.0),
+    so this is pure scheduling.
     """
-    tw = max(8, min(TILE_W, width // 16))
+    cap = 2 * TILE_W if width >= 4096 else TILE_W
+    tw = max(8, min(cap, width // 16))
     return 1 << (tw.bit_length() - 1)
 
 
