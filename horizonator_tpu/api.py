@@ -148,14 +148,7 @@ class horizonator:
                                               self.mosaic.grid.shape[0],
                                               self.mosaic.cells_per_deg,
                                               scale=scale)
-                if scale == 2:
-                    # camera-independent prestride/transpose once per
-                    # scene (texture.ColorPlanes2x): measured ~5 ms/frame
-                    # if left to render time
-                    from .render.texture import prepare_color_planes
-                    planes = prepare_color_planes(planes)
-                self._color_planes = jax.tree.map(
-                    lambda x: jax.device_put(x, device), planes)
+                self._put_color_planes(planes, scale, device)
 
         self.hillshade = bool(hillshade)
         if hillshade:
@@ -166,16 +159,12 @@ class horizonator:
             # fragment.glsl:21).
             if self.sampler != "window":
                 raise ValueError("hillshade requires sampler='window'")
-            from .render.texture import hillshade_planes, \
-                prepare_color_planes
+            from .render.texture import hillshade_planes
             scale = 2 if texture_quality == "grid2x" else 1
             planes = hillshade_planes(
                 dem_f32, self.mosaic.cells_per_deg, lat,
                 sun_az_deg=sun_az_deg, sun_alt_deg=sun_alt_deg, scale=scale)
-            if scale == 2:
-                planes = prepare_color_planes(planes)
-            self._color_planes = jax.tree.map(
-                lambda x: jax.device_put(x, device), planes)
+            self._put_color_planes(planes, scale, device)
             self.render_texture = True   # drives the textured render path
 
         self.viewer_lat = float(lat)
@@ -184,6 +173,17 @@ class horizonator:
         self._aligned = None   # lazily-built window.AlignedScene
         self._sharded_cache = {}   # (mesh, kw) -> make_sharded_renderer fn
         self._last = None   # (ranges ndarray, render kwargs) for pick()
+
+    def _put_color_planes(self, planes, scale, device):
+        """Shared tail of the texture/hillshade plane prep: camera-
+        independent prestride/transpose once per scene for half-cell
+        planes (texture.ColorPlanes2x -- measured ~5 ms/frame if left to
+        render time), then device placement."""
+        if scale == 2:
+            from .render.texture import prepare_color_planes
+            planes = prepare_color_planes(planes)
+        self._color_planes = jax.tree.map(
+            lambda x: jax.device_put(x, device), planes)
 
     # -- geometry helpers ---------------------------------------------------
 
@@ -353,7 +353,13 @@ class horizonator:
         sampler = self.sampler if self.sampler != "lod" else "window"
         dem = self._dem
         lod_plan = None
-        if sampler == "window" and nsteps > 1536:
+        # Textured renders WITHOUT an atlas (= hillshade) must stay on the
+        # flat window march: march_lod has no color-plane path, and unlike
+        # OSM textures there is no atlas to fall back to for per-pixel
+        # gathers -- the LOD swap would crash in resolve_to_image. Long
+        # hillshade clips pay linear (not log) step count; still correct.
+        lod_ok = not (self.render_texture and self._atlas is None)
+        if sampler == "window" and nsteps > 1536 and lod_ok:
             from .render.lod import lod_plan as _mk_plan, build_pyramid
             lod_plan = _mk_plan(zfar, self.width, self.mosaic.cells_per_deg,
                                 self.viewer_lat, self.mosaic.grid.shape[0])

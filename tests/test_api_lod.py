@@ -57,3 +57,20 @@ def test_render_batch_auto_lod(srtm1_dir):
     np.testing.assert_array_equal(imgs[0], img1)
     np.testing.assert_array_equal(rngs[0], rng1)
     assert rngs.max() > 50000.0
+
+
+def test_hillshade_long_range_stays_on_window(srtm1_dir):
+    """Hillshade = textured without an atlas: the auto-LOD swap would send
+    textured=True, atlas=None into the resolve (march_lod has no
+    color-plane path), so long clips must stay on the window march."""
+    from horizonator_tpu.api import horizonator
+    h = horizonator(34.05, -117.95, 64, 32, SRTM1=True, dir_dems=srtm1_dir,
+                    render_radius_m=150000.0, hillshade=True)
+    dem, sampler, nsteps, plan = h._batch_render_plan(100.0, 150000.0)
+    assert sampler == "window" and plan is None
+    # a real OSM-textured scene (atlas present) still takes the LOD swap:
+    # the exact per-pixel atlas gather is its textured fallback
+    h2 = horizonator(34.05, -117.95, 64, 32, SRTM1=True, dir_dems=srtm1_dir,
+                     render_radius_m=150000.0)
+    _, sampler2, _, plan2 = h2._batch_render_plan(100.0, 150000.0)
+    assert sampler2 == "lod" and plan2 is not None
