@@ -6,6 +6,7 @@ production _resolve_rows (pixel-row space + bitonic merge) matches them up
 to its documented 1/256-px row quantization."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -336,3 +337,28 @@ def test_resolve_fits_caps_vmem_footprint():
     # width n2 would need several multi-MiB VMEM buffers live at once
     assert not resolve_fits(10240, 1024)
     assert _plan(10240, 1024)[5] > 4096
+
+
+@pytest.mark.parametrize("k,h", [(130, 100), (384, 250), (640, 128),
+                                 (900, 220), (96, 640)])
+def test_resolve_window_widening_schedules(k, h):
+    """Sweep (K, H) pairs that hit different progressive-widening
+    schedules in the butterfly router (m from barely-over-a-block to
+    nearly n2): the kernel must stay bit-identical to _resolve_rows on
+    idx/ok at every width."""
+    from horizonator_tpu.render.resolve_window import (_plan, resolve_fits,
+                                                       resolve_window)
+    if not resolve_fits(k, h):
+        pytest.skip("outside the packing budget")
+    kp, hp, hb, kb, a_bits, n2, m = _plan(k, h)
+    m2, _, aspect, _ = _data(w=12, k=k, h=h, seed=k + h)
+    y_k = (1.0 - jnp.arctan(m2) * aspect) * (h * 0.5) - 0.5
+    i_r, a_r, ok_r = _resolve_rows(y_k, h)
+    i_w, a_w, ok_w = resolve_window(y_k, h)
+    np.testing.assert_array_equal(np.asarray(i_r), np.asarray(i_w),
+                                  err_msg=f"m={m} n2={n2}")
+    np.testing.assert_array_equal(np.asarray(ok_r), np.asarray(ok_w))
+    okm = np.asarray(ok_r)
+    if okm.any():
+        d = np.abs(np.asarray(a_r) - np.asarray(a_w))[okm]
+        assert d.max() <= 1.0 / (1 << min(a_bits, 8)) + 1e-6
