@@ -72,7 +72,7 @@ def main():
     tan_el = viewshed_sweep(h.mosaic.grid.astype(np.float32), cells,
                             width=128, zfar=15000.0,
                             cells_per_deg=h.mosaic.cells_per_deg,
-                            sampler="window", lat_deg=34.45,
+                            sampler="window", lat_deg=34.45,  # sets cos too
                             batch=64, mesh=mesh)
     print(f"viewshed_sweep: tan_el {tan_el.shape}, "
           f"median horizon elevation "

@@ -240,7 +240,7 @@ def horizon_sweep(dem, params_batch: RenderParams, *, width, nsteps,
 
 def viewshed_sweep(dem, viewpoints_ij, *, viewer_height_m=2.0, width=256,
                    nsteps=None, cells_per_deg=1200, znear=50.0, zfar=20000.0,
-                   cos_viewer_lat=1.0, batch=256, surface="bilinear",
+                   cos_viewer_lat=None, batch=256, surface="bilinear",
                    sampler="crossing", lat_deg=None, mesh=None):
     """Sweep many viewpoints over a DEM region (host-side driver).
 
@@ -260,6 +260,12 @@ def viewshed_sweep(dem, viewpoints_ij, *, viewer_height_m=2.0, width=256,
 
     from ..render.raymarch import _as_packed, _sample_surface
 
+    # lat_deg and cos_viewer_lat are redundant: derive whichever is
+    # missing so they can never disagree silently (passing only lat_deg
+    # used to leave an equatorial east cell size -- ~21% off at lat 34)
+    if cos_viewer_lat is None:
+        cos_viewer_lat = (math.cos(math.radians(lat_deg))
+                          if lat_deg is not None else 1.0)
     dem_f = jnp.asarray(dem)
     dem_packed, n = _as_packed(dem_f)
     pts = jnp.asarray(viewpoints_ij, jnp.float32)

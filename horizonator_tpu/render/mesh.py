@@ -99,8 +99,7 @@ def _mesh_triangles(dem, params: RenderParams, *, width, height,
 
     span = tazn.max(axis=1) - tazn.min(axis=1)
     keep = (span <= 0.5)
-    keep &= (tdne.min(axis=1) <= p.zfar) & (tdne.max(axis=1) >= p.znear)
-    keep &= (tdne.max(axis=1) > p.znear)
+    keep &= (tdne.min(axis=1) <= p.zfar) & (tdne.max(axis=1) > p.znear)
     return tx, ty, trng, tdne, keep
 
 

@@ -293,6 +293,31 @@ def _scan_shift(x, op, fill, reverse=False):
     return x
 
 
+def _scan_shift_argmax(x, v, fill):
+    """Inclusive forward max-scan of ``x`` carrying payload ``v`` of the
+    ARGMAX, ties -> the EARLIEST sample. Used to pre-propagate sample
+    colors before a resolve that monotonizes rows OUTSIDE the kernel
+    (resolve_to_image's XLA fallback): a running-max plateau's members
+    share one quantized key, and the merge's arbitrary tie order could
+    otherwise deliver an OCCLUDED sample's color to a pixel -- the true
+    first-crossing sample is the earliest plateau member. The combine
+    (max-by-value, payload from the earlier operand on ties) is
+    associative, so the Hillis-Steele doubling scan computes it exactly.
+    """
+    w, n = x.shape
+    d = 1
+    while d < n:
+        xs = jnp.concatenate(
+            [jnp.full((w, d), fill, x.dtype), x[:, :-d]], axis=1)
+        vs = jnp.concatenate(
+            [jnp.zeros((w, d), v.dtype), v[:, :-d]], axis=1)
+        take = xs >= x
+        x = jnp.where(take, xs, x)
+        v = jnp.where(take, vs, v)
+        d <<= 1
+    return x, v
+
+
 def _butterfly_route_front(packed, n_pow2, rank_bits, extra=None):
     """Oblivious monotone concentrator: the resolve's unsort without a sort.
 
@@ -921,7 +946,12 @@ def resolve_to_image(tanel, run_max, d_of, az, params, *, width, height,
         else:
             idx, alpha, ok = resolve_window(y_k, height, monotone=False)
     elif tex_samples is not None:
-        idx, alpha, ok, tex_hw = _resolve_rows(y_k, height, tex=tex_samples)
+        # the fallback's rows come from run_max, whose plateaus share one
+        # quantized key: pre-propagate each plateau's WINNING (earliest)
+        # color so the merge's tie order cannot deliver an occluded
+        # sample's color (the kernel does the same inside its running min)
+        _, tex_eff = _scan_shift_argmax(tanel, tex_samples, NEG_BIG)
+        idx, alpha, ok, tex_hw = _resolve_rows(y_k, height, tex=tex_eff)
     else:
         idx, alpha, ok = _resolve_rows(y_k, height)               # (W,H)
     sky = idx >= ktotal

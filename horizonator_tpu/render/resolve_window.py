@@ -22,8 +22,11 @@ every intermediate in VMEM:
 Textured renders additionally carry each sample's packed 0xRRGGBB color
 through the merge (key-value compare-exchange), deliver it to thresholds
 with a forward fill (the sample immediately preceding a threshold in
-merged order IS its first-crossing sample, up to adjacent equal-key ties),
-and route it alongside the packed result.
+merged order IS its first-crossing sample), and route it alongside the
+packed result. The running min carries the ARGMIN's color (ties -> the
+earlier sample), so every plateau member holds the true first-crossing
+sample's color and equal-key tie order in the merge cannot deliver an
+occluded sample's color.
 
 Output decode matches raymarch._resolve_rows' packed branch (idx/ok
 bit-identical; alpha equal up to the two paths' spare-bit quantization
@@ -130,13 +133,23 @@ def _resolve_kernel(y_ref, *rest, kp, k_real, h, n2, m, kb, a_bits, monotone,
     # caller already fed monotone rows). Lane padding is on the LEFT
     # (callers pad with +huge rows): the sample segment must stay
     # non-increasing for the valley merge below, and leading maximal pads
-    # are also the running min's identity.
+    # are also the running min's identity. Textured: the scan carries the
+    # ARGMIN's color (ties -> the earlier sample = the true first
+    # crossing), so every run-min plateau member holds the WINNING
+    # sample's color -- without this, plateau members share one quantized
+    # key and the merge's arbitrary tie order can hand a pixel an
+    # OCCLUDED sample's color (found by review; regression-tested).
+    texk = tex_ref[:] if textured else None
     if not monotone:
         lane_k = jax.lax.broadcasted_iota(jnp.int32, (tw, kp), 1)
         d = 1
         while d < kp:
             r = pltpu.roll(yq, shift=d, axis=1)
-            yq = jnp.where(lane_k >= d, jnp.minimum(yq, r), yq)
+            mask = lane_k >= d
+            if textured:
+                rt = pltpu.roll(texk, shift=d, axis=1)
+                texk = jnp.where(mask & (r <= yq), rt, texk)
+            yq = jnp.where(mask, jnp.minimum(yq, r), yq)
             d <<= 1
 
     # 3. merged valley: [samples desc | thresholds asc | pads MAX]
@@ -160,7 +173,7 @@ def _resolve_kernel(y_ref, *rest, kp, k_real, h, n2, m, kb, a_bits, monotone,
     v = jnp.concatenate(parts, axis=1)
     if textured:
         texm = jnp.concatenate(
-            [tex_ref[:], jnp.zeros((tw, m - kp), jnp.int32)], axis=1)
+            [texk, jnp.zeros((tw, m - kp), jnp.int32)], axis=1)
     else:
         texm = None
 

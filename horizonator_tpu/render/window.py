@@ -137,8 +137,9 @@ jax.tree_util.register_pytree_node(
 
 def aligned_k_lanes(k_cross: int, n: int) -> int:
     """Lane count of the aligned k axis: the worst-case residual r_d < 128
-    shifts samples right, so one extra TILE_K of lanes covers any start."""
-    k_kernel = max(TILE_K, min(k_cross, (n // TILE_K) * TILE_K))
+    shifts samples right, so one extra TILE_K of lanes covers any start.
+    MUST match march_window's k_kernel formula (round-UP grid cap)."""
+    k_kernel = max(TILE_K, min(k_cross, -(-n // TILE_K) * TILE_K))
     return -(-k_kernel // TILE_K) * TILE_K + TILE_K
 
 
@@ -598,7 +599,13 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
     if tile_w is None:
         tile_w = pick_tile_w(width)
     n_ax = max(nj, ni)
-    k_kernel = max(TILE_K, min(k_cross, (n_ax // TILE_K) * TILE_K))
+    # Grid cap rounds UP: a ray crosses at most n_ax grid lines, and steps
+    # past the grid edge are masked by the axis/cross bounds anyway -- the
+    # old round-DOWN cap ((n_ax // TILE_K) * TILE_K) silently dropped up
+    # to 127 valid far crossings for viewers near a grid edge, with the
+    # dropped self-guard blind to it (the m < k_limit gate is a budget
+    # mask, not a window overflow).
+    k_kernel = max(TILE_K, min(k_cross, -(-n_ax // TILE_K) * TILE_K))
     k_kernel = -(-k_kernel // TILE_K) * TILE_K
     # The march honors the caller's step budget EXACTLY: lanes beyond
     # k_cross (the TILE_K round-up slack) are masked like march_crossing's

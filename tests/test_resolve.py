@@ -362,3 +362,35 @@ def test_resolve_window_widening_schedules(k, h):
     if okm.any():
         d = np.abs(np.asarray(a_r) - np.asarray(a_w))[okm]
         assert d.max() <= 1.0 / (1 << min(a_bits, 8)) + 1e-6
+
+
+def test_textured_plateau_delivers_first_crossing_color():
+    """Regression (found by review): a running-min plateau's members share
+    one quantized key, and the merge's tie order delivered an OCCLUDED
+    sample's color. The kernel's KV running min and the fallback's
+    argmax pre-propagation must both hand every covered pixel the color
+    of the true first-crossing sample."""
+    from horizonator_tpu.render.resolve_window import resolve_window
+    from horizonator_tpu.render.raymarch import _scan_shift_argmax
+    k, h, w = 256, 256, 4
+    y = np.full((w, k), 240.0, np.float32)        # low far terrain
+    y[:, 10] = 50.0                               # the visible crest
+    y[:, 11:48] = 120.0                           # occluded behind it
+    tex = np.broadcast_to(np.arange(k, dtype=np.int32) + 1, (w, k)).copy()
+    yj, texj = jnp.asarray(y), jnp.asarray(tex)
+
+    # kernel path (raw rows, monotonized + argmin-colored in-kernel)
+    idx, alpha, ok, tex_hw = resolve_window(yj, h, tex=texj, monotone=False)
+    idx, tex_hw = np.asarray(idx), np.asarray(tex_hw)
+    covered = (np.arange(h) >= 50) & (np.arange(h) < 240)
+    assert (idx[:, covered] == 10).all()
+    assert (tex_hw[:, covered] == 11).all()       # color of sample 10
+
+    # XLA fallback path: run-max rows + pre-propagated colors
+    from horizonator_tpu.render.raymarch import _resolve_rows, _scan_shift
+    tanel = -yj                                   # any order-reversing map
+    run = _scan_shift(tanel, jnp.maximum, -3.0e38)
+    _, tex_eff = _scan_shift_argmax(tanel, texj, -3.0e38)
+    i_r, _, ok_r, tex_r = _resolve_rows(-run, h, tex=tex_eff)
+    assert (np.asarray(i_r)[:, covered] == 10).all()
+    assert (np.asarray(tex_r)[:, covered] == 11).all()

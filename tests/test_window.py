@@ -402,3 +402,23 @@ class TestAlignedScene:
         al = self._march(dem, p, k, j_hi=200, scene=scene)
         assert al[2].lane0 is None
         np.testing.assert_array_equal(np.asarray(base[0]), np.asarray(al[0]))
+
+
+def test_far_edge_crossings_not_truncated():
+    """Regression: the grid cap on k_kernel must round UP, not down. A
+    viewer near the south edge of a 200-cell grid with terrain in the last
+    rows: the old (n // 128) * 128 = 128-step cap silently dropped the
+    ridge (steps 128..199) with dropped == 0."""
+    import jax.numpy as jnp
+    n = 200
+    dem = np.zeros((n, n), np.float32)
+    dem[180:185, :] = 2500.0                    # ridge near the north edge
+    dem = jnp.asarray(dem)
+    p = params_for(dem, 100.0, 0.5, 30.0, az0=-20.0, az1=20.0, zfar=20000.0)
+    k = k_cross_for(20000.0, CPD, 34.0, n=n)
+    hc, hw = _horizons(dem, p, 64, k)
+    vis_c, vis_w = hc > -1e30, hw > -1e30
+    assert (vis_c == vis_w).all()
+    assert np.abs(hc[vis_c] - hw[vis_c]).max() < 6e-3
+    # the ridge must actually be in the horizon (guards the oracle too)
+    assert hc[vis_c].max() > 0.1
