@@ -456,7 +456,9 @@ class horizonator:
         if fn is None:
             fn = make_sharded_renderer(mesh, **kw)
             self._sharded_cache[key] = fn
-        imgs, rngs = fn(dem, stack_params(ps), color_planes=cp, atlas=atlas)
+        imgs, rngs = fn(dem, stack_params(ps), color_planes=cp, atlas=atlas,
+                        aligned_scene=(self._aligned_for(nsteps)
+                                       if sampler == "window" else None))
         return (np.asarray(imgs)[:b_real], np.asarray(rngs)[:b_real])
 
     def pick(self, x, y):

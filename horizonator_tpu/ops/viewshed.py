@@ -24,6 +24,7 @@ import math
 import jax
 import jax.numpy as jnp
 
+from .. import geometry
 from ..render.raymarch import RenderParams, march_tanel
 
 DEG = math.pi / 180.0
@@ -31,10 +32,11 @@ DEG = math.pi / 180.0
 
 @functools.partial(
     jax.jit, static_argnames=("width", "nsteps", "cells_per_deg", "surface",
-                              "sampler", "lat_hint_deg", "znear_hint_m"))
+                              "sampler", "lat_hint_deg", "znear_hint_m",
+                              "with_dropped"))
 def viewshed_polar(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
                    surface="bilinear", sampler="step", lat_hint_deg=45.0,
-                   znear_hint_m=100.0):
+                   znear_hint_m=100.0, with_dropped=False):
     """Polar visibility field for one viewpoint.
 
     Returns (visible (W, K) bool, tanel (W, K), d, az (W,)): sample k of
@@ -48,12 +50,22 @@ def viewshed_polar(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
     path -- pass the viewer latitude as lat_hint_deg). For the crossing
     samplers K = n_near + nsteps and d is (W, K): per-column near-band +
     grid-crossing distances.
+
+    ``with_dropped=True`` appends the window kernel's dropped-sample
+    counter (int32; 0 elsewhere) so callers can assert their
+    lat_hint_deg/znear_hint_m actually covered the scene -- a nonzero
+    count means valid samples were masked and the field over-reports
+    visibility.
     """
     if sampler in ("crossing", "window"):
-        visible, tanel, d, az, _ = _polar_with_dists(
+        visible, tanel, d, az, dists = _polar_with_dists(
             dem, params, width=width, nsteps=nsteps,
             cells_per_deg=cells_per_deg, surface=surface, sampler=sampler,
             lat_hint_deg=lat_hint_deg, znear_hint_m=znear_hint_m)
+        if with_dropped:
+            dropped = (dists.dropped if dists.dropped is not None
+                       else jnp.int32(0))
+            return visible, tanel, d, az, dropped
         return visible, tanel, d, az
     tanel, run_max, d, az = march_tanel(
         dem, params, width=width, nsteps=nsteps,
@@ -64,15 +76,18 @@ def viewshed_polar(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
     visible = tanel >= prev_max
     # out-of-grid samples are marked invisible (their tanel is -inf)
     visible &= tanel > -1.0e38
+    if with_dropped:
+        return visible, tanel, d, az, jnp.int32(0)
     return visible, tanel, d, az
 
 
 @functools.partial(
     jax.jit, static_argnames=("width", "nsteps", "cells_per_deg", "surface",
-                              "out_halfwidth", "sampler", "lat_hint_deg", "znear_hint_m"))
+                              "out_halfwidth", "sampler", "lat_hint_deg",
+                              "znear_hint_m", "with_dropped"))
 def viewshed_grid(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
                   surface="bilinear", out_halfwidth=None, sampler="step",
-                  lat_hint_deg=45.0, znear_hint_m=100.0):
+                  lat_hint_deg=45.0, znear_hint_m=100.0, with_dropped=False):
     """GIS-style visibility raster around the viewer.
 
     Evaluates the polar visibility at each output CELL's own (az, dist)
@@ -83,7 +98,8 @@ def viewshed_grid(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
     sampler: as in viewshed_polar; 'window' runs the gather-free Pallas
     march (the fast TPU path -- the distance->sample-index inversion then
     uses the per-column crossing parameterization instead of the uniform
-    step grid).
+    step grid). ``with_dropped=True`` appends the window kernel's
+    dropped-sample counter (see viewshed_polar).
     """
     p = params
     if sampler in ("crossing", "window"):
@@ -100,7 +116,10 @@ def viewshed_grid(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
     hw = out_halfwidth
     if hw is None:
         raise ValueError("out_halfwidth is required")
-    cell_m_north = 6371000.0 * DEG / cells_per_deg
+    # MUST match crossing_geometry_at's cell metrics (crossing.py builds
+    # them from the same constant) or the distance->sample-index inversion
+    # below addresses the wrong polar sample
+    cell_m_north = geometry.EARTH_RADIUS_M * DEG / cells_per_deg
     cell_m_east = cell_m_north * p.cos_viewer_lat
 
     # cell-center offsets from the viewer, in meters
@@ -149,6 +168,13 @@ def viewshed_grid(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
         kc = jnp.where(dist < nh_x, k_near, q + m)
 
     vis = visible[xc, kc] & in_az & in_r
+    if with_dropped:
+        # window-kernel self-guard: nonzero means lat_hint_deg/
+        # znear_hint_m undersized the march's static windows and the
+        # raster over-reports visibility
+        dropped = (dists.dropped if dists is not None
+                   and dists.dropped is not None else jnp.int32(0))
+        return vis, dropped
     return vis
 
 
@@ -238,6 +264,27 @@ def horizon_sweep(dem, params_batch: RenderParams, *, width, nsteps,
     return jax.vmap(one)(params_batch)
 
 
+@functools.lru_cache(maxsize=32)
+def _sharded_sweep(mesh, width, nsteps, cells_per_deg, surface, sampler,
+                   lat_hint_deg, znear_hint_m):
+    """Jitted shard_map'd horizon_sweep, cached per (mesh, static config)
+    so repeated viewshed_sweep(mesh=...) calls reuse one executable."""
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map              # jax >= 0.8
+    except ImportError:                        # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    sweep = functools.partial(
+        horizon_sweep, width=width, nsteps=nsteps,
+        cells_per_deg=cells_per_deg, surface=surface, sampler=sampler,
+        lat_hint_deg=lat_hint_deg, znear_hint_m=znear_hint_m)
+    inner = lambda dem, scene, p: sweep(dem, p, aligned_scene=scene)
+    return jax.jit(shard_map(
+        inner, mesh=mesh, in_specs=(P(), P(), P("batch")),
+        out_specs=P("batch"),
+        check_vma=False))   # pallas window kernel under shard_map
+
+
 def viewshed_sweep(dem, viewpoints_ij, *, viewer_height_m=2.0, width=256,
                    nsteps=None, cells_per_deg=1200, znear=50.0, zfar=20000.0,
                    cos_viewer_lat=None, batch=256, surface="bilinear",
@@ -256,8 +303,6 @@ def viewshed_sweep(dem, viewpoints_ij, *, viewer_height_m=2.0, width=256,
     axis size; the DEM replicates (shard it separately with
     parallel.regions when it exceeds one chip's HBM).
     """
-    import numpy as np
-
     from ..render.raymarch import _as_packed, _sample_surface
 
     # lat_deg and cos_viewer_lat are redundant: derive whichever is
@@ -267,6 +312,14 @@ def viewshed_sweep(dem, viewpoints_ij, *, viewer_height_m=2.0, width=256,
         cos_viewer_lat = (math.cos(math.radians(lat_deg))
                           if lat_deg is not None else 1.0)
     dem_f = jnp.asarray(dem)
+    if (sampler in ("crossing", "window")
+            and jnp.issubdtype(dem_f.dtype, jnp.integer)):
+        # _as_packed accepts pack_dem_pairs planes (and 'step' marches
+        # them), but the crossing samplers need the float grid -- casting
+        # packed bit-pair ints to f32 would silently march garbage
+        raise TypeError(
+            "viewshed_sweep with sampler='crossing'/'window' needs the "
+            "float32 elevation grid, not a pack_dem_pairs plane")
     dem_packed, n = _as_packed(dem_f)
     pts = jnp.asarray(viewpoints_ij, jnp.float32)
     ground = _sample_surface(dem_packed, n, pts[:, 0], pts[:, 1], "bilinear")
@@ -283,9 +336,10 @@ def viewshed_sweep(dem, viewpoints_ij, *, viewer_height_m=2.0, width=256,
         lat_hint_deg = float(lat_deg)
         dem_packed = (dem_f.astype(jnp.float32) if sampler == "window"
                       else pack_scene(dem_f.astype(jnp.float32)))
+        from ..render.window import ALIGN_MIN_N
         if (sampler == "window" and dem_f.ndim == 2
                 and dem_f.shape[0] == dem_f.shape[1]
-                and dem_f.shape[0] >= 136):    # window.py tiny-grid pad
+                and dem_f.shape[0] >= ALIGN_MIN_N):
             # one aligned-table prep amortizes over EVERY viewpoint of
             # the sweep (the per-viewpoint builds it replaces scale with
             # the batch, the prep doesn't)
@@ -300,26 +354,20 @@ def viewshed_sweep(dem, viewpoints_ij, *, viewer_height_m=2.0, width=256,
         cells_per_deg=cells_per_deg, surface=surface, sampler=sampler,
         lat_hint_deg=lat_hint_deg, znear_hint_m=float(znear))
     if mesh is not None:
-        from jax.sharding import PartitionSpec as P
-        try:
-            from jax import shard_map          # jax >= 0.8
-        except ImportError:                    # pragma: no cover
-            from jax.experimental.shard_map import shard_map
         if batch % mesh.shape["batch"]:
             raise ValueError(
                 f"batch {batch} not divisible by mesh batch axis "
                 f"{mesh.shape['batch']}")
-        inner = (lambda dem, scene, p:
-                 sweep(dem, p, aligned_scene=scene))
-        sharded = jax.jit(shard_map(
-            inner, mesh=mesh, in_specs=(P(), P(), P("batch")),
-            out_specs=P("batch"),
-            check_vma=False))   # pallas window kernel under shard_map
+        # the jitted shard_map closure is cached per (mesh, static
+        # config): rebuilding it per call would recompile per call (the
+        # bug class api.render_batch's _sharded_cache fixed)
+        sharded = _sharded_sweep(mesh, width, nsteps, cells_per_deg,
+                                 surface, sampler, lat_hint_deg,
+                                 float(znear))
         sweep_call = lambda dem, p: sharded(dem, al_scene, p)
     else:
         sweep_call = lambda dem, p: sweep(dem, p, aligned_scene=al_scene)
 
-    f = jnp.float32
     outs = []
     nview = pts.shape[0]
     npad = -(-nview // batch) * batch

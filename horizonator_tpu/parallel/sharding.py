@@ -119,7 +119,7 @@ def make_sharded_renderer(mesh: Mesh, *, width, height, nsteps, cells_per_deg,
         raise ValueError(f"width {width} not divisible by az axis {n_az}")
     w_local = width // n_az
 
-    def local_fn(dem, color_planes, atlas, params):
+    def local_fn(dem, color_planes, atlas, scene, params):
         az_idx = jax.lax.axis_index("az")
 
         def one(p):
@@ -130,7 +130,8 @@ def make_sharded_renderer(mesh: Mesh, *, width, height, nsteps, cells_per_deg,
                 sampler=sampler, lat_hint_deg=lat_hint_deg,
                 lod_plan=lod_plan, textured=textured,
                 color_planes=color_planes, atlas=atlas,
-                atlas_params=atlas_params, znear_hint_m=znear_hint_m)
+                atlas_params=atlas_params, znear_hint_m=znear_hint_m,
+                aligned_scene=scene)
 
         if sampler in ("window", "lod"):
             return jax.lax.map(one, params)
@@ -142,13 +143,17 @@ def make_sharded_renderer(mesh: Mesh, *, width, height, nsteps, cells_per_deg,
     kw = dict(check_vma=False)
     sharded = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(), P(), P(), P("batch")),
+        in_specs=(P(), P(), P(), P(), P("batch")),
         out_specs=(P("batch", None, "az", None), P("batch", None, "az")),
         **kw)
     jitted = jax.jit(sharded)
 
-    def call(dem, params, color_planes=None, atlas=None):
-        return jitted(dem, color_planes, atlas, params)
+    def call(dem, params, color_planes=None, atlas=None, aligned_scene=None):
+        # aligned_scene: window.AlignedScene, replicated across the mesh --
+        # the per-scene prebuilt crossing tables the single-device paths
+        # use (without it every multi-chip viewpoint re-materializes the
+        # ~0.45 ms/frame per-render table builds)
+        return jitted(dem, color_planes, atlas, aligned_scene, params)
     return call
 
 

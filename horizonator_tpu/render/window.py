@@ -50,6 +50,10 @@ DEG = math.pi / 180.0
 
 TILE_W = 64    # image columns per tile
 TILE_K = 128   # crossing steps per tile (lane dim: 128-multiple required)
+# smallest grid edge the tiny-grid zero-pad leaves untouched; grids at or
+# above it are aligned-scene eligible (march_window pads smaller ones,
+# which disables the aligned path)
+ALIGN_MIN_N = TILE_K + 8
 
 
 def window_size(width: int, k_cross: int, n: int,
@@ -576,8 +580,8 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
                     f"color_planes cross size {color_planes.shape[1]} is "
                     f"neither n nor 2n for n={n_real}")
     # tiny scenes: pad (zeros = ocean, masked by the validity bounds)
-    pad_j = max(0, TILE_K + 8 - nj_real)
-    pad_i = max(0, TILE_K + 8 - ni_real)
+    pad_j = max(0, ALIGN_MIN_N - nj_real)
+    pad_i = max(0, ALIGN_MIN_N - ni_real)
     if pad_j or pad_i:
         dem = jnp.pad(dem, ((0, pad_j), (0, pad_i)))
         if textured:

@@ -216,3 +216,40 @@ def test_polar_window_large_znear_hint_forwarded():
     ok = tan_c > -1.0e30
     np.testing.assert_allclose(tan_w[ok], tan_c[ok], atol=2e-5, rtol=0)
     assert (np.asarray(vis_w) == np.asarray(vis_c)).mean() > 0.999
+
+
+def test_sweep_rejects_packed_dem_for_crossing_samplers():
+    """Regression (found by review): a pack_dem_pairs plane fed to the
+    default 'crossing' sampler was cast to f32 and marched as garbage
+    elevations -- now a loud TypeError."""
+    import pytest
+    from horizonator_tpu.render.raymarch import pack_dem_pairs
+    rng = np.random.default_rng(3)
+    dem = jnp.asarray(200.0 + 40.0 * rng.random((160, 160), np.float32))
+    packed = pack_dem_pairs(dem)
+    pts = np.array([[80.0, 80.0]], np.float32)
+    with pytest.raises(TypeError, match="float32 elevation grid"):
+        viewshed_sweep(packed, pts, width=32, nsteps=64, cells_per_deg=CPD,
+                       zfar=4000.0, batch=1, sampler="crossing")
+    # ... while the step sampler keeps accepting it
+    out = viewshed_sweep(packed, pts, width=32, nsteps=64,
+                         cells_per_deg=CPD, zfar=4000.0, batch=1,
+                         sampler="step")
+    assert out.shape == (1, 32)
+
+
+def test_viewshed_with_dropped_counter():
+    """with_dropped=True surfaces the window kernel's drop guard (0 for a
+    correctly-hinted scene) from both polar and grid ops."""
+    rng = np.random.default_rng(3)
+    dem = jnp.asarray(200.0 + 40.0 * rng.random((160, 160), np.float32))
+    p = params(80.0, 80.0, 260.0, zfar=5000.0)
+    *_, dropped = viewshed_polar(dem, p, width=64, nsteps=64,
+                                 cells_per_deg=CPD, sampler="window",
+                                 lat_hint_deg=34.0, with_dropped=True)
+    assert int(dropped) == 0
+    vis, dropped_g = viewshed_grid(dem, p, width=64, nsteps=64,
+                                   cells_per_deg=CPD, out_halfwidth=20,
+                                   sampler="window", lat_hint_deg=34.0,
+                                   with_dropped=True)
+    assert vis.shape == (40, 40) and int(dropped_g) == 0
