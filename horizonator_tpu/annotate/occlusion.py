@@ -58,6 +58,9 @@ def project_and_occlusion_test(range_image: np.ndarray,
     xi = np.clip(np.round(x).astype(np.int64), 0, w - 1)
     yi = np.round(y).astype(np.int64)
 
+    # rows -6..+5: the reference's loop is `fuzz < FUZZ_PIXEL_Y` (exclusive
+    # top, annotator.c:314) -- the asymmetry is deliberate parity, not an
+    # off-by-one here
     fuzz = np.arange(-FUZZ_PIXEL_Y, FUZZ_PIXEL_Y)               # (12,)
     rows = yi[:, None] + fuzz[None, :]                          # (N,12)
     in_img = (rows >= 0) & (rows < height_out)

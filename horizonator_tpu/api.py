@@ -323,8 +323,13 @@ class horizonator:
             aligned_scene=(self._aligned_for(nsteps)
                            if sampler == "window" else None))
 
-        ranges_np = np.asarray(ranges)
-        self._last = dict(ranges=ranges_np, az_deg0=az_deg0, az_deg1=az_deg1,
+        # pick() needs the range image, but pulling it device->host on
+        # EVERY render would add a full D2H transfer per frame even when
+        # the caller asked return_range=False (the dev-tunnel D2H path is
+        # ~25 kB/s); keep the device array and materialize lazily.
+        ranges_np = np.asarray(ranges) if return_range else None
+        self._last = dict(ranges=ranges_np, ranges_dev=ranges,
+                          az_deg0=az_deg0, az_deg1=az_deg1,
                           lat=self.viewer_lat, lon=self.viewer_lon)
 
         out = []
@@ -333,6 +338,15 @@ class horizonator:
         if return_range:
             out.append(ranges_np)
         return tuple(out) if len(out) > 1 else out[0]
+
+    def _last_ranges(self):
+        """Host copy of the LAST render's range image (lazy D2H)."""
+        if self._last is None:
+            raise RuntimeError("no render yet")
+        L = self._last
+        if L["ranges"] is None:
+            L["ranges"] = np.asarray(L["ranges_dev"])
+        return L["ranges"]
 
     @staticmethod
     def _znear_hint(znear):
@@ -468,7 +482,7 @@ class horizonator:
         if self._last is None:
             raise RuntimeError("pick() before render()")
         L = self._last
-        r = L["ranges"][int(y), int(x)]
+        r = self._last_ranges()[int(y), int(x)]
         if r <= 0:
             return None
         lat, lon = geometry.unproject(
@@ -496,7 +510,8 @@ class horizonator:
             tanel, _, _, az = march_window(
                 self._dem, params, width=width, k_cross=nsteps,
                 cells_per_deg=self.mosaic.cells_per_deg,
-                lat_hint_deg=self._lat_hint(), znear_hint_m=float(znear),
+                lat_hint_deg=self._lat_hint(),
+                znear_hint_m=self._znear_hint(znear),
                 scene=self._aligned_for(nsteps))
             # full-column horizon = plain max; the running-max scan
             # dead-codes out (it cost ~0.45 ms at headline widths)

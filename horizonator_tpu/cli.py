@@ -168,7 +168,12 @@ def main(argv=None) -> int:
 
     height = args.height
     if height <= 0:
-        # 20-deg default FOV (standalone.c:407-411)
+        # The reference's default-height formula, reproduced exactly
+        # (standalone.c:407-411). NOTE the quirk is the reference's own:
+        # its comment says "assume a 20deg fov" but width*20/az_radius
+        # under the equirect mapping (el span = az span * h/w) gives a
+        # 40-deg vertical span -- fovy_deg behaves as a HALF-fov. Parity
+        # wins over the comment.
         fovy_deg = 20.0
         height = int(round(args.width * fovy_deg / az_radius))
 

@@ -35,7 +35,9 @@ import numpy as np
 from . import hgt
 
 RADIUS_CELLS_DEFAULT_PY = 1000  # horizonator-pywrap.c:65
-EARTH_RADIUS_M = 6371000.0      # vertex.glsl:30
+# vertex.glsl:30. Deliberately duplicated from geometry.EARTH_RADIUS_M
+# (asserted equal in tests) to keep the DEM layer jax-import-free.
+EARTH_RADIUS_M = 6371000.0
 
 
 def _msg(fmt, *args):

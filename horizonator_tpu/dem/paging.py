@@ -108,11 +108,15 @@ def fly(host_grid, path_cells, *, width, height, zfar_m, cells_per_deg,
         ps = []
         for (ci, cj) in seg:
             li, lj = win.local_cell(ci, cj)
-            # auto elevation: ground at the viewer + AGL margin
-            j0i, i0i = int(lj), int(li)
-            ground = float(np.max(win.host[
-                win.origin[0] + j0i: win.origin[0] + j0i + 2,
-                win.origin[1] + i0i: win.origin[1] + i0i + 2]))
+            # auto elevation: ground at the viewer + AGL margin. floor +
+            # clamp: int() truncates toward zero (wrong cell for a
+            # fractionally-negative local coord), and a path point at the
+            # host grid's edge would slice zero rows (np.max raises on an
+            # empty array) -- clamp to the last full 2x2 stencil instead.
+            nj_h, ni_h = win.host.shape
+            j0i = min(max(int(math.floor(lj)) + win.origin[0], 0), nj_h - 2)
+            i0i = min(max(int(math.floor(li)) + win.origin[1], 0), ni_h - 2)
+            ground = float(np.max(win.host[j0i: j0i + 2, i0i: i0i + 2]))
             ps.append(RenderParams(
                 f(li), f(lj), f(ground + viewer_agl_m), f(cos_lat),
                 f(math.radians(az_deg[0])), f(math.radians(az_deg[1])),

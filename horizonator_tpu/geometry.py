@@ -40,6 +40,12 @@ def az_window_rad(az_rad0, az_rad1):
     """Normalize the azimuth window: az1 unwrapped to (az0, az0+2pi], plus the
     center and the ndc scale (horizonator-lib.c:1075-1083)."""
     az_rad1 = unwrap_near_rad(az_rad1 - az_rad0, jnp.pi) + az_rad0
+    # az1 == az0 means a FULL circle, not an empty window: C roundf rounds
+    # half away from zero so the reference's unwrap lands on az0 + 2pi,
+    # while jnp.round's half-to-even lands on az0 (-> division by zero
+    # below). Patch only the degenerate case so every other window stays
+    # bitwise identical.
+    az_rad1 = jnp.where(az_rad1 <= az_rad0, az_rad0 + 2.0 * jnp.pi, az_rad1)
     az_center = (az_rad0 + az_rad1) / 2.0
     az_ndc_per_rad = 2.0 / (az_rad1 - az_rad0)
     return az_rad1, az_center, az_ndc_per_rad
@@ -124,7 +130,16 @@ def project(lat_viewer, cos_lat_viewer, lon_viewer, ele_viewer,
 
 def pixel_az_el_rad(x, y, az_deg0, az_deg1, width, height):
     """Azimuth/elevation at the CENTER of pixel (x, y), y counted from the top
-    row (horizonator-lib.c:1181-1201). Degrees in, radians out."""
+    row (horizonator-lib.c:1181-1201). Degrees in, radians out.
+
+    The renderer unwraps az1 to (az0, az0+360]; the reference's unproject
+    does not (its tools keep center+-radius windows that never wrap, so it
+    never sees one). Our API accepts wrapped windows (render(350, 10)), so
+    unwrap here too -- pick()/annotate links would otherwise flip to the
+    opposite side of the viewer. Non-wrapped windows keep az1 bitwise."""
+    span0 = az_deg1 - az_deg0
+    turns = jnp.where(span0 <= 0.0, jnp.floor(-span0 / 360.0) + 1.0, 0.0)
+    az_deg1 = az_deg1 + 360.0 * turns
     az_ndc = (x + 0.5) / width * 2.0 - 1.0
     az = (az_ndc * (az_deg1 - az_deg0) / 2.0 + (az_deg1 + az_deg0) / 2.0) * DEG
     el_ndc = 1.0 - (y + 0.5) / height * 2.0   # top row -> +1 side

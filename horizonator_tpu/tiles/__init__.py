@@ -11,6 +11,7 @@ unchanged (horizonator-lib.c:272-275, orb_tilecache.cpp:31-37).
 from __future__ import annotations
 
 import concurrent.futures as cf
+import os
 import sys
 from pathlib import Path
 
@@ -109,7 +110,13 @@ def fetch_tile(dir_tiles: str, tiles_name: str, tiles_url_fmt: str,
             return p
         raise
     p.parent.mkdir(parents=True, exist_ok=True)
-    p.write_bytes(r.content)
+    # atomic publish (same .part + replace dance as the DEM fetcher): a
+    # process killed mid-write must not leave a truncated PNG at the
+    # cache path -- tile_is_stale would serve it forever and every
+    # textured render would fail at decode
+    tmp = p.with_suffix(p.suffix + ".part")
+    tmp.write_bytes(r.content)
+    os.replace(tmp, p)
     exp = _parse_expires(r.headers)
     ep = _expires_path(p)
     if exp is not None:

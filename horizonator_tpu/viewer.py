@@ -249,7 +249,7 @@ class ViewerState:
         visualized the geometry the z-buffer resolved. Uses the range image
         of the render that just ran."""
         import numpy as np
-        ranges = self.h._last["ranges"]
+        ranges = self.h._last_ranges()
         vis = ranges > 0
         any_vis = vis.any(axis=0)
         first = vis.argmax(axis=0)

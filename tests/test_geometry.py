@@ -104,3 +104,34 @@ def test_pixel_az_el_grid_consistency():
         az, el = G.pixel_az_el_rad(px, 0, az0, az1, W, H)
         x, ndc, _ = G.x_from_az(float(az), np.radians(az0), np.radians(az1), W)
         assert float(x) == pytest.approx(px, abs=1e-3)
+
+
+def test_az_window_full_circle_at_equal_endpoints():
+    """az0 == az1 means a FULL circle (the reference's C roundf rounds half
+    away from zero and lands on az0 + 2pi; jnp.round's half-to-even used to
+    produce a zero span -> division by zero)."""
+    import jax.numpy as jnp
+    from horizonator_tpu import geometry
+    az1u, center, scale = geometry.az_window_rad(jnp.float32(0.3),
+                                                 jnp.float32(0.3))
+    assert abs(float(az1u) - (0.3 + 2 * np.pi)) < 1e-5
+    assert np.isfinite(float(scale))
+
+
+def test_pixel_az_el_unwraps_wrapped_windows():
+    """pick()/unproject must agree with the renderer for windows given as
+    wrapped degrees (render(350, 10) == a 20-deg window across north)."""
+    from horizonator_tpu import geometry
+    az_w, el_w = geometry.pixel_az_el_rad(5.0, 3.0, 350.0, 10.0, 100, 50)
+    az_n, el_n = geometry.pixel_az_el_rad(5.0, 3.0, 350.0, 370.0, 100, 50)
+    assert abs(float(az_w) - float(az_n)) < 1e-6
+    assert abs(float(el_w) - float(el_n)) < 1e-6
+    # non-wrapped windows unchanged bitwise
+    a0, e0 = geometry.pixel_az_el_rad(5.0, 3.0, -30.0, 30.0, 100, 50)
+    assert np.isfinite(float(a0)) and abs(float(e0)) < 1.0
+
+
+def test_earth_radius_constants_agree():
+    from horizonator_tpu import geometry
+    from horizonator_tpu.dem import mosaic
+    assert float(geometry.EARTH_RADIUS_M) == mosaic.EARTH_RADIUS_M

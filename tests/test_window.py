@@ -422,3 +422,41 @@ def test_far_edge_crossings_not_truncated():
     assert np.abs(hc[vis_c] - hw[vis_c]).max() < 6e-3
     # the ridge must actually be in the horizon (guards the oracle too)
     assert hc[vis_c].max() > 0.1
+
+
+@pytest.mark.slow
+def test_fuzz_window_vs_crossing_oracle():
+    """Randomized differential test: the Pallas window march must agree
+    with the gather-based crossing oracle (visibility exactly, tangents to
+    the 0.5 m quantization class) over random terrain, viewer placements
+    (including grid edges), azimuth windows (including wrap), and clip
+    ranges. This is the net that catches silent-masking bug classes like
+    the k_kernel round-down (test_far_edge_crossings_not_truncated)."""
+    rng = np.random.default_rng(20260818)
+    for trial in range(8):
+        n = int(rng.integers(150, 400))
+        rough = float(rng.uniform(2.0, 40.0))
+        dem = make_dem(n, rough=rough)
+        d_np = np.asarray(dem)
+        # viewers: interior, near an edge, near a corner
+        vi = float(rng.uniform(2.0, n - 3.0))
+        vj = float(np.choose(trial % 3,
+                             [rng.uniform(2.0, n - 3.0),
+                              rng.uniform(0.3, 6.0),
+                              rng.uniform(n - 7.0, n - 2.0)]))
+        vz = float(d_np[int(vj):int(vj) + 2, int(vi):int(vi) + 2].max()) \
+            + float(rng.uniform(1.0, 60.0))
+        az_c = float(rng.uniform(-360.0, 360.0))
+        az_r = float(rng.uniform(4.0, 180.0))
+        zfar = float(rng.uniform(3000.0, 25000.0))
+        width = int(rng.integers(24, 200))
+        p = params_for(dem, vi, vj, vz, az0=az_c - az_r, az1=az_c + az_r,
+                       zfar=zfar)
+        k = k_cross_for(zfar, CPD, 34.0, n=n)
+        hc, hw = _horizons(dem, p, width, k)
+        vis_c, vis_w = hc > -1e30, hw > -1e30
+        ctx = (f"trial {trial}: n={n} viewer=({vi:.1f},{vj:.1f}) "
+               f"az={az_c:.0f}+-{az_r:.0f} zfar={zfar:.0f} w={width}")
+        assert (vis_c == vis_w).all(), ctx
+        if vis_c.any():
+            assert np.abs(hc[vis_c] - hw[vis_c]).max() < 6e-3, ctx
