@@ -23,7 +23,12 @@ _tried = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(_LIB)]
+    # compile to a per-process temp name and publish atomically: two
+    # processes building concurrently (pytest -n, bench + viewer) must
+    # never dlopen a half-written .so, and a crashed build must not
+    # poison the cache
+    tmp = _LIB.with_name(f".{_LIB.name}.{os.getpid()}.tmp")
+    cmd = ["g++", "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(tmp)]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
     except (OSError, subprocess.TimeoutExpired):
@@ -31,7 +36,9 @@ def _build() -> bool:
     if r.returncode != 0:
         print(f"horizonator_tpu: native build failed:\n{r.stderr}",
               file=sys.stderr)
+        tmp.unlink(missing_ok=True)
         return False
+    os.replace(tmp, _LIB)
     return True
 
 

@@ -196,6 +196,13 @@ class horizonator:
         # the viewer crosses a latitude band.
         return round(self.viewer_lat / 10.0) * 10.0
 
+    def _lat_plan_hint(self):
+        # the LOD plan's k budgets scale with 1/cell_e(lat): feed it the
+        # bucket's WORST-CASE |lat| (smallest cos), which can only
+        # over-budget steps -- the raw latitude would rebuild the static
+        # plan (and recompile the render) on every camera move
+        return min(abs(self._lat_hint()) + 5.0, 85.0)
+
     def _auto_nsteps(self, znear, zfar):
         if self._nsteps_fixed is not None:
             return int(self._nsteps_fixed)
@@ -376,7 +383,8 @@ class horizonator:
         if sampler == "window" and nsteps > 1536 and lod_ok:
             from .render.lod import lod_plan as _mk_plan, build_pyramid
             lod_plan = _mk_plan(zfar, self.width, self.mosaic.cells_per_deg,
-                                self.viewer_lat, self.mosaic.grid.shape[0])
+                                self._lat_plan_hint(),
+                                self.mosaic.grid.shape[0])
             nlev = 1 + max(s.level for s in lod_plan)
             if self._pyramid is None or len(self._pyramid) < nlev:
                 self._pyramid = tuple(

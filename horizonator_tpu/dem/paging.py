@@ -51,6 +51,11 @@ class PagedWindow:
         nj, ni = self.host.shape
         j0 = max(0, min(j0, nj - self.wc))
         i0 = max(0, min(i0, ni - self.wc))
+        if self.dem is not None and (j0, i0) == self.origin:
+            # viewer hugging a host-grid edge: the clamped origin cannot
+            # move, so re-sending the identical block would only burn
+            # host->HBM bandwidth every segment
+            return
         self.origin = (j0, i0)
         block = np.ascontiguousarray(
             self.host[j0:j0 + self.wc, i0:i0 + self.wc], np.float32)
@@ -102,8 +107,19 @@ def fly(host_grid, path_cells, *, width, height, zfar_m, cells_per_deg,
     path_p = np.concatenate([path, np.repeat(path[-1:], npad - len(path), 0)])
     for s in range(0, npad, chunk):
         seg = path_p[s:s + chunk]
-        # one window covers the whole segment (re-center on its middle)
+        # one window covers the whole segment (re-center on its middle);
+        # fail LOUDLY if a fast path outruns the window instead of
+        # rendering from a viewer cell off the resident grid
         mid = seg[len(seg) // 2]
+        reach = float(np.abs(seg - mid[None]).max())
+        # ensure() only re-centers when the midpoint is within margin of
+        # an edge, so a viewer on this segment is guaranteed in-window
+        # only while its spread stays under the margin
+        if reach > win.margin:
+            raise ValueError(
+                f"path segment spans {reach:.0f} cells from its midpoint, "
+                f"more than margin_cells={win.margin} guarantees in-window:"
+                f" lower chunk= or raise margin_cells=/window_cells=")
         win.ensure(mid[0], mid[1])
         ps = []
         for (ci, cj) in seg:

@@ -55,7 +55,9 @@ class Settings:
         for k in sorted(self._kv):
             e = ET.SubElement(root, "entry", key=k)
             e.text = self._kv[k]
-        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        d = os.path.dirname(self.path)
+        if d:
+            os.makedirs(d, exist_ok=True)
         tmp = self.path + ".tmp"
         ET.ElementTree(root).write(tmp, encoding="unicode",
                                    xml_declaration=True)

@@ -83,11 +83,20 @@ function drawOverlays(){
 function copyCmd(){ navigator.clipboard.writeText(S.command); }
 
 async function call(path, body){
+  // finally-clears the busy marker and surfaces errors in the status bar
+  // instead of wedging the UI with a stuck hourglass and a null S
   document.getElementById('busy').textContent = '⏳';
-  const r = await fetch(path, {method:'POST', body: JSON.stringify(body||{})});
-  const j = await r.json();
-  document.getElementById('busy').textContent = '';
-  return j;
+  try {
+    const r = await fetch(path, {method:'POST',
+                                 body: JSON.stringify(body||{})});
+    if (!r.ok) throw new Error(path + ' -> HTTP ' + r.status);
+    return await r.json();
+  } catch (err) {
+    document.getElementById('cmd').textContent = 'render failed: ' + err;
+    throw err;
+  } finally {
+    document.getElementById('busy').textContent = '';
+  }
 }
 async function refresh(move){
   S = await call('/api/render', move);
@@ -163,8 +172,8 @@ def leaflet_tile_url(tiles_url_fmt: str | None = None) -> str:
         for repl in ("{z}", "{x}", "{y}"):
             url = url.replace("%d", repl, 1)
         return url
-    from .settings import Settings
-    server = Settings().get("osm::tileserver",
+    from .settings import instance
+    server = instance().get("osm::tileserver",
                             "https://tile.openstreetmap.org/")
     return server.rstrip("/") + "/{z}/{x}/{y}.png"
 
@@ -185,8 +194,8 @@ class ViewerState:
         # map-client config: tile URL + zoom limits from settings.xml
         # (osm::zoommin/zoommax, orb_settings.cpp:42-43 -> the map widget's
         # viewport clamps; here they bound the Leaflet view)
-        from .settings import Settings
-        s = Settings()
+        from .settings import instance
+        s = instance()
         self.tile_url = leaflet_tile_url(tiles_url_fmt)
         self.zoom_min = s.get("osm::zoommin", 0, type=int)
         self.zoom_max = s.get("osm::zoommax", 18, type=int)
