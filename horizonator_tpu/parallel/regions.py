@@ -68,7 +68,7 @@ def make_region_sharded_horizon(mesh: Mesh, *, width, k_cross, cells_per_deg,
     w_local = width // n_az
 
     def local_fn(dem_band, params):
-        tanel, _, az, _ = _banded_march(
+        tanel, _, az, _, _ = _banded_march(
             dem_band, params, width=w_local, k_cross=k_cross,
             cells_per_deg=cells_per_deg, axis=axis, r=r, az_axis=az_axis,
             n_az=n_az, sampler=sampler, lat_hint_deg=lat_hint_deg)
@@ -86,10 +86,10 @@ def make_region_sharded_horizon(mesh: Mesh, *, width, k_cross, cells_per_deg,
 
 def _banded_march(dem_band, params, *, width, k_cross, cells_per_deg,
                   axis, r, az_axis, n_az, sampler="crossing",
-                  lat_hint_deg=45.0):
+                  lat_hint_deg=45.0, colors_band=None):
     """The shared band-local march: halo exchange + j-shifted crossing
     march, returning (tanel (W_local, K) with only this band's samples
-    valid, dists, az, params-with-wedged-azimuth).
+    valid, dists, az, params-with-wedged-azimuth, tex-or-None).
 
     dem_band: (nb, n), this device's rows [idx*nb, (idx+1)*nb). The halo
     is the NEXT band's first row (ppermute); the last band has no real row
@@ -98,7 +98,12 @@ def _banded_march(dem_band, params, *, width, k_cross, cells_per_deg,
     the unsharded march, which masks everything beyond row n-1 rather than
     interpolating toward fabricated data. The viewer_cell_j shift is an
     integer row count, so local step indices coincide with global step
-    indices and e/scale/near_hi are band-invariant."""
+    indices and e/scale/near_hi are band-invariant.
+
+    colors_band: optional (3, nb, n) CELL-resolution color planes sharded
+    like the elevation rows ('window' sampler only): they ride the same
+    1-row halo and the march's fused elevation+color tables, so banded
+    textures cost one extra ppermute."""
     nb = dem_band.shape[0]
     idx = jax.lax.axis_index(axis)
 
@@ -108,6 +113,11 @@ def _banded_march(dem_band, params, *, width, k_cross, cells_per_deg,
     halo = jnp.where(idx == r - 1, jnp.zeros_like(halo), halo)
     local = jnp.concatenate([dem_band, halo], axis=0)          # (nb+1, n)
     j_hi = jnp.where(idx == r - 1, jnp.float32(nb - 1), jnp.float32(nb))
+    colors_local = None
+    if colors_band is not None:
+        chalo = jax.lax.ppermute(colors_band[:, 0:1, :], axis, perm)
+        chalo = jnp.where(idx == r - 1, jnp.zeros_like(chalo), chalo)
+        colors_local = jnp.concatenate([colors_band, chalo], axis=1)
 
     p_img = params
     if az_axis:
@@ -116,24 +126,34 @@ def _banded_march(dem_band, params, *, width, k_cross, cells_per_deg,
     # global params + integer row offset (NOT a shifted viewer_cell_j): the
     # march's geometry stays bitwise the single-device geometry; only the
     # band-local row indexing shifts (march_crossing j_offset docstring)
+    tex = None
     if sampler == "window":
         from ..render.window import march_window
-        tanel, _, dists, az = march_window(
-            local, p_img, width=width, k_cross=k_cross,
-            cells_per_deg=cells_per_deg, lat_hint_deg=lat_hint_deg,
-            j_hi=j_hi, j_offset=idx * nb)
+        if colors_local is not None:
+            tanel, _, dists, az, tex = march_window(
+                local, p_img, width=width, k_cross=k_cross,
+                cells_per_deg=cells_per_deg, lat_hint_deg=lat_hint_deg,
+                j_hi=j_hi, j_offset=idx * nb, color_planes=colors_local)
+        else:
+            tanel, _, dists, az = march_window(
+                local, p_img, width=width, k_cross=k_cross,
+                cells_per_deg=cells_per_deg, lat_hint_deg=lat_hint_deg,
+                j_hi=j_hi, j_offset=idx * nb)
     else:
+        if colors_band is not None:
+            raise ValueError("textured region sharding needs the 'window' "
+                             "sampler")
         scene = pack_scene(local)
         tanel, _, dists, az = march_crossing(
             scene, p_img, width=width, k_cross=k_cross,
             cells_per_deg=cells_per_deg, j_hi=j_hi, j_offset=idx * nb)
-    return tanel, dists, az, p_img
+    return tanel, dists, az, p_img, tex
 
 
 def make_region_sharded_renderer(mesh: Mesh, *, width, height, k_cross,
                                  cells_per_deg, refine=True, axis="region",
                                  az_axis=None, sampler="window",
-                                 lat_hint_deg=45.0):
+                                 lat_hint_deg=45.0, textured=False):
     """Region-sharded FULL panorama (SURVEY.md 5.8c complete): fn(dem
     (n, n) f32 [n % R == 0], params) -> (image (H, W, 3) u8 BGR, ranges
     (H, W) f32) equal to the single-device crossing render.
@@ -148,6 +168,14 @@ def make_region_sharded_renderer(mesh: Mesh, *, width, height, k_cross,
     array -- redundantly per region rank, or on 1/n_az of the columns each
     when ``az_axis`` names a second mesh axis (memory scales with the
     region axis, compute with the az axis).
+
+    ``textured=True`` ('window' sampler only): the returned fn takes
+    (dem, color_planes, params) with CELL-resolution (3, n, n) planes,
+    row-sharded like the elevation (so texture memory also scales with the
+    region axis). Every sample is valid in exactly ONE band, so the
+    winning colors recombine with a masked pmax; the resolve then routes
+    them exactly as on one device. Half-cell planes need a square
+    unsharded grid and are not available here.
     """
     r = mesh.shape[axis]
     n_az = mesh.shape[az_axis] if az_axis else 1
@@ -155,22 +183,35 @@ def make_region_sharded_renderer(mesh: Mesh, *, width, height, k_cross,
         raise ValueError(f"width {width} not divisible by az axis {n_az}")
     w_local = width // n_az
 
-    def local_fn(dem_band, params):
-        tanel, dists, az, p_img = _banded_march(
+    def local_fn(dem_band, colors_band, params):
+        tanel, dists, az, p_img, tex = _banded_march(
             dem_band, params, width=w_local, k_cross=k_cross,
             cells_per_deg=cells_per_deg, axis=axis, r=r, az_axis=az_axis,
-            n_az=n_az, sampler=sampler, lat_hint_deg=lat_hint_deg)
+            n_az=n_az, sampler=sampler, lat_hint_deg=lat_hint_deg,
+            colors_band=colors_band)
+        valid = tanel > NEG_BIG
         tanel = jax.lax.pmax(tanel, axis)
+        if tex is not None:
+            # each sample is valid in exactly one band (the partition
+            # argument above), so a masked pmax is an exact reassembly;
+            # invalid lanes carry -1, whose color the resolve never
+            # delivers (their keys sort after every threshold)
+            tex = jax.lax.pmax(jnp.where(valid, tex, -1), axis)
         run_max = _scan_shift(tanel, jnp.maximum, NEG_BIG)
         return resolve_to_image(
             tanel, run_max, dists.d_of, az, p_img, width=w_local,
-            height=height, cells_per_deg=cells_per_deg, refine=refine)
+            height=height, cells_per_deg=cells_per_deg, refine=refine,
+            textured=tex is not None, tex_samples=tex)
 
     img_spec = P(None, az_axis, None) if az_axis else P(None, None, None)
     rng_spec = P(None, az_axis) if az_axis else P(None, None)
+    col_spec = P(None, axis, None) if textured else P()
     sharded = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(axis, None), P()),
+        in_specs=(P(axis, None), col_spec, P()),
         out_specs=(img_spec, rng_spec),
         check_vma=False)   # pallas resolve body under shard_map
-    return jax.jit(sharded)
+    jitted = jax.jit(sharded)
+    if textured:
+        return jitted
+    return lambda dem, params: jitted(dem, None, params)

@@ -533,7 +533,10 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
     (geometry is evaluated with the caller's global viewer and only the
     LOCAL table indexing shifts, so band samples are BITWISE the global
     march's); ``j_hi`` caps the VALID local row range (halo-row masking
-    on the last band). Textured mode requires a square unsharded grid.
+    on the last band). Banded marches texture at CELL resolution: pass
+    (3, nj, ni) planes matching the band (they ride the same fused table
+    build and 1-row halo as elevation); half-cell ColorPlanes2x needs a
+    square unsharded grid.
 
     ``znear_hint_m`` (static, like lat_hint_deg): sizes the gather-free
     near-band DEM patch -- every near-band sample lies within
@@ -558,8 +561,18 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
     banded = (nj_real != ni_real) or (j_hi is not None) \
         or (j_offset is not None)
     if textured and banded:
-        raise NotImplementedError(
-            "textured march_window requires a square unsharded grid")
+        from .texture import ColorPlanes2x as _CP2x
+        if isinstance(color_planes, _CP2x) or \
+                color_planes.shape[1] != nj_real:
+            # Half-cell planes are prestrided FULL-GRID views; a band
+            # would need its own 2x prep + a 2-row halo. Cell-resolution
+            # planes ride the SAME rectangular band machinery as
+            # elevation (one fused table build, one halo row), so
+            # region-sharded textures run at cell resolution.
+            raise NotImplementedError(
+                "region-sharded textured marches take CELL-resolution "
+                "color planes (3, nj, ni) matching the band; half-cell "
+                "ColorPlanes2x requires a square unsharded grid")
     if j_hi is None:
         j_hi = nj_real - 1
     j_hi_f = jnp.asarray(j_hi, jnp.float32)
@@ -573,12 +586,13 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
                 raise ValueError(
                     f"ColorPlanes2x for n={color_planes.n}, DEM n={n_real}")
         else:
-            tex_scale = color_planes.shape[1] // n_real
-            if tex_scale not in (1, 2) or \
-                    color_planes.shape[1] != tex_scale * n_real:
+            tex_scale = color_planes.shape[1] // nj_real
+            if tex_scale not in (1, 2) or color_planes.shape[1:] != (
+                    tex_scale * nj_real, tex_scale * ni_real):
                 raise ValueError(
-                    f"color_planes cross size {color_planes.shape[1]} is "
-                    f"neither n nor 2n for n={n_real}")
+                    f"color_planes shape {color_planes.shape[1:]} is "
+                    f"neither (nj, ni) nor (2nj, 2ni) for the "
+                    f"({nj_real}, {ni_real}) grid")
     # tiny scenes: pad (zeros = ocean, masked by the validity bounds)
     pad_j = max(0, ALIGN_MIN_N - nj_real)
     pad_i = max(0, ALIGN_MIN_N - ni_real)
@@ -589,9 +603,9 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
                 from .texture import unpack_color_planes
                 color_planes = unpack_color_planes(
                     color_planes.full_packed)     # re-prepared below
-            cpd_ = tex_scale * pad_i
-            color_planes = jnp.pad(color_planes,
-                                   ((0, 0), (0, cpd_), (0, cpd_)))
+            color_planes = jnp.pad(
+                color_planes, ((0, 0), (0, tex_scale * pad_j),
+                               (0, tex_scale * pad_i)))
     nj, ni = dem.shape
     n = ni                               # square-path alias
     cp2x = None
@@ -907,9 +921,9 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
         tanel = jnp.concatenate([tanel_q, tanel], axis=1)
         if textured and patch_n is not None:
             # near-band colors through the SAME patch contraction, at the
-            # planes' own resolution (textured mode is square unsharded,
-            # so jq_l == jq and the elevation guard covers the s-scaled
-            # stencil: ir <= P-1 implies s*ir <= s*P-2)
+            # planes' own resolution, band-local rows via jq_l (== jq on
+            # square unsharded grids); the elevation guard covers the
+            # s-scaled stencil: ir <= P-1 implies s*ir <= s*P-2
             s = tex_scale
             sp = s * patch_n
             irc = iq * s - (s * oi).astype(jnp.float32)
@@ -938,13 +952,15 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
         elif textured:
             # near-band colors: bilinear at the planes' own resolution
             # (tiny: (W, n_near) samples). TPU gathers cost ~10 ns per
-            # ELEMENT with a per-op floor, so the fetch count matters:
+            # ELEMENT with a per-op floor, so the fetch count matters.
+            # Rows index the BAND-LOCAL planes (jq_l == jq on square
+            # unsharded grids, bitwise):
             s = tex_scale
-            iqs, jqs = iq * s, jq * s
+            iqs, jqs = iq * s, jq_l * s
             i0c = jnp.clip(jnp.floor(iqs), 0,
-                           s * n_real - 2).astype(jnp.int32)
+                           s * ni_real - 2).astype(jnp.int32)
             j0c = jnp.clip(jnp.floor(jqs), 0,
-                           s * n_real - 2).astype(jnp.int32)
+                           s * nj_real - 2).astype(jnp.int32)
             fic = jnp.clip(iqs - i0c, 0.0, 1.0)
             fjc = jnp.clip(jqs - j0c, 0.0, 1.0)
             if cp2x is not None:
@@ -970,7 +986,8 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
                                     0, 255).astype(jnp.int32)
                 tex_q = (ch(16) << 16) | (ch(8) << 8) | ch(0)
             else:
-                ncp = full_planes.shape[1]             # n (padded)
+                ncp = full_planes.shape[2]             # ni (padded): the
+                # row stride of a plane's flattened (nj, ni) layout
 
                 def bil(plane):
                     flatp = plane.reshape(-1)

@@ -238,3 +238,37 @@ def test_region_window_full_panorama_bitwise():
     img2, rng2 = fn(dem, p)
     np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
     np.testing.assert_array_equal(np.asarray(rng1), np.asarray(rng2))
+
+
+def test_region_textured_panorama_bitwise():
+    """Textured region sharding (cell-resolution planes, row-sharded like
+    the elevation): image AND ranges must equal the single-device textured
+    render exactly -- every sample is valid in exactly one band, so the
+    masked color pmax is an exact reassembly."""
+    from horizonator_tpu.parallel.regions import make_region_sharded_renderer
+    from horizonator_tpu.render import render_panorama
+
+    dem = make_dem(256, rough=6.0)
+    rng0 = np.random.default_rng(9)
+    colors = jnp.asarray(
+        rng0.integers(0, 255, (3, 256, 256)).astype(np.float32))
+    d_np = np.asarray(dem)
+    vz = float(d_np[127:129, 128:130].max()) + 2.0
+    p = params_for(dem, 128.3, 127.6, vz, zfar=9000.0)
+    k = k_cross_for(9000.0, CPD, 34.0, n=256)
+    width, height = 192, 64
+
+    img1, rng1 = render_panorama(dem, p, width=width, height=height,
+                                 nsteps=k, cells_per_deg=CPD,
+                                 sampler="window", lat_hint_deg=34.0,
+                                 textured=True, color_planes=colors)
+    fn = make_region_sharded_renderer(_mesh(4), width=width, height=height,
+                                      k_cross=k, cells_per_deg=CPD,
+                                      sampler="window", lat_hint_deg=34.0,
+                                      textured=True)
+    img2, rng2 = fn(dem, colors, p)
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+    np.testing.assert_array_equal(np.asarray(rng1), np.asarray(rng2))
+    # and the texture is actually on screen (not the red-only ramp)
+    vis = np.asarray(rng1) > 0
+    assert np.asarray(img1)[..., 1][vis].max() > 30
