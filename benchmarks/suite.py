@@ -249,6 +249,9 @@ def config7(iters):
     dem = jax.device_put(synth_dem(n))
     p = make_params(n, znear=50.0, zfar=20000.0)
     nsteps = k_cross_for(20000.0, 1200, 34.3, n=n)
+    # NOTE: aligned_scene= is supported here but measured a wash at this
+    # grid size (7.0 vs 7.1 ms): the 1-deg table build is ~0.1 ms and the
+    # aligned k axis adds a TILE_K of lanes to the polar field ops.
     fn = functools.partial(viewshed_grid, width=720, nsteps=nsteps,
                            cells_per_deg=1200, out_halfwidth=400,
                            sampler="window", lat_hint_deg=34.3)

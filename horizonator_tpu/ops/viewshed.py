@@ -36,7 +36,8 @@ DEG = math.pi / 180.0
                               "with_dropped"))
 def viewshed_polar(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
                    surface="bilinear", sampler="step", lat_hint_deg=45.0,
-                   znear_hint_m=100.0, with_dropped=False):
+                   znear_hint_m=100.0, with_dropped=False,
+                   aligned_scene=None):
     """Polar visibility field for one viewpoint.
 
     Returns (visible (W, K) bool, tanel (W, K), d, az (W,)): sample k of
@@ -61,7 +62,8 @@ def viewshed_polar(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
         visible, tanel, d, az, dists = _polar_with_dists(
             dem, params, width=width, nsteps=nsteps,
             cells_per_deg=cells_per_deg, surface=surface, sampler=sampler,
-            lat_hint_deg=lat_hint_deg, znear_hint_m=znear_hint_m)
+            lat_hint_deg=lat_hint_deg, znear_hint_m=znear_hint_m,
+            aligned_scene=aligned_scene)
         if with_dropped:
             dropped = (dists.dropped if dists.dropped is not None
                        else jnp.int32(0))
@@ -87,7 +89,8 @@ def viewshed_polar(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
                               "znear_hint_m", "with_dropped"))
 def viewshed_grid(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
                   surface="bilinear", out_halfwidth=None, sampler="step",
-                  lat_hint_deg=45.0, znear_hint_m=100.0, with_dropped=False):
+                  lat_hint_deg=45.0, znear_hint_m=100.0, with_dropped=False,
+                  aligned_scene=None):
     """GIS-style visibility raster around the viewer.
 
     Evaluates the polar visibility at each output CELL's own (az, dist)
@@ -106,7 +109,7 @@ def viewshed_grid(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
         visible, tanel, _, _, dists = _polar_with_dists(
             dem, p, width=width, nsteps=nsteps, cells_per_deg=cells_per_deg,
             surface=surface, sampler=sampler, lat_hint_deg=lat_hint_deg,
-            znear_hint_m=znear_hint_m)
+            znear_hint_m=znear_hint_m, aligned_scene=aligned_scene)
     else:
         visible, _, _, _ = viewshed_polar(
             dem, p, width=width, nsteps=nsteps, cells_per_deg=cells_per_deg,
@@ -166,6 +169,29 @@ def viewshed_grid(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
         m = jnp.clip(jnp.round(dist / sc_x - e_x), 0,
                      ktot - q - 1).astype(jnp.int32)
         kc = jnp.where(dist < nh_x, k_near, q + m)
+        if dists.lane0 is not None:
+            # aligned-scene marches roll each column's crossing lanes by
+            # the per-direction residual r_d (lane of step m is
+            # q + m + r_d). r_d is closed-form from the viewer cell
+            # (window.py's aligned start math), so the inversion stays
+            # gather-free -- indexing the (W,) lane0 table per cell would
+            # double the raster's gather floor.
+            nsc = dem.shape[1]
+            cjv, civ = p.viewer_cell_j, p.viewer_cell_i
+            starts = jnp.stack([
+                (jnp.floor(cjv) + 1).astype(jnp.int32),
+                (nsc - 1) - ((jnp.ceil(cjv) - 1).astype(jnp.int32)),
+                (jnp.floor(civ) + 1).astype(jnp.int32),
+                (nsc - 1) - ((jnp.ceil(civ) - 1).astype(jnp.int32))])
+            cb = jnp.clip((starts // 128) * 128, 0,
+                          ((nsc - 1) // 128) * 128)
+            r_d = starts - cb                                     # (4,)
+            jd = geo_c.j_dom
+            pos_s = geo_c.sign > 0
+            r_cell = jnp.where(jd, jnp.where(pos_s, r_d[0], r_d[1]),
+                               jnp.where(pos_s, r_d[2], r_d[3]))
+            kc = jnp.where(dist < nh_x, kc,
+                           jnp.minimum(kc + r_cell, ktot - 1))
 
     vis = visible[xc, kc] & in_az & in_r
     if with_dropped:
@@ -179,7 +205,8 @@ def viewshed_grid(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
 
 
 def _polar_with_dists(dem, params, *, width, nsteps, cells_per_deg, surface,
-                      sampler, lat_hint_deg, znear_hint_m=100.0):
+                      sampler, lat_hint_deg, znear_hint_m=100.0,
+                      aligned_scene=None):
     """viewshed_polar for the crossing samplers, also returning the
     CrossingDists (viewshed_grid needs the per-column distance map)."""
     if sampler == "window":
@@ -187,7 +214,7 @@ def _polar_with_dists(dem, params, *, width, nsteps, cells_per_deg, surface,
         tanel, run_max, dists, az = march_window(
             dem, params, width=width, k_cross=nsteps,
             cells_per_deg=cells_per_deg, lat_hint_deg=lat_hint_deg,
-            znear_hint_m=znear_hint_m)
+            znear_hint_m=znear_hint_m, scene=aligned_scene)
     else:
         from ..render.crossing import CrossingScene, pack_scene, \
             march_crossing
@@ -199,6 +226,16 @@ def _polar_with_dists(dem, params, *, width, nsteps, cells_per_deg, surface,
         [jnp.full((tanel.shape[0], 1), -3.0e38, tanel.dtype),
          run_max[:, :-1]], axis=1)
     visible = (tanel >= prev_max) & (tanel > -1.0e38)
+    if getattr(dists, "lane0", None) is not None:
+        # aligned-scene marches fill the residual-gap lanes
+        # [n_near, n_near + r_col) with COPIES of the near-band top
+        # (bookkeeping for the resolve's refine bracket, max-inert): mask
+        # them out of the visibility field so the aligned polar field
+        # reports the same samples as the per-render-build one
+        lane = jnp.arange(tanel.shape[1], dtype=jnp.float32)[None, :]
+        gap = (lane >= dists.n_near) & (
+            lane < dists.n_near + dists.lane0[:, None])
+        visible = visible & ~gap
     d = dists.d_of(jnp.broadcast_to(
         jnp.arange(tanel.shape[1], dtype=jnp.int32)[None, :], tanel.shape))
     return visible, tanel, d, az, dists

@@ -253,3 +253,40 @@ def test_viewshed_with_dropped_counter():
                                    sampler="window", lat_hint_deg=34.0,
                                    with_dropped=True)
     assert vis.shape == (40, 40) and int(dropped_g) == 0
+
+
+def test_viewshed_grid_aligned_scene_matches():
+    """viewshed_grid(aligned_scene=...) must equal the per-render-build
+    raster exactly: the aligned march's lanes are column-rolled by the
+    per-direction residual, and the inversion adds the same closed-form
+    r_d -- same logical sample, zero extra gathers."""
+    from horizonator_tpu.render.window import prepare_aligned_scene
+    rng = np.random.default_rng(11)
+    dem = jnp.asarray(300.0 + 200.0 * rng.random((192, 192), np.float32))
+    p = params(96.3, 95.7, 620.0, zfar=6000.0)
+    kw = dict(width=96, nsteps=128, cells_per_deg=CPD, out_halfwidth=40,
+              sampler="window", lat_hint_deg=34.0)
+    base = viewshed_grid(dem, p, **kw)
+    sc = prepare_aligned_scene(dem, 128)
+    al = viewshed_grid(dem, p, aligned_scene=sc, **kw)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(al))
+    assert np.asarray(base).any()
+
+
+def test_viewshed_polar_aligned_scene_horizon_matches():
+    """The aligned polar field is the same field with lanes column-rolled:
+    per-column maxima (and the visible-count per column) are bitwise."""
+    from horizonator_tpu.render.window import prepare_aligned_scene
+    rng = np.random.default_rng(12)
+    dem = jnp.asarray(300.0 + 200.0 * rng.random((192, 192), np.float32))
+    p = params(96.3, 95.7, 620.0, zfar=6000.0)
+    kw = dict(width=96, nsteps=128, cells_per_deg=CPD,
+              sampler="window", lat_hint_deg=34.0)
+    v0, t0, _, _ = viewshed_polar(dem, p, **kw)
+    sc = prepare_aligned_scene(dem, 128)
+    v1, t1, _, _ = viewshed_polar(dem, p, aligned_scene=sc, **kw)
+    t0m = np.where(np.asarray(t0) > -1e30, np.asarray(t0), -np.inf)
+    t1m = np.where(np.asarray(t1) > -1e30, np.asarray(t1), -np.inf)
+    np.testing.assert_array_equal(t0m.max(axis=1), t1m.max(axis=1))
+    np.testing.assert_array_equal(np.asarray(v0).sum(axis=1),
+                                  np.asarray(v1).sum(axis=1))
