@@ -616,6 +616,13 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
         full_planes = None              # s=2 near band uses full_packed
     if tile_w is None:
         tile_w = pick_tile_w(width)
+        if textured and tex_scale == 2 and tile_w > TILE_W:
+            # the half-cell color window is (2*win, TK): doubling the
+            # column tile doubles its fan twice over, and the color loop
+            # walks 2x the rows -- measured 2.9 -> 3.5 ms at the textured
+            # 4096x1024 headline with 128-column tiles, so textured s=2
+            # marches keep 64 columns
+            tile_w = TILE_W
     n_ax = max(nj, ni)
     # Grid cap rounds UP: a ray crosses at most n_ax grid lines, and steps
     # past the grid edge are masked by the axis/cross bounds anyway -- the
