@@ -227,12 +227,12 @@ class horizonator:
         build) for non-square grids, tiny grids, or when the prebuilt
         tables would exceed ALIGNED_TABLE_CAP_BYTES."""
         from .render.window import aligned_k_lanes, prepare_aligned_scene, \
-            TILE_K
+            ALIGN_MIN_N
         from .render.texture import ColorPlanes2x
         dem = self._dem
         if not (hasattr(dem, "ndim") and dem.ndim == 2
                 and dem.shape[0] == dem.shape[1]
-                and dem.shape[0] >= TILE_K + 8):
+                and dem.shape[0] >= ALIGN_MIN_N):
             return None
         n = dem.shape[0]
         k_lanes = aligned_k_lanes(nsteps, n)

@@ -111,16 +111,22 @@ def fly(host_grid, path_cells, *, width, height, zfar_m, cells_per_deg,
         # fail LOUDLY if a fast path outruns the window instead of
         # rendering from a viewer cell off the resident grid
         mid = seg[len(seg) // 2]
-        reach = float(np.abs(seg - mid[None]).max())
-        # ensure() only re-centers when the midpoint is within margin of
-        # an edge, so a viewer on this segment is guaranteed in-window
-        # only while its spread stays under the margin
-        if reach > win.margin:
-            raise ValueError(
-                f"path segment spans {reach:.0f} cells from its midpoint, "
-                f"more than margin_cells={win.margin} guarantees in-window:"
-                f" lower chunk= or raise margin_cells=/window_cells=")
         win.ensure(mid[0], mid[1])
+        # fail LOUDLY if the segment outran the resident window (a fast
+        # path + small window/margin): rendering from a viewer cell off
+        # the window would be silently wrong. Checked POST-ensure against
+        # the actual window bounds, so whole-grid-resident windows and
+        # freshly re-centered ones never false-positive.
+        j0w, i0w = win.origin
+        ci_lo, cj_lo = seg.min(axis=0)
+        ci_hi, cj_hi = seg.max(axis=0)
+        if (ci_lo < i0w or cj_lo < j0w or ci_hi > i0w + win.wc - 1
+                or cj_hi > j0w + win.wc - 1):
+            raise ValueError(
+                f"path segment [{ci_lo:.0f}..{ci_hi:.0f}] x "
+                f"[{cj_lo:.0f}..{cj_hi:.0f}] leaves the resident "
+                f"{win.wc}-cell window at ({i0w}, {j0w}): lower chunk= "
+                f"or raise window_cells=/margin_cells=")
         ps = []
         for (ci, cj) in seg:
             li, lj = win.local_cell(ci, cj)

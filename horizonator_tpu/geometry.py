@@ -134,11 +134,14 @@ def pixel_az_el_rad(x, y, az_deg0, az_deg1, width, height):
 
     The renderer unwraps az1 to (az0, az0+360]; the reference's unproject
     does not (its tools keep center+-radius windows that never wrap, so it
-    never sees one). Our API accepts wrapped windows (render(350, 10)), so
-    unwrap here too -- pick()/annotate links would otherwise flip to the
-    opposite side of the viewer. Non-wrapped windows keep az1 bitwise."""
+    never sees one). Our API accepts wrapped windows (render(350, 10)) and
+    over-wound ones (render(0, 540) renders a 180-deg window), so
+    normalize the span into (0, 360] here too -- pick()/annotate links
+    would otherwise map pixels to the wrong azimuth. Windows already in
+    (0, 360] keep az1 bitwise."""
     span0 = az_deg1 - az_deg0
-    turns = jnp.where(span0 <= 0.0, jnp.floor(-span0 / 360.0) + 1.0, 0.0)
+    turns = jnp.where(span0 <= 0.0, jnp.floor(-span0 / 360.0) + 1.0,
+                      -jnp.ceil(span0 / 360.0) + 1.0)
     az_deg1 = az_deg1 + 360.0 * turns
     az_ndc = (x + 0.5) / width * 2.0 - 1.0
     az = (az_ndc * (az_deg1 - az_deg0) / 2.0 + (az_deg1 + az_deg0) / 2.0) * DEG

@@ -166,26 +166,29 @@ def viewshed_grid(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
         stepn = jnp.maximum(nh_x - p.znear, 1e-6) / max(q, 1)
         k_near = jnp.clip(jnp.round((dist - p.znear) / stepn), 0,
                           max(q - 1, 0)).astype(jnp.int32)
+        # the aligned lane axis carries TILE_K extra (residual-shift)
+        # lanes: clip the STEP index to the same real-step cap as the
+        # unaligned path, or far cells would map into NEG_BIG-masked
+        # lanes instead of clamping to the last marched step
+        aligned_roll = dists.lane0 is not None
+        if aligned_roll:
+            from ..render.window import TILE_K as _TK
+            m_cap = ktot - q - 1 - _TK
+        else:
+            m_cap = ktot - q - 1
         m = jnp.clip(jnp.round(dist / sc_x - e_x), 0,
-                     ktot - q - 1).astype(jnp.int32)
+                     max(m_cap, 0)).astype(jnp.int32)
         kc = jnp.where(dist < nh_x, k_near, q + m)
-        if dists.lane0 is not None:
+        if aligned_roll:
             # aligned-scene marches roll each column's crossing lanes by
             # the per-direction residual r_d (lane of step m is
-            # q + m + r_d). r_d is closed-form from the viewer cell
-            # (window.py's aligned start math), so the inversion stays
-            # gather-free -- indexing the (W,) lane0 table per cell would
-            # double the raster's gather floor.
-            nsc = dem.shape[1]
-            cjv, civ = p.viewer_cell_j, p.viewer_cell_i
-            starts = jnp.stack([
-                (jnp.floor(cjv) + 1).astype(jnp.int32),
-                (nsc - 1) - ((jnp.ceil(cjv) - 1).astype(jnp.int32)),
-                (jnp.floor(civ) + 1).astype(jnp.int32),
-                (nsc - 1) - ((jnp.ceil(civ) - 1).astype(jnp.int32))])
-            cb = jnp.clip((starts // 128) * 128, 0,
-                          ((nsc - 1) // 128) * 128)
-            r_d = starts - cb                                     # (4,)
+            # q + m + r_d). r_d comes from window.aligned_start_residuals
+            # (the SAME closed form the kernel uses), so the inversion
+            # stays gather-free -- indexing the (W,) lane0 table per cell
+            # would double the raster's gather floor.
+            from ..render.window import aligned_start_residuals
+            _, _, r_d = aligned_start_residuals(
+                dem.shape[1], p.viewer_cell_j, p.viewer_cell_i)
             jd = geo_c.j_dom
             pos_s = geo_c.sign > 0
             r_cell = jnp.where(jd, jnp.where(pos_s, r_d[0], r_d[1]),
@@ -349,14 +352,16 @@ def viewshed_sweep(dem, viewpoints_ij, *, viewer_height_m=2.0, width=256,
         cos_viewer_lat = (math.cos(math.radians(lat_deg))
                           if lat_deg is not None else 1.0)
     dem_f = jnp.asarray(dem)
-    if (sampler in ("crossing", "window")
-            and jnp.issubdtype(dem_f.dtype, jnp.integer)):
-        # _as_packed accepts pack_dem_pairs planes (and 'step' marches
-        # them), but the crossing samplers need the float grid -- casting
-        # packed bit-pair ints to f32 would silently march garbage
+    if (sampler in ("crossing", "window") and dem_f.dtype == jnp.int32
+            and dem_f.ndim == 2 and dem_f.shape[1] == dem_f.shape[0] - 1):
+        # _as_packed accepts pack_dem_pairs planes (int32, (N, N-1) --
+        # the same detection it uses) and 'step' marches them, but the
+        # crossing samplers need the float grid: casting packed bit-pair
+        # ints to f32 would silently march garbage. Raw int16 grids
+        # (mosaic.grid) are fine -- they cast to real elevations below.
         raise TypeError(
             "viewshed_sweep with sampler='crossing'/'window' needs the "
-            "float32 elevation grid, not a pack_dem_pairs plane")
+            "elevation grid, not a pack_dem_pairs plane")
     dem_packed, n = _as_packed(dem_f)
     pts = jnp.asarray(viewpoints_ij, jnp.float32)
     ground = _sample_surface(dem_packed, n, pts[:, 0], pts[:, 1], "bilinear")

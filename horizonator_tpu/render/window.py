@@ -139,6 +139,23 @@ jax.tree_util.register_pytree_node(
     AlignedScene, AlignedScene.tree_flatten, AlignedScene.tree_unflatten)
 
 
+def aligned_start_residuals(n: int, viewer_cell_j, viewer_cell_i):
+    """(starts, cbase, r_d) per direction [N, S, E, W]: the aligned-scene
+    table start indices, their 128-aligned DMA bases, and the sub-128
+    residuals the kernel subtracts from lane indices. ONE implementation
+    shared by march_window's aligned path and viewshed_grid's
+    distance->index inversion (which re-derives the lane roll in closed
+    form instead of gathering the per-column lane0 table)."""
+    cj, ci = viewer_cell_j, viewer_cell_i
+    starts = jnp.stack([
+        (jnp.floor(cj) + 1).astype(jnp.int32),
+        (n - 1) - ((jnp.ceil(cj) - 1).astype(jnp.int32)),
+        (jnp.floor(ci) + 1).astype(jnp.int32),
+        (n - 1) - ((jnp.ceil(ci) - 1).astype(jnp.int32))])
+    cbase = jnp.clip((starts // 128) * 128, 0, ((n - 1) // 128) * 128)
+    return starts, cbase, starts - cbase
+
+
 def aligned_k_lanes(k_cross: int, n: int) -> int:
     """Lane count of the aligned k axis: the worst-case residual r_d < 128
     shifts samples right, so one extra TILE_K of lanes covers any start.
@@ -662,20 +679,14 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
     dirid = _dir_id(geo)
 
     if aligned:
-        cj, ci = p.viewer_cell_j, p.viewer_cell_i
-        starts = jnp.stack([
-            (jnp.floor(cj) + 1).astype(jnp.int32),
-            (n - 1) - ((jnp.ceil(cj) - 1).astype(jnp.int32)),
-            (jnp.floor(ci) + 1).astype(jnp.int32),
-            (n - 1) - ((jnp.ceil(ci) - 1).astype(jnp.int32))])
-        cbase = jnp.clip((starts // 128) * 128, 0, ((n - 1) // 128) * 128)
         # lane index l of direction d covers step m = l - r_d: the
         # 128-aligned base cb_d rides the DMA lane offset, the residual
         # r_d is subtracted from the lane index inside the kernel (exact
         # small-int f32 subtraction), so every downstream value -- pos,
         # axis, distance, tanel -- is BITWISE the per-render-build
         # march's, just column-rolled by r_d along the lane axis.
-        r_d = starts - cbase                              # (4,) in [0, 128]
+        _, cbase, r_d = aligned_start_residuals(
+            n, p.viewer_cell_j, p.viewer_cell_i)          # (4,) in [0, 128]
         r_col = jnp.take(r_d, dirid).astype(jnp.float32)  # (W,)
     else:
         cbase = jnp.zeros((4,), jnp.int32)

@@ -114,7 +114,7 @@ def fetch_tile(dir_tiles: str, tiles_name: str, tiles_url_fmt: str,
     # process killed mid-write must not leave a truncated PNG at the
     # cache path -- tile_is_stale would serve it forever and every
     # textured render would fail at decode
-    tmp = p.with_suffix(p.suffix + ".part")
+    tmp = p.with_suffix(f"{p.suffix}.{os.getpid()}.part")
     tmp.write_bytes(r.content)
     os.replace(tmp, p)
     exp = _parse_expires(r.headers)

@@ -135,3 +135,13 @@ def test_earth_radius_constants_agree():
     from horizonator_tpu import geometry
     from horizonator_tpu.dem import mosaic
     assert float(geometry.EARTH_RADIUS_M) == mosaic.EARTH_RADIUS_M
+
+
+def test_pixel_az_el_overwound_span():
+    """render(0, 540) renders a 180-deg window (the unwrap lands spans in
+    (0, 360]): pick/unproject must use the same normalized span."""
+    from horizonator_tpu import geometry
+    az_a, el_a = geometry.pixel_az_el_rad(20.0, 5.0, 0.0, 540.0, 100, 50)
+    az_b, el_b = geometry.pixel_az_el_rad(20.0, 5.0, 0.0, 180.0, 100, 50)
+    assert abs(float(az_a) - float(az_b)) < 1e-6
+    assert abs(float(el_a) - float(el_b)) < 1e-6

@@ -228,7 +228,7 @@ def test_sweep_rejects_packed_dem_for_crossing_samplers():
     dem = jnp.asarray(200.0 + 40.0 * rng.random((160, 160), np.float32))
     packed = pack_dem_pairs(dem)
     pts = np.array([[80.0, 80.0]], np.float32)
-    with pytest.raises(TypeError, match="float32 elevation grid"):
+    with pytest.raises(TypeError, match="not a pack_dem_pairs plane"):
         viewshed_sweep(packed, pts, width=32, nsteps=64, cells_per_deg=CPD,
                        zfar=4000.0, batch=1, sampler="crossing")
     # ... while the step sampler keeps accepting it
@@ -290,3 +290,14 @@ def test_viewshed_polar_aligned_scene_horizon_matches():
     np.testing.assert_array_equal(t0m.max(axis=1), t1m.max(axis=1))
     np.testing.assert_array_equal(np.asarray(v0).sum(axis=1),
                                   np.asarray(v1).sum(axis=1))
+
+
+def test_sweep_accepts_int16_grid():
+    """Raw int16 mosaics (dem/mosaic.py's native dtype) must work on every
+    sampler -- only pack_dem_pairs planes (int32, (N, N-1)) are rejected."""
+    rng = np.random.default_rng(4)
+    dem16 = (300 + 50 * rng.random((160, 160))).astype(np.int16)
+    pts = np.array([[80.0, 80.0]], np.float32)
+    out = viewshed_sweep(dem16, pts, width=32, nsteps=64, cells_per_deg=CPD,
+                         zfar=4000.0, batch=1, sampler="crossing")
+    assert out.shape == (1, 32) and np.isfinite(np.asarray(out)).all()
