@@ -162,9 +162,12 @@ def make_sharded_renderer(mesh: Mesh, *, width, height, nsteps, cells_per_deg,
     static_argnames=("width", "nsteps", "cells_per_deg", "surface"))
 def horizon_batch(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
                   surface="bilinear"):
-    """Batched horizon profiles: (B, W) tan(el) of the skyline -- the core of
-    viewshed sweeps. vmap over viewpoints; wrap in shard_map over "batch" for
-    multi-chip sweeps."""
+    """Batched horizon profiles: (B, W) (az, tan(el)) of the skyline.
+    vmap over viewpoints; wrap in shard_map over "batch" for multi-chip
+    sweeps. NOTE: ops.viewshed.horizon_sweep is the fuller batched-horizon
+    entry point (crossing/window samplers, aligned scenes); this step-
+    sampler variant exists for callers that also need the az row and is
+    intentionally minimal -- add capabilities THERE, not here."""
     def one(p):
         tanel, _, _, az = march_tanel(
             dem, p, width=width, nsteps=nsteps, cells_per_deg=cells_per_deg,
