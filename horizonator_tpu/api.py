@@ -53,7 +53,7 @@ class horizonator:
                  texture_on_error="raise", texture_quality="grid2x",
                  curvature="none", allow_dem_downloads=False,
                  dem_url_fmt=None, hillshade=False, sun_az_deg=315.0,
-                 sun_alt_deg=45.0):
+                 sun_alt_deg=45.0, sun_time=None):
         if render_radius_cells < 0 and render_radius_m < 0:
             render_radius_cells = RADIUS_CELLS_DEFAULT_PY  # horizonator-pywrap.c:65,98-99
         elif render_radius_cells > 0 and render_radius_m > 0:
@@ -159,6 +159,13 @@ class horizonator:
             # fragment.glsl:21).
             if self.sampler != "window":
                 raise ValueError("hillshade requires sampler='window'")
+            if sun_time is not None:
+                # astronomy beats guessing: place the sun where it actually
+                # is at this UTC time over the viewer (NOAA low-precision
+                # formulas; a below-horizon sun shades ambient-flat)
+                sun_az_deg, sun_alt_deg = geometry.sun_position(
+                    lat, lon, sun_time)
+            self.sun_az_deg, self.sun_alt_deg = sun_az_deg, sun_alt_deg
             from .render.texture import hillshade_planes
             scale = 2 if texture_quality == "grid2x" else 1
             planes = hillshade_planes(

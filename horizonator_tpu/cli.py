@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sun-alt", type=float, default=45.0, dest="sun_alt",
                    metavar="DEG", help="hillshade sun altitude above the "
                                        "horizon (default 45)")
+    p.add_argument("--sun-time", type=str, default=None, dest="sun_time",
+                   metavar="ISO8601",
+                   help="place the hillshade sun at its real position for "
+                        "this UTC time (e.g. 2026-08-18T15:00); overrides "
+                        "--sun-az/--sun-alt")
     p.add_argument("--SRTM1", action="store_true")
     p.add_argument("--curvature", choices=["none", "spherical", "refracted"],
                    default="none",
@@ -190,7 +195,7 @@ def main(argv=None) -> int:
                     allow_dem_downloads=args.allow_dem_downloads,
                     dem_url_fmt=args.dem_url_fmt,
                     hillshade=args.hillshade, sun_az_deg=args.sun_az,
-                    sun_alt_deg=args.sun_alt)
+                    sun_alt_deg=args.sun_alt, sun_time=args.sun_time)
 
     image, ranges = h.render(args.az_center_deg - az_radius,
                              args.az_center_deg + az_radius,

@@ -165,3 +165,44 @@ def unproject(x, y, range_enh, range_en,
     east = range_en * jnp.sin(az)
     north = range_en * jnp.cos(az)
     return en_to_latlon(east, north, lat_viewer, cos_lat_viewer, lon_viewer)
+
+
+def sun_position(lat_deg: float, lon_deg: float, when) -> tuple[float, float]:
+    """Solar (azimuth_deg cw from north, altitude_deg) at a UTC time.
+
+    Host-side astronomy for hillshade's sun (api/CLI ``sun_time=``): the
+    low-precision NOAA/Meeus formulas (mean longitude + equation-of-center
+    ecliptic position, mean obliquity, GMST hour angle), accurate to a few
+    hundredths of a degree over +-2 centuries of J2000 -- far below
+    hillshade's visual sensitivity. ``when``: a datetime (naive = UTC,
+    aware = converted) or an ISO-8601 string.
+    """
+    import math as m
+    from datetime import datetime, timezone
+
+    if isinstance(when, str):
+        when = datetime.fromisoformat(when)
+    if when.tzinfo is not None:
+        when = when.astimezone(timezone.utc).replace(tzinfo=None)
+    epoch = datetime(2000, 1, 1, 12, 0, 0)              # J2000.0 (TT~UTC)
+    n = (when - epoch).total_seconds() / 86400.0
+
+    L = m.radians((280.460 + 0.9856474 * n) % 360.0)    # mean longitude
+    g = m.radians((357.528 + 0.9856003 * n) % 360.0)    # mean anomaly
+    lam = L + m.radians(1.915) * m.sin(g) + m.radians(0.020) * m.sin(2 * g)
+    eps = m.radians(23.439 - 4.0e-7 * n)                # obliquity
+    ra = m.atan2(m.cos(eps) * m.sin(lam), m.cos(lam))   # right ascension
+    dec = m.asin(m.sin(eps) * m.sin(lam))               # declination
+
+    ut_h = when.hour + when.minute / 60.0 + when.second / 3600.0
+    gmst_h = (6.697375 + 0.0657098242 * (n - ut_h / 24.0)
+              + 1.00273790935 * ut_h) % 24.0
+    lst = m.radians((gmst_h * 15.0 + lon_deg) % 360.0)  # local sidereal
+    H = lst - ra                                        # hour angle
+
+    lat = m.radians(lat_deg)
+    alt = m.asin(m.sin(dec) * m.sin(lat)
+                 + m.cos(dec) * m.cos(lat) * m.cos(H))
+    az = m.atan2(-m.sin(H),
+                 m.tan(dec) * m.cos(lat) - m.sin(lat) * m.cos(H))
+    return (m.degrees(az) % 360.0, m.degrees(alt))

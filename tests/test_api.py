@@ -316,3 +316,19 @@ def test_cli_hillshade(dem_dir, tmp_path):
     # terrain pixels are gray-ish (hillshade), not pure red-ramp
     ground = im[-10:]                       # bottom rows: near terrain
     assert ground[..., 1].max() > 40
+
+
+def test_hillshade_sun_time(dem_dir):
+    """sun_time places the hillshade sun astronomically: a morning and an
+    evening render of the same scene shade opposite flanks."""
+    hm = horizonator(34.40, -117.45, 160, 60, dir_dems=dem_dir,
+                     render_radius_m=25000.0, nsteps=512, hillshade=True,
+                     sun_time="2026-08-18T15:00:00")       # ~8am local
+    he = horizonator(34.40, -117.45, 160, 60, dir_dems=dem_dir,
+                     render_radius_m=25000.0, nsteps=512, hillshade=True,
+                     sun_time="2026-08-19T01:00:00")       # ~6pm local
+    assert 60 < hm.sun_az_deg < 120 and 240 < he.sun_az_deg < 300
+    im, rm = hm.render(-30, 30)
+    ie, re_ = he.render(-30, 30)
+    vis = (rm > 0) & (re_ > 0)
+    assert (im[..., 1][vis] != ie[..., 1][vis]).mean() > 0.2

@@ -145,3 +145,27 @@ def test_pixel_az_el_overwound_span():
     az_b, el_b = geometry.pixel_az_el_rad(20.0, 5.0, 0.0, 180.0, 100, 50)
     assert abs(float(az_a) - float(az_b)) < 1e-6
     assert abs(float(el_a) - float(el_b)) < 1e-6
+
+
+def test_sun_position_anchors():
+    """NOAA low-precision solar position against astronomical anchors."""
+    from horizonator_tpu.geometry import sun_position
+    # equinox solar noon on the equator: sun near the zenith
+    _, alt = sun_position(0.0, 0.0, "2026-03-20T12:07:00")
+    assert alt > 86.0
+    # summer-solstice noon at 40N: alt = 90 - 40 + 23.4, az due south
+    az, alt = sun_position(40.0, 0.0, "2026-06-21T12:02:00")
+    assert 170 < az < 190 and 71 < alt < 75
+    # mid-morning Los Angeles: sun in the east, moderate altitude
+    az, alt = sun_position(34.0, -118.0, "2026-08-18T15:00:00")
+    assert 60 < az < 120 and 10 < alt < 50
+    # local night: below the horizon
+    _, alt = sun_position(34.0, -118.0, "2026-08-18T08:30:00")
+    assert alt < -10.0
+    # aware datetimes convert to UTC
+    from datetime import datetime, timezone, timedelta
+    tz = timezone(timedelta(hours=-7))
+    az2, alt2 = sun_position(34.0, -118.0,
+                             datetime(2026, 8, 18, 8, 0, tzinfo=tz))
+    az3, alt3 = sun_position(34.0, -118.0, "2026-08-18T15:00:00")
+    assert abs(az2 - az3) < 1e-9 and abs(alt2 - alt3) < 1e-9
