@@ -40,6 +40,7 @@ def main():
     demdir = tempfile.mkdtemp(prefix="horizonator_demo_dems_")
     synthetic_tile(demdir)
 
+    # (sun_time="2026-08-18T15:00" would place the sun astronomically)
     h = horizonator(34.40, -117.45, 600, 220,
                     dir_dems=demdir, render_radius_m=25000.0,
                     hillshade=True, sun_az_deg=120.0, sun_alt_deg=35.0)

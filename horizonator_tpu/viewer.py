@@ -357,6 +357,9 @@ def main(argv=None) -> int:
                    help="Lambertian sun shading from the DEM (no tiles)")
     p.add_argument("--sun-az", type=float, default=315.0, dest="sun_az")
     p.add_argument("--sun-alt", type=float, default=45.0, dest="sun_alt")
+    p.add_argument("--sun-time", type=str, default=None, dest="sun_time",
+                   metavar="ISO8601", help="astronomical sun for this UTC "
+                                           "time (overrides az/alt)")
     p.add_argument("--dirtiles", type=str, default=None)
     p.add_argument("--tiles", type=str, default=None, metavar="NAME=FMT",
                    help="tile set name and printf-style URL format "
@@ -390,7 +393,7 @@ def main(argv=None) -> int:
               render_radius_m=args.zfar,
               curvature=args.curvature,
               hillshade=args.hillshade, sun_az_deg=args.sun_az,
-              sun_alt_deg=args.sun_alt,
+              sun_alt_deg=args.sun_alt, sun_time=args.sun_time,
               # per-tile failures become gray placeholders + warnings
               # (reference GUI behavior, orb_osmlayer.cpp:146-155)
               texture_on_error="placeholder")
