@@ -460,3 +460,33 @@ def test_fuzz_window_vs_crossing_oracle():
         assert (vis_c == vis_w).all(), ctx
         if vis_c.any():
             assert np.abs(hc[vis_c] - hw[vis_c]).max() < 6e-3, ctx
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("viewer", [(3.4, 128.6), (252.2, 4.3),
+                                    (128.0, 252.5)])
+def test_textured_render_parity_edge_viewers(viewer):
+    """Full textured (image, ranges) aligned-vs-unaligned parity at GRID
+    EDGE viewers: the residuals r_d take extreme values there (cbase
+    clipping), exercising the gap fill + d_of lane0 + resolve color
+    routing end to end. Must be bitwise."""
+    from horizonator_tpu.render.window import prepare_aligned_scene
+    from horizonator_tpu.render.texture import prepare_color_planes
+    n = 257
+    dem = make_dem(n)
+    rng = np.random.default_rng(2)
+    cp = prepare_color_planes(jnp.asarray(
+        rng.integers(0, 256, (3, 2 * n, 2 * n)).astype(np.float32)))
+    vi, vj = viewer
+    d_np = np.asarray(dem)
+    vz = float(d_np[int(vj):int(vj) + 2, int(vi):int(vi) + 2].max()) + 2.0
+    p = params_for(dem, vi, vj, vz, zfar=7000.0)
+    k = k_cross_for(7000.0, CPD, 34.0, n=n)
+    kw = dict(width=192, height=96, nsteps=k, cells_per_deg=CPD,
+              sampler="window", lat_hint_deg=34.0, textured=True,
+              color_planes=cp)
+    img0, rng0 = render_panorama(dem, p, **kw)
+    scene = prepare_aligned_scene(dem, k, color_planes=cp)
+    img1, rng1 = render_panorama(dem, p, aligned_scene=scene, **kw)
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+    np.testing.assert_array_equal(np.asarray(rng0), np.asarray(rng1))
