@@ -62,6 +62,8 @@ class CrossingScene(NamedTuple):
 
     @property
     def n(self) -> int:
+        # alias of nj, NOT "the grid size": on rectangular band grids
+        # (region sharding) rows != columns -- use nj/ni explicitly there
         return self.hv.shape[1]
 
     @property
@@ -280,9 +282,13 @@ def march_crossing(scene: CrossingScene, params: RenderParams, *,
     axis_hi_v = jnp.where(jd, j_hi_f, jnp.float32(ni - 1))
     cross_hi_v = jnp.where(jd, jnp.float32(ni - 1), j_hi_f)
 
-    cross0 = jnp.floor(cross)
-    frac = cross - cross0
-    cross0i = jnp.clip(cross0, 0, cross_hi_pair).astype(jnp.int32)
+    cross0i = jnp.clip(jnp.floor(cross), 0, cross_hi_pair).astype(jnp.int32)
+    # fraction from the CLIPPED base (not the raw floor): a crossing
+    # landing exactly on the far grid edge (cross == cross_hi, still
+    # valid) has floor == cross_hi, clipped to cross_hi-1 -- frac must
+    # then be 1.0 so the lerp returns z[cross_hi], not z[cross_hi - 1].
+    # Interior crossings are bitwise unchanged (clip is a no-op there).
+    frac = cross - cross0i.astype(jnp.float32)
     axis_c = jnp.clip(axis_int, 0, axis_hi)
 
     # plane 0 (H pairs): row-dominant fetch H[j, i0]; plane 1 (V): V[j0, i].
@@ -308,8 +314,12 @@ def march_crossing(scene: CrossingScene, params: RenderParams, *,
     if n_near > 0:
         # Left-endpoint sampling: the first sample sits exactly AT znear,
         # matching the GL clip-plane semantics (surface at znear is drawn).
+        # znear == 0 would make the first tangent (z - vz)/0 = inf/NaN and
+        # poison the resolve's sort keys: floor the SAMPLE distance at
+        # 1 mm (znear >= 1 mm is bitwise unchanged).
         q = jnp.arange(n_near, dtype=jnp.float32)[None, :]
-        dq = p.znear + q * ((near_hi[:, None] - p.znear) / n_near)
+        dq = jnp.maximum(
+            p.znear + q * ((near_hi[:, None] - p.znear) / n_near), 1e-3)
         sin_az = jnp.sin(geo.az)[:, None]
         cos_az = jnp.cos(geo.az)[:, None]
         iq = p.viewer_cell_i + dq * sin_az / geo.cell_m_east

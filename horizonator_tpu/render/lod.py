@@ -53,10 +53,11 @@ def build_pyramid(dem, levels: int):
     out = [jnp.asarray(dem, jnp.float32)]
     for _ in range(levels - 1):
         d = out[-1]
-        n = d.shape[0]
-        if n % 2:
-            d = jnp.pad(d, ((0, 1), (0, 1)), mode="edge")
-            n += 1
+        # per-dimension odd pad: rectangular grids (region bands) pool
+        # correctly too, not just squares
+        pj, pi = d.shape[0] % 2, d.shape[1] % 2
+        if pj or pi:
+            d = jnp.pad(d, ((0, pj), (0, pi)), mode="edge")
         out.append((d[0::2, 0::2] + d[0::2, 1::2]
                     + d[1::2, 0::2] + d[1::2, 1::2]) * 0.25)
     return tuple(out)
@@ -76,7 +77,11 @@ def lod_plan(zfar_m: float, width: int, cells_per_deg: float, lat_deg: float,
     if span_hint_rad is None:
         span_hint_rad = 2.0 * math.pi
     cell_n0 = geometry.EARTH_RADIUS_M * DEG / cells_per_deg
-    cos_lat = max(0.05, abs(math.cos(math.radians(lat_deg))))
+    # Tiny (not 0.05) floor: the march steps at the TRUE cell_e, so a
+    # floored plan cell_e would under-budget k_hi and silently truncate
+    # each band's far crossings above lat ~87. At 1e-4 the discrepancy
+    # zone starts at 89.994 deg -- SRTM itself ends at 60.
+    cos_lat = max(1e-4, abs(math.cos(math.radians(lat_deg))))
     cell_e0 = cell_n0 * cos_lat
     theta = theta_px * span_hint_rad / width
 

@@ -103,6 +103,17 @@ def _mesh_triangles(dem, params: RenderParams, *, width, height,
     return tx, ty, trng, tdne, keep
 
 
+def _tri_bbox(tx, ty):
+    """Integer projected bbox (x0, x1, y0, y1) per triangle -- the ONE
+    bbox rule shared by the raster pass, the overflow counter, and the
+    tiled driver's bucketing (divergence would desynchronize them)."""
+    x0 = jnp.floor(tx.min(axis=1)).astype(jnp.int32)
+    x1 = jnp.ceil(tx.max(axis=1)).astype(jnp.int32)
+    y0 = jnp.floor(ty.min(axis=1)).astype(jnp.int32)
+    y1 = jnp.ceil(ty.max(axis=1)).astype(jnp.int32)
+    return x0, x1, y0, y1
+
+
 def _raster_pass(tx, ty, trng, tdne, keep, zbuf_in, *, max_bbox, width,
                  height, znear, zfar, dbuf_in=None):
     """Scatter one triangle subset into the z-buffer (pass 1,
@@ -110,10 +121,7 @@ def _raster_pass(tx, ty, trng, tdne, keep, zbuf_in, *, max_bbox, width,
     among exact-depth winners (pass 2). Shared fragment math for
     render_mesh and the tiled driver."""
     t_count = tx.shape[0]
-    x0 = jnp.floor(tx.min(axis=1)).astype(jnp.int32)
-    x1 = jnp.ceil(tx.max(axis=1)).astype(jnp.int32)
-    y0 = jnp.floor(ty.min(axis=1)).astype(jnp.int32)
-    y1 = jnp.ceil(ty.max(axis=1)).astype(jnp.int32)
+    x0, x1, y0, y1 = _tri_bbox(tx, ty)
     keep = keep & (x1 - x0 < max_bbox) & (y1 - y0 < max_bbox)
     keep &= (x1 >= 0) & (x0 < width) & (y1 >= 0) & (y0 < height)
     x0c = jnp.clip(x0, 0, width - 1)
@@ -177,15 +185,15 @@ def render_mesh(dem, params: RenderParams, *, width, height, cells_per_deg,
     tx, ty, trng, tdne, keep = _mesh_triangles(
         dem, params, width=width, height=height, cells_per_deg=cells_per_deg)
 
-    # overflow count: kept triangles whose bbox exceeds the static window
-    # (returned so exact runs can assert zero; render_mesh_tiled buckets
-    # them into larger windows instead)
-    x0 = jnp.floor(tx.min(axis=1)).astype(jnp.int32)
-    x1 = jnp.ceil(tx.max(axis=1)).astype(jnp.int32)
-    y0 = jnp.floor(ty.min(axis=1)).astype(jnp.int32)
-    y1 = jnp.ceil(ty.max(axis=1)).astype(jnp.int32)
+    # overflow count: kept ON-SCREEN triangles whose bbox exceeds the
+    # static window (returned so exact runs can assert zero;
+    # render_mesh_tiled buckets them into larger windows instead). The
+    # on-screen test matches _raster_pass and the tiled driver's keep_v:
+    # an off-screen oversized triangle draws nothing either way.
+    x0, x1, y0, y1 = _tri_bbox(tx, ty)
+    on_screen = (x1 >= 0) & (x0 < width) & (y1 >= 0) & (y0 < height)
     overflow_count = jnp.sum(
-        keep & ((x1 - x0 >= max_bbox) | (y1 - y0 >= max_bbox)))
+        keep & on_screen & ((x1 - x0 >= max_bbox) | (y1 - y0 >= max_bbox)))
 
     zbuf = jnp.full((width * height + 1,), jnp.inf, jnp.float32)
     zbuf = _raster_pass(tx, ty, trng, tdne, keep, zbuf, max_bbox=max_bbox,
@@ -226,10 +234,7 @@ def _tri_class_inputs(dem, params, *, width, height, cells_per_deg):
     bucketing (two (T,) pulls instead of the full (T, 3) geometry)."""
     tx, ty, trng, tdne, keep = _mesh_triangles(
         dem, params, width=width, height=height, cells_per_deg=cells_per_deg)
-    x0 = jnp.floor(tx.min(axis=1)).astype(jnp.int32)
-    x1 = jnp.ceil(tx.max(axis=1)).astype(jnp.int32)
-    y0 = jnp.floor(ty.min(axis=1)).astype(jnp.int32)
-    y1 = jnp.ceil(ty.max(axis=1)).astype(jnp.int32)
+    x0, x1, y0, y1 = _tri_bbox(tx, ty)
     keep_v = keep & (x1 >= 0) & (x0 < width) & (y1 >= 0) & (y0 < height)
     return (tx, ty, trng, tdne, keep,
             jnp.maximum(x1 - x0, y1 - y0), keep_v)

@@ -860,7 +860,10 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
     near_hi = jnp.maximum((m_star + geo.e) * geo.scale, p.znear)
     if n_near > 0:
         q = jnp.arange(n_near, dtype=jnp.float32)[None, :]
-        dq = p.znear + q * ((near_hi[:, None] - p.znear) / n_near)
+        # 1 mm floor: znear == 0 would put the first sample at d = 0 and
+        # poison the resolve keys with inf/NaN (same as march_crossing)
+        dq = jnp.maximum(
+            p.znear + q * ((near_hi[:, None] - p.znear) / n_near), 1e-3)
         cell_n = geo.cell_m_north
         cell_e = geo.cell_m_east
         sin_az = jnp.sin(geo.az)[:, None]

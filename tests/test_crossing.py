@@ -150,3 +150,26 @@ class TestCrossingVsStep:
             math.radians(34.3))
         assert k * cell_e >= 40000.0
         assert k % 64 == 0
+
+
+def test_far_edge_crossing_interpolates_edge_column():
+    """Regression (found by review): a crossing landing exactly ON the far
+    grid edge (cross == n-1, still valid) must sample the EDGE column's
+    elevation, not one cell inward -- the interpolation fraction comes
+    from the clipped base, so the clipped lerp hits z[n-1] with frac=1."""
+    n = 256
+    dem_np = np.full((n, n), 100.0, np.float32)
+    dem_np[:, n - 1] = 2000.0            # cliff on the east edge column
+    dem_np[:, n - 2] = 100.0
+    dem = jnp.asarray(dem_np)
+    # viewer ON the east column looking due north: every N-crossing has
+    # cross == n-1 exactly
+    p = params_for(dem, float(n - 1), 40.0, 130.0, az0=-1.0, az1=1.0,
+                   zfar=8000.0)
+    k = k_cross_for(8000.0, CPD, 34.0, n=n)
+    scene = pack_scene(dem)
+    tanel, run_max, _, _ = march_crossing(scene, p, width=16, k_cross=k,
+                                          cells_per_deg=CPD)
+    # the 1900 m cliff along the column must dominate the horizon
+    h = np.asarray(run_max[:, -1])
+    assert h.max() > 0.2, h.max()        # ~1870 m over <= 8 km
