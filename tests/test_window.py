@@ -431,7 +431,24 @@ def test_fuzz_window_vs_crossing_oracle():
     the 0.5 m quantization class) over random terrain, viewer placements
     (including grid edges), azimuth windows (including wrap), and clip
     ranges. This is the net that catches silent-masking bug classes like
-    the k_kernel round-down (test_far_edge_crossings_not_truncated)."""
+    the k_kernel round-down (test_far_edge_crossings_not_truncated).
+
+    The persistent compilation cache is DISABLED for the trials: every
+    trial compiles a fresh one-shot shape (pure cache pollution), and
+    this jax build's zstandard cache serializer segfaults intermittently
+    under exactly this burst of large put/get calls (observed three times
+    at compilation_cache.put/get_executable_and_time in full-suite runs).
+    """
+    import jax as _jax
+    old_cache = _jax.config.jax_compilation_cache_dir
+    _jax.config.update("jax_compilation_cache_dir", None)
+    try:
+        _fuzz_trials()
+    finally:
+        _jax.config.update("jax_compilation_cache_dir", old_cache)
+
+
+def _fuzz_trials():
     rng = np.random.default_rng(20260818)
     for trial in range(6):
         n = int(rng.integers(150, 320))
