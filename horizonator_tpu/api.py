@@ -53,7 +53,7 @@ class horizonator:
                  texture_on_error="raise", texture_quality="grid2x",
                  curvature="none", allow_dem_downloads=False,
                  dem_url_fmt=None, hillshade=False, sun_az_deg=315.0,
-                 sun_alt_deg=45.0, sun_time=None):
+                 sun_alt_deg=45.0, sun_time=None, shadows=False):
         if render_radius_cells < 0 and render_radius_m < 0:
             render_radius_cells = RADIUS_CELLS_DEFAULT_PY  # horizonator-pywrap.c:65,98-99
         elif render_radius_cells > 0 and render_radius_m > 0:
@@ -151,6 +151,8 @@ class horizonator:
                 self._put_color_planes(planes, scale, device)
 
         self.hillshade = bool(hillshade)
+        if shadows and not hillshade:
+            raise ValueError("shadows=True requires hillshade=True")
         if hillshade:
             # Beyond-reference: Lambertian sun shading from the DEM itself,
             # rendered through the same in-kernel textured path (the gray
@@ -170,7 +172,11 @@ class horizonator:
             scale = 2 if texture_quality == "grid2x" else 1
             planes = hillshade_planes(
                 dem_f32, self.mosaic.cells_per_deg, lat,
-                sun_az_deg=sun_az_deg, sun_alt_deg=sun_alt_deg, scale=scale)
+                sun_az_deg=sun_az_deg, sun_alt_deg=sun_alt_deg, scale=scale,
+                # beyond-reference: terrain-cast shadows (ops/shadows.py
+                # log-doubling directional suffix-max), not just slope
+                # shading
+                cast_shadows=bool(shadows))
             self._put_color_planes(planes, scale, device)
             self.render_texture = True   # drives the textured render path
 

@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sun-alt", type=float, default=45.0, dest="sun_alt",
                    metavar="DEG", help="hillshade sun altitude above the "
                                        "horizon (default 45)")
+    p.add_argument("--shadows", action="store_true",
+                   help="with --hillshade: cast terrain shadows (sun rays "
+                        "blocked by other terrain), not just slope shading")
     p.add_argument("--sun-time", type=str, default=None, dest="sun_time",
                    metavar="ISO8601",
                    help="place the hillshade sun at its real position for "
@@ -146,6 +149,8 @@ def main(argv=None) -> int:
         if args.hillshade:
             vargs += ["--hillshade", "--sun-az", str(args.sun_az),
                       "--sun-alt", str(args.sun_alt)]
+            if args.shadows:
+                vargs += ["--shadows"]
         if args.curvature != "none":
             vargs += ["--curvature", args.curvature]
         return viewer.main(vargs)
@@ -195,7 +200,8 @@ def main(argv=None) -> int:
                     allow_dem_downloads=args.allow_dem_downloads,
                     dem_url_fmt=args.dem_url_fmt,
                     hillshade=args.hillshade, sun_az_deg=args.sun_az,
-                    sun_alt_deg=args.sun_alt, sun_time=args.sun_time)
+                    sun_alt_deg=args.sun_alt, sun_time=args.sun_time,
+                    shadows=args.shadows)
 
     image, ranges = h.render(args.az_center_deg - az_radius,
                              args.az_center_deg + az_radius,

@@ -1,5 +1,6 @@
 from .viewshed import (viewshed_polar, viewshed_grid, viewshed_sweep,
                        horizon_sweep)
+from .shadows import shadow_light, sun_hours
 
 __all__ = ["viewshed_polar", "viewshed_grid", "viewshed_sweep",
-           "horizon_sweep"]
+           "horizon_sweep", "shadow_light", "sun_hours"]

@@ -119,7 +119,8 @@ def prepare_color_planes(color2x) -> ColorPlanes2x:
 
 def hillshade_planes(dem, cells_per_deg: int, lat_deg: float, *,
                      sun_az_deg: float = 315.0, sun_alt_deg: float = 45.0,
-                     ambient: float = 0.25, scale: int = 2):
+                     ambient: float = 0.25, scale: int = 2,
+                     cast_shadows: bool = False, shadow_soft_m: float = 2.0):
     """Lambertian hillshade planes computed from the DEM itself -- a
     beyond-reference shading mode (the reference's only fragment shading
     is the distance-red ramp plus the optional OSM texture blend,
@@ -136,7 +137,12 @@ def hillshade_planes(dem, cells_per_deg: int, lat_deg: float, *,
     above the horizon; shade = ambient + (1-ambient) * max(n.s, 0).
     ``scale=2`` emits half-cell planes by linear interpolation AT the
     half-cell coordinates u/2 (jax.image.resize's pixel-center grid sits
-    a quarter cell off the planes' index contract)."""
+    a quarter cell off the planes' index contract).
+
+    ``cast_shadows=True`` additionally multiplies the direct-sun term by
+    ops.shadows.shadow_light (terrain occluding the sun ray -- cast
+    shadows, not just slope shading); ambient light is unaffected, so
+    shadowed terrain keeps its relief."""
     from .. import geometry
     z = jnp.asarray(dem, jnp.float32)
     cell_n = geometry.EARTH_RADIUS_M * DEG / cells_per_deg
@@ -155,7 +161,14 @@ def hillshade_planes(dem, cells_per_deg: int, lat_deg: float, *,
             - dzdn * math.cos(az) * math.cos(alt)
             + math.sin(alt))
     ndot = ndot / jnp.sqrt(dzde * dzde + dzdn * dzdn + 1.0)
-    shade = ambient + (1.0 - ambient) * jnp.maximum(ndot, 0.0)
+    direct = jnp.maximum(ndot, 0.0)
+    if cast_shadows:
+        from ..ops.shadows import shadow_light
+        direct = direct * shadow_light(
+            z, cells_per_deg=cells_per_deg, lat_deg=lat_deg,
+            sun_az_deg=float(sun_az_deg), sun_alt_deg=float(sun_alt_deg),
+            soft_m=shadow_soft_m)
+    shade = ambient + (1.0 - ambient) * direct
     gray = jnp.clip(shade * 255.0, 0.0, 255.0)
     if scale == 2:
         def up2(a):

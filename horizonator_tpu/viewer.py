@@ -357,6 +357,8 @@ def main(argv=None) -> int:
                    help="Lambertian sun shading from the DEM (no tiles)")
     p.add_argument("--sun-az", type=float, default=315.0, dest="sun_az")
     p.add_argument("--sun-alt", type=float, default=45.0, dest="sun_alt")
+    p.add_argument("--shadows", action="store_true",
+                   help="with --hillshade: cast terrain shadows")
     p.add_argument("--sun-time", type=str, default=None, dest="sun_time",
                    metavar="ISO8601", help="astronomical sun for this UTC "
                                            "time (overrides az/alt)")
@@ -394,6 +396,7 @@ def main(argv=None) -> int:
               curvature=args.curvature,
               hillshade=args.hillshade, sun_az_deg=args.sun_az,
               sun_alt_deg=args.sun_alt, sun_time=args.sun_time,
+              shadows=args.shadows,
               # per-tile failures become gray placeholders + warnings
               # (reference GUI behavior, orb_osmlayer.cpp:146-155)
               texture_on_error="placeholder")
