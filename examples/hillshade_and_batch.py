@@ -49,6 +49,27 @@ def main():
     Image.fromarray(image[:, :, ::-1]).save(f"{prefix}.png")
     print(f"wrote {prefix}.png (hillshade, sun az 120 alt 35)")
 
+    # cast shadows: same scene, low sun -- terrain west of the peak falls
+    # in its shadow (shadows=True multiplies the hillshade's direct term
+    # by ops.shadows.shadow_light; ambient keeps relief visible)
+    hs = horizonator(34.40, -117.45, 600, 220,
+                     dir_dems=demdir, render_radius_m=25000.0,
+                     hillshade=True, shadows=True,
+                     sun_az_deg=90.0, sun_alt_deg=10.0)
+    image, _ = hs.render(-40.0, 40.0, zfar=25000.0)
+    Image.fromarray(image[:, :, ::-1]).save(f"{prefix}_shadows.png")
+    print(f"wrote {prefix}_shadows.png (cast shadows, sun az 90 alt 10)")
+
+    # insolation raster: hours of direct sun per DEM cell over one day
+    from horizonator_tpu.ops import sun_hours
+    hours = np.asarray(sun_hours(
+        h.mosaic.grid, cells_per_deg=h.mosaic.cells_per_deg,
+        lat_deg=34.55, lon_deg=-117.45, date="2026-12-21", samples=12))
+    Image.fromarray(np.uint8(np.clip(hours / hours.max(), 0, 1) * 255)
+                    ).save(f"{prefix}_sunhours.png")
+    print(f"wrote {prefix}_sunhours.png (winter-solstice sun hours, "
+          f"max {hours.max():.1f} h)")
+
     # a 4-viewpoint walk toward the peak, ONE dispatch
     lats = [34.40, 34.43, 34.46, 34.49]
     lons = [-117.45] * 4
