@@ -186,6 +186,7 @@ class horizonator:
         self._aligned = None   # lazily-built window.AlignedScene
         self._sharded_cache = {}   # (mesh, kw) -> make_sharded_renderer fn
         self._last = None   # (ranges ndarray, render kwargs) for pick()
+        self._los_packed = None   # lazily-built pair-packed DEM for LOS ops
 
     def _put_color_planes(self, planes, scale, device):
         """Shared tail of the texture/hillshade plane prep: camera-
@@ -549,6 +550,81 @@ class horizonator:
                 nsteps=self._auto_nsteps(znear, zfar),
                 cells_per_deg=self.mosaic.cells_per_deg, surface=self.surface)
         return np.asarray(az), np.asarray(tan_el)
+
+    # -- line of sight (TPU extension, ops/los.py) --------------------------
+
+    def _dem_packed_pairs(self):
+        """The pair-packed int32 DEM plane for the LOS ops (the 'step'
+        sampler's scene format); built lazily once for window/crossing
+        scenes, reused directly when the ctor already packed it."""
+        if self.sampler not in ("window", "crossing"):
+            return self._dem
+        if self._los_packed is None:
+            from .render.raymarch import pack_dem_pairs
+            self._los_packed = pack_dem_pairs(
+                jnp.asarray(self.mosaic.grid.astype(np.float32)))
+        return self._los_packed
+
+    def _los_cells(self, lat0, lon0, lat1, lon1, nsteps):
+        """Shared lat/lon -> (a, b, nsteps) prep for the LOS methods."""
+        i0, j0 = self.mosaic.viewer_cell(np.asarray(lat0, np.float32),
+                                         np.asarray(lon0, np.float32))
+        i1, j1 = self.mosaic.viewer_cell(np.asarray(lat1, np.float32),
+                                         np.asarray(lon1, np.float32))
+        i0, j0, i1, j1 = np.broadcast_arrays(i0, j0, i1, j1)
+        a = np.stack([i0, j0], axis=-1)
+        b = np.stack([i1, j1], axis=-1)
+        if nsteps is None:
+            # sub-cell sampling of the longest pair (1.5 samples/cell,
+            # lane-multiple, clamped) -- one static shape per scene scale
+            span = float(np.hypot(i1 - i0, j1 - j0).max())
+            nsteps = int(min(8192, max(128, -(-span * 1.5 // 128) * 128)))
+        return a, b, nsteps
+
+    def intervisible(self, lat0, lon0, lat1, lon1, *,
+                     observer_height_m=2.0, target_height_m=0.0,
+                     nsteps=None, curvature=None):
+        """Can an observer at (lat0, lon0) see a target at (lat1, lon1)?
+
+        TPU extension (no reference analog): array arguments broadcast, so
+        one call answers a whole batch of pairs in one dispatch. The
+        observer stands observer_height_m above the terrain; the target
+        sits target_height_m above it. curvature defaults to the scene's
+        ctor setting. Returns a bool (scalar inputs) or a bool ndarray.
+
+        Points outside the loaded mosaic window (ctor render_radius) are
+        never visible: pairs touching one return False, same as the
+        reference's out-of-window convention (dem.c:270,293 returns -1).
+        Check mosaic.bounds_latlon_deg() if in doubt.
+        """
+        from .ops.los import intervisible as _iv
+        a, b, nsteps = self._los_cells(lat0, lon0, lat1, lon1, nsteps)
+        vis = _iv(self._dem_packed_pairs(), a, b,
+                  cells_per_deg=self.mosaic.cells_per_deg,
+                  cos_lat=math.cos(math.radians(self.viewer_lat)),
+                  nsteps=nsteps, observer_height_m=observer_height_m,
+                  target_height_m=target_height_m, surface="bilinear",
+                  curvature=self.curvature if curvature is None
+                  else curvature)
+        out = np.asarray(vis)
+        return bool(out) if out.ndim == 0 else out
+
+    def sightline(self, lat0, lon0, lat1, lon1, *,
+                  observer_height_m=2.0, target_height_m=0.0,
+                  nsteps=None, curvature=None):
+        """Full LOS profile between two points: distances, terrain
+        elevations, chord heights, clearances, visibility, and the
+        worst-obstruction distance (ops.los.Sightline of numpy arrays)."""
+        from .ops.los import sightline as _sl
+        a, b, nsteps = self._los_cells(lat0, lon0, lat1, lon1, nsteps)
+        prof = _sl(self._dem_packed_pairs(), a, b,
+                   cells_per_deg=self.mosaic.cells_per_deg,
+                   cos_lat=math.cos(math.radians(self.viewer_lat)),
+                   nsteps=nsteps, observer_height_m=observer_height_m,
+                   target_height_m=target_height_m, surface="bilinear",
+                   curvature=self.curvature if curvature is None
+                   else curvature)
+        return type(prof)(*[np.asarray(x) for x in prof])
 
     def __str__(self):
         # horizonator-pywrap.c:133-156
