@@ -12,6 +12,10 @@ Mirrors the reference tool's flag surface and conventions exactly
   the clip values, standalone.c:333-334);
 - ``.png`` -> plain render; ``.pdf``/``.svg`` -> annotated render.
 
+TPU-native extras: ``--viewshed FILE.tif`` writes the GIS visibility
+raster around LAT LON as a WGS84 GeoTIFF (no reference analog; pass
+``0 180`` as the azimuth args for the full circle).
+
 Usage: python -m horizonator_tpu.cli [options] LAT LON AZ_C AZ_R
 """
 
@@ -90,6 +94,22 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ray-march samples (default: auto from zfar)")
     p.add_argument("--surface", choices=["bilinear", "triangulated"],
                    default="bilinear")
+    p.add_argument("--viewshed", type=str, default=None, metavar="FILE.tif",
+                   help="write a GIS viewshed raster around LAT LON as a "
+                        "georeferenced WGS84 GeoTIFF (uint8 0/1; QGIS/GDAL "
+                        "open it directly) instead of a panorama; the "
+                        "azimuth args bound the swept sector (pass 0 180 "
+                        "for the full circle), --znear/--zfar the range. "
+                        "No reference analog. May be combined with --image")
+    p.add_argument("--viewshed-halfwidth", type=int, default=0,
+                   dest="viewshed_halfwidth", metavar="CELLS",
+                   help="half-width of the --viewshed raster in DEM cells "
+                        "(default: zfar's reach, clipped to the mosaic)")
+    p.add_argument("--viewshed-sampler", choices=["step", "crossing",
+                                                  "window"],
+                   default="window", dest="viewshed_sampler",
+                   help="--viewshed march sampler (window = the Pallas "
+                        "fast path)")
     p.add_argument("lat", type=float)
     p.add_argument("lon", type=float)
     p.add_argument("az_center_deg", type=float)
@@ -111,6 +131,69 @@ def _honor_jax_platforms_env():
         jax.config.update("jax_platforms", plat)
 
 
+def _run_viewshed(args) -> int:
+    """--viewshed: GIS visibility raster -> WGS84 GeoTIFF (no reference
+    analog; ops/viewshed.py + geotiff.py through CLI flags)."""
+    import math
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from . import geometry
+    from .dem import load_mosaic
+    from .geotiff import write_geotiff
+    from .ops import viewshed_grid
+    from .render import RenderParams
+    from .render.crossing import k_cross_for
+
+    m = load_mosaic(args.lat, args.lon, render_radius_m=args.zfar,
+                    datadir=args.dirdems, srtm1=args.SRTM1)
+    n = m.grid.shape[0]
+    ci, cj = m.viewer_cell(args.lat, args.lon)
+    cell_n = geometry.EARTH_RADIUS_M * math.pi / 180.0 / m.cells_per_deg
+    cos_lat = math.cos(math.radians(args.lat))
+    hw = args.viewshed_halfwidth
+    if hw <= 0:
+        # zfar's reach in cells (east cells are the short ones)
+        hw = int(math.ceil(args.zfar / (cell_n * cos_lat)))
+    hw = max(8, min(hw, int(min(ci, cj, n - 1 - ci, n - 1 - cj))))
+    # ~1 polar column per rim cell, lane-multiple, bounded
+    width = int(min(4096, max(256, -(-2.0 * math.pi * hw // 256) * 256)))
+    if args.nsteps:
+        nsteps = args.nsteps
+    elif args.viewshed_sampler == "step":
+        nsteps = int(-(-1.5 * (args.zfar - args.znear) / cell_n // 128) * 128)
+    else:
+        nsteps = k_cross_for(args.zfar, m.cells_per_deg, args.lat, n=n)
+
+    f = jnp.float32
+    params = RenderParams(
+        viewer_cell_i=f(ci), viewer_cell_j=f(cj),
+        viewer_z=f(m.auto_viewer_z(args.lat, args.lon)),
+        cos_viewer_lat=f(cos_lat),
+        az_rad0=f(math.radians(args.az_center_deg - args.az_radius_deg)),
+        az_rad1=f(math.radians(args.az_center_deg + args.az_radius_deg)),
+        znear=f(args.znear), zfar=f(args.zfar), znear_color=f(args.znear),
+        zfar_color=f(args.zfar),
+        curv=f(geometry.curvature_coeff(args.curvature)))
+    vis = np.asarray(viewshed_grid(
+        jnp.asarray(m.grid.astype(np.float32)), params, width=width,
+        nsteps=nsteps, cells_per_deg=m.cells_per_deg, out_halfwidth=hw,
+        sampler=args.viewshed_sampler, lat_hint_deg=float(args.lat),
+        znear_hint_m=float(args.znear)))
+
+    # the raster covers cells viewer +- hw; georeference its outer edges
+    cpd = m.cells_per_deg
+    olon, olat = m.origin_dem_lon_lat
+    oi, oj = m.origin_dem_cellij
+    bounds = (olat + (oj + cj - hw) / cpd, olon + (oi + ci - hw) / cpd,
+              olat + (oj + cj + hw) / cpd, olon + (oi + ci + hw) / cpd)
+    write_geotiff(args.viewshed, vis, bounds=bounds, row0="south")
+    print(f"wrote {args.viewshed}: {2 * hw}x{2 * hw} cells, "
+          f"{vis.mean():.1%} visible", file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
     _honor_jax_platforms_env()
     args = build_parser().parse_args(argv)
@@ -130,6 +213,10 @@ def main(argv=None) -> int:
     if args.height > 0 and args.width <= 0:
         print("--height makes sense only with --width", file=sys.stderr)
         return 1
+    if args.viewshed is not None:
+        rc = _run_viewshed(args)
+        if rc != 0 or args.image is None:
+            return rc
     if args.image is None:
         # Interactive mode: the reference opens a GLUT window here
         # (standalone.c:373-383); the TPU build's interactive surface is

@@ -123,6 +123,37 @@ def test_cell_bounds_matches_mosaic(tmp_path):
     np.testing.assert_allclose([ci, cj], [3.0, 7.0], atol=1e-6)
 
 
+def test_cli_viewshed(tmp_path):
+    """--viewshed FILE.tif: the CLI's GIS raster path, georeferencing
+    checked against the viewer position."""
+    from tests.conftest import make_synthetic_dem_dir
+    from horizonator_tpu import cli
+
+    def terrain(lat, lon):
+        return 200 + 1800 * np.exp(-((lat - 34.47) ** 2 + (lon + 117.45) ** 2)
+                                   / (2 * 0.015 ** 2))
+
+    d = make_synthetic_dem_dir(tmp_path, {(34, -118): terrain})
+    out = str(tmp_path / "vs.tif")
+    rc = cli.main(["--viewshed", out, "--viewshed-halfwidth", "48",
+                   "--viewshed-sampler", "step", "--nsteps", "256",
+                   "--dirdems", d, "--zfar", "8000",
+                   "34.40", "-117.45", "0", "180"])
+    assert rc == 0
+    tags, pix = parse_tiff(out)
+    assert tags[256] == (96,) and tags[257] == (96,)
+    vis = np.frombuffer(pix, np.uint8).reshape(96, 96)
+    # open plain mostly visible; the 2000 m peak 0.07 deg north casts an
+    # occlusion shadow behind it (rows beyond the peak in the north-up file
+    # are the TOP rows)
+    assert 0.3 < vis.mean() < 0.995
+    assert vis[48:].mean() > vis[:20].mean()   # south half clearer than far north
+    # tiepoint = NW corner = viewer + hw cells in each direction
+    lon_w, lat_n = tags[33922][3:5]
+    assert abs(lon_w - (-117.45 - 48 / 1200)) < 2 / 1200
+    assert abs(lat_n - (34.40 + 48 / 1200)) < 2 / 1200
+
+
 def test_viewshed_to_geotiff_end_to_end(rng):
     """The intended pipeline: viewshed_grid raster -> GeoTIFF on disk."""
     import math
