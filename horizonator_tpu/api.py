@@ -187,6 +187,7 @@ class horizonator:
         self._sharded_cache = {}   # (mesh, kw) -> make_sharded_renderer fn
         self._last = None   # (ranges ndarray, render kwargs) for pick()
         self._los_packed = None   # lazily-built pair-packed DEM for LOS ops
+        self._skyline_scene = None  # lazily-built CrossingScene for skyline()
 
     def _put_color_planes(self, planes, scale, device):
         """Shared tail of the texture/hillshade plane prep: camera-
@@ -550,6 +551,72 @@ class horizonator:
                 nsteps=self._auto_nsteps(znear, zfar),
                 cells_per_deg=self.mosaic.cells_per_deg, surface=self.surface)
         return np.asarray(az), np.asarray(tan_el)
+
+    def skyline(self, az_deg0, az_deg1, *, width=None,
+                znear=ZNEAR_DEFAULT, zfar=ZFAR_DEFAULT):
+        """TPU extension: the GEOLOCATED horizon ridgeline.
+
+        Per-column arrays describing WHERE the skyline is, not just how
+        high: a dict with keys ``az_deg`` (pixel-center azimuths),
+        ``el_deg`` (apparent elevation of the horizon above horizontal),
+        ``dist_m`` (horizontal range to the horizon point) and
+        ``lat``/``lon`` (its geolocation). Export as GIS vector data with
+        :mod:`horizonator_tpu.geojson` (``skyline_geojson``/``skyline_csv``)
+        or the CLI's ``--horizon-out``. No reference analog (the reference
+        only reads ranges back per-pixel via pick, horizonator-lib.c:1216).
+
+        The horizon point is the march sample with the maximum apparent
+        elevation (ties resolve to the NEAREST sample -- argmax takes the
+        first of a plateau and samples are distance-ordered), mapped back
+        through the march's distance table (``CrossingDists.d_of``) and the
+        shared tangent-plane geometry (``geometry.en_to_latlon``) -- the
+        same math ``pick()`` uses, so skyline lat/lons agree with a pick on
+        the skyline pixel.
+        """
+        width = self.width if width is None else int(width)
+        ci, cj = self.mosaic.viewer_cell(self.viewer_lat, self.viewer_lon)
+        f = jnp.float32
+        params = RenderParams(
+            viewer_cell_i=f(ci), viewer_cell_j=f(cj), viewer_z=f(self.viewer_z),
+            cos_viewer_lat=f(math.cos(math.radians(self.viewer_lat))),
+            az_rad0=f(math.radians(az_deg0)), az_rad1=f(math.radians(az_deg1)),
+            znear=f(znear), zfar=f(zfar), znear_color=f(znear),
+            zfar_color=f(zfar), curv=f(self._curv))
+        nsteps = self._auto_nsteps(znear, zfar)
+        if self.sampler == "window":
+            from .render.window import march_window
+            tanel, _, dists, az = march_window(
+                self._dem, params, width=width, k_cross=nsteps,
+                cells_per_deg=self.mosaic.cells_per_deg,
+                lat_hint_deg=self._lat_hint(),
+                znear_hint_m=self._znear_hint(znear),
+                scene=self._aligned_for(nsteps))
+        else:
+            # crossing march for every non-window sampler: the step/lod
+            # scenes (packed pairs / pyramid) don't carry a distance table;
+            # build + cache a CrossingScene once.
+            from .render.crossing import march_crossing, pack_scene
+            if self.sampler == "crossing":
+                scene = self._dem
+            else:
+                if self._skyline_scene is None:
+                    self._skyline_scene = pack_scene(
+                        jnp.asarray(self.mosaic.grid.astype(np.float32)))
+                scene = self._skyline_scene
+            tanel, _, dists, az = march_crossing(
+                scene, params, width=width, k_cross=nsteps,
+                cells_per_deg=self.mosaic.cells_per_deg)
+        idx = jnp.argmax(tanel, axis=1)
+        tan_el = jnp.take_along_axis(tanel, idx[:, None], axis=1)[:, 0]
+        d = dists.d_of(idx[:, None])[:, 0]
+        lat, lon = geometry.en_to_latlon(
+            d * jnp.sin(az), d * jnp.cos(az), f(self.viewer_lat),
+            f(math.cos(math.radians(self.viewer_lat))), f(self.viewer_lon))
+        # one stacked D2H pull (the tunneled-TPU transfer floor is per-op)
+        out = np.asarray(jnp.stack([az, jnp.arctan(tan_el), d, lat, lon]),
+                         dtype=np.float64)
+        return {"az_deg": np.degrees(out[0]), "el_deg": np.degrees(out[1]),
+                "dist_m": out[2], "lat": out[3], "lon": out[4]}
 
     # -- line of sight (TPU extension, ops/los.py) --------------------------
 

@@ -85,6 +85,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "f32 for any other extension -- the binary range "
                         "output the reference README promises but only its "
                         "C API delivers (horizonator.h:155-169)")
+    p.add_argument("--horizon-out", type=str, default=None,
+                   dest="horizon_out", metavar="FILE",
+                   help="also write the geolocated skyline ridgeline "
+                        "(per-column azimuth, apparent elevation, range, "
+                        "lat/lon of the horizon point) as .csv, or GeoJSON "
+                        "for any other extension (QGIS/geojson.io-ready). "
+                        "Works with --image or standalone (with --width). "
+                        "No reference analog")
     p.add_argument("--pois", type=str, default=None,
                    help="peak list for .pdf/.svg annotation: a JSON file of "
                         "[{name, lat, lon, ele_m}] (replaces the reference's "
@@ -194,6 +202,19 @@ def _run_viewshed(args) -> int:
     return 0
 
 
+def _write_horizon(h, args, az_deg0, az_deg1) -> None:
+    """--horizon-out: the geolocated skyline as CSV or GeoJSON."""
+    from . import geojson as gj
+    sky = h.skyline(az_deg0, az_deg1, znear=args.znear, zfar=args.zfar)
+    if args.horizon_out.lower().endswith(".csv"):
+        gj.skyline_csv(sky, args.horizon_out)
+    else:
+        gj.skyline_geojson(sky, args.horizon_out, properties={
+            "viewer_lat": round(float(h.viewer_lat), 7),
+            "viewer_lon": round(float(h.viewer_lon), 7),
+            "viewer_ele_m": round(float(h.viewer_z), 1)})
+
+
 def main(argv=None) -> int:
     _honor_jax_platforms_env()
     args = build_parser().parse_args(argv)
@@ -204,7 +225,7 @@ def main(argv=None) -> int:
     if not (-180.0 <= args.lon <= 180.0):
         print("Got invalid longitude", file=sys.stderr)
         return 1
-    if args.width > 0 and args.image is None:
+    if args.width > 0 and args.image is None and args.horizon_out is None:
         print("--width makes sense only with --image", file=sys.stderr)
         return 1
     if args.width <= 0 and args.image is not None:
@@ -217,6 +238,24 @@ def main(argv=None) -> int:
         rc = _run_viewshed(args)
         if rc != 0 or args.image is None:
             return rc
+    if args.image is None and args.horizon_out is not None:
+        # Skyline-only batch mode (like --viewshed: a GIS product, no
+        # panorama). Pixel-center az widening as in the --image path.
+        width = args.width if args.width > 0 else 1024
+        az_radius = args.az_radius_deg
+        az_radius += az_radius / (width - 1)
+        from .api import horizonator
+        h = horizonator(
+            args.lat, args.lon, width,
+            max(1, int(round(width * 20.0 / az_radius))),
+            SRTM1=args.SRTM1, dir_dems=args.dirdems,
+            render_radius_m=args.zfar, nsteps=args.nsteps,
+            surface=args.surface, curvature=args.curvature,
+            allow_dem_downloads=args.allow_dem_downloads,
+            dem_url_fmt=args.dem_url_fmt)
+        _write_horizon(h, args, args.az_center_deg - az_radius,
+                       args.az_center_deg + az_radius)
+        return 0
     if args.image is None:
         # Interactive mode: the reference opens a GLUT window here
         # (standalone.c:373-383); the TPU build's interactive surface is
@@ -318,6 +357,9 @@ def main(argv=None) -> int:
                  az_deg0=args.az_center_deg - az_radius,
                  az_deg1=args.az_center_deg + az_radius,
                  ele_m=h.viewer_z, curv=h._curv)
+    if args.horizon_out is not None:
+        _write_horizon(h, args, args.az_center_deg - az_radius,
+                       args.az_center_deg + az_radius)
     return 0
 
 
