@@ -693,6 +693,56 @@ class horizonator:
                    else curvature)
         return type(prof)(*[np.asarray(x) for x in prof])
 
+    def visible_peaks(self, pois, *, observer_height_m=2.0,
+                      target_height_m=0.0, curvature=None):
+        """TPU extension: which POIs can the viewer actually see?
+
+        ``pois``: a JSON path (annotate.load_pois format), a list of
+        ``annotate.Poi``, or a list of {name, lat, lon, ele_m} dicts. One
+        batched LOS dispatch (ops.los.intervisible over the DEM surface,
+        observer ``observer_height_m`` above the terrain) answers every
+        POI; the report adds the viewing geometry from the render
+        convention (viewer_z + the tan el = h/d - d*curv law the panorama
+        projects with, geometry.project).
+
+        Returns a list of dicts: {name, lat, lon, ele_m, visible, dist_m,
+        az_deg, el_deg}. Export with geojson.points_geojson or the CLI's
+        ``--pois-out``. POIs outside the loaded mosaic are visible=False
+        (the LOS ops' out-of-window convention).
+        """
+        from .annotate import Poi, load_pois
+        if isinstance(pois, (str, bytes)) or hasattr(pois, "__fspath__"):
+            pois = load_pois(str(pois))
+        recs = [(p.name, p.lat, p.lon, p.ele_m) if isinstance(p, Poi)
+                else (str(p["name"]), float(p["lat"]), float(p["lon"]),
+                      float(p.get("ele_m", p.get("ele", 0.0))))
+                for p in pois]
+        if not recs:
+            return []
+        names = [r[0] for r in recs]
+        lats = np.array([r[1] for r in recs], np.float64)
+        lons = np.array([r[2] for r in recs], np.float64)
+        eles = np.array([r[3] for r in recs], np.float64)
+        vis = np.atleast_1d(self.intervisible(
+            self.viewer_lat, self.viewer_lon, lats, lons,
+            observer_height_m=observer_height_m,
+            target_height_m=target_height_m, curvature=curvature))
+        cos_lat = math.cos(math.radians(self.viewer_lat))
+        east, north = geometry.latlon_to_en(
+            lats, lons, self.viewer_lat, cos_lat, self.viewer_lon)
+        east, north = np.asarray(east), np.asarray(north)
+        d = np.hypot(east, north)
+        az = np.degrees(np.arctan2(east, north))
+        curv = self._curv if curvature is None else geometry.curvature_coeff(
+            curvature)
+        h = eles + target_height_m - self.viewer_z
+        el = np.degrees(np.arctan2(h - d * d * curv, d))
+        return [{"name": names[k], "lat": float(lats[k]),
+                 "lon": float(lons[k]), "ele_m": float(eles[k]),
+                 "visible": bool(vis[k]), "dist_m": float(d[k]),
+                 "az_deg": float(az[k]), "el_deg": float(el[k])}
+                for k in range(len(names))]
+
     def __str__(self):
         # horizonator-pywrap.c:133-156
         return f"Looking out from {self.viewer_lat:.4f},{self.viewer_lon:.4f}"

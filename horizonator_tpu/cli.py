@@ -97,6 +97,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="peak list for .pdf/.svg annotation: a JSON file of "
                         "[{name, lat, lon, ele_m}] (replaces the reference's "
                         "compiled-in socal-peaks.h)")
+    p.add_argument("--pois-out", type=str, default=None, dest="pois_out",
+                   metavar="FILE",
+                   help="visible-peaks report: LOS-test every --pois entry "
+                        "from LAT LON and write a GeoJSON of Point features "
+                        "with {name, ele_m, visible, dist_m, az_deg, "
+                        "el_deg} properties. Works with --image or "
+                        "standalone. No reference analog")
     # TPU-native extras
     p.add_argument("--nsteps", type=int, default=None,
                    help="ray-march samples (default: auto from zfar)")
@@ -202,6 +209,18 @@ def _run_viewshed(args) -> int:
     return 0
 
 
+def _write_pois(h, args) -> None:
+    """--pois-out: LOS-tested peak report as GeoJSON Points."""
+    from . import geojson as gj
+    peaks = h.visible_peaks(args.pois)
+    gj.points_geojson([p["lat"] for p in peaks], [p["lon"] for p in peaks],
+                      args.pois_out,
+                      properties=[{k: (round(v, 7) if isinstance(v, float)
+                                       else v) for k, v in p.items()
+                                   if k not in ("lat", "lon")}
+                                  for p in peaks])
+
+
 def _write_horizon(h, args, az_deg0, az_deg1) -> None:
     """--horizon-out: the geolocated skyline as CSV or GeoJSON."""
     from . import geojson as gj
@@ -238,8 +257,12 @@ def main(argv=None) -> int:
         rc = _run_viewshed(args)
         if rc != 0 or args.image is None:
             return rc
-    if args.image is None and args.horizon_out is not None:
-        # Skyline-only batch mode (like --viewshed: a GIS product, no
+    if args.pois_out is not None and args.pois is None:
+        print("--pois-out needs --pois", file=sys.stderr)
+        return 1
+    if args.image is None and (args.horizon_out is not None
+                               or args.pois_out is not None):
+        # GIS-products batch mode (like --viewshed: vector outputs, no
         # panorama). Pixel-center az widening as in the --image path.
         width = args.width if args.width > 0 else 1024
         az_radius = args.az_radius_deg
@@ -253,8 +276,11 @@ def main(argv=None) -> int:
             surface=args.surface, curvature=args.curvature,
             allow_dem_downloads=args.allow_dem_downloads,
             dem_url_fmt=args.dem_url_fmt)
-        _write_horizon(h, args, args.az_center_deg - az_radius,
-                       args.az_center_deg + az_radius)
+        if args.horizon_out is not None:
+            _write_horizon(h, args, args.az_center_deg - az_radius,
+                           args.az_center_deg + az_radius)
+        if args.pois_out is not None:
+            _write_pois(h, args)
         return 0
     if args.image is None:
         # Interactive mode: the reference opens a GLUT window here
@@ -360,6 +386,8 @@ def main(argv=None) -> int:
     if args.horizon_out is not None:
         _write_horizon(h, args, args.az_center_deg - az_radius,
                        args.az_center_deg + az_radius)
+    if args.pois_out is not None:
+        _write_pois(h, args)
     return 0
 
 

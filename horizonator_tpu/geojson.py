@@ -18,7 +18,8 @@ import os
 
 import numpy as np
 
-__all__ = ["skyline_geojson", "skyline_csv", "line_geojson"]
+__all__ = ["skyline_geojson", "skyline_csv", "line_geojson",
+           "points_geojson"]
 
 
 def _atomic_write_text(path, text):
@@ -73,6 +74,32 @@ def skyline_csv(sky, path=None) -> str:
     for row in zip(*arrs):
         lines.append("%.4f,%.4f,%.1f,%.7f,%.7f" % row)
     text = "\n".join(lines) + "\n"
+    if path is not None:
+        _atomic_write_text(path, text)
+    return text
+
+
+def points_geojson(lat, lon, path=None, *, properties=None) -> str:
+    """(N,) lat/lon -> a FeatureCollection of Point features.
+
+    ``properties``: a list of N dicts (one per point) or one dict applied
+    to all. Used for the visible-peaks report (api.visible_peaks).
+    """
+    lat = np.asarray(lat, np.float64).ravel()
+    lon = np.asarray(lon, np.float64).ravel()
+    if lat.shape != lon.shape:
+        raise ValueError(f"lat {lat.shape} vs lon {lon.shape}")
+    feats = []
+    for k in range(lat.shape[0]):
+        props = (properties[k] if isinstance(properties, (list, tuple))
+                 else dict(properties or {}))
+        feats.append({"type": "Feature",
+                      "geometry": {"type": "Point",
+                                   "coordinates": [round(float(lon[k]), 7),
+                                                   round(float(lat[k]), 7)]},
+                      "properties": props})
+    text = json.dumps({"type": "FeatureCollection", "features": feats},
+                      separators=(",", ":"))
     if path is not None:
         _atomic_write_text(path, text)
     return text

@@ -126,14 +126,49 @@ def test_line_geojson_batched(tmp_path):
         gj.line_geojson(lat, lon[:1])
 
 
+_POIS = [
+    {"name": "crest", "lat": WALL_LAT, "lon": VLON, "ele_m": 1000.0},
+    {"name": "behind", "lat": 34.85, "lon": VLON, "ele_m": 0.0},
+    {"name": "front", "lat": 34.60, "lon": VLON, "ele_m": 0.0},
+    {"name": "outside", "lat": 36.5, "lon": VLON, "ele_m": 0.0},
+]
+
+
+def test_visible_peaks(h):
+    peaks = h.visible_peaks(_POIS)
+    by = {p["name"]: p for p in peaks}
+    assert [p["name"] for p in peaks] == [p["name"] for p in _POIS]
+    assert by["crest"]["visible"] and by["front"]["visible"]
+    assert not by["behind"]["visible"]      # occluded by the 1000 m wall
+    assert not by["outside"]["visible"]     # beyond the loaded mosaic
+    assert abs(by["crest"]["az_deg"]) < 1e-6
+    assert abs(by["crest"]["dist_m"] - D_CREST) < 1.0
+    # viewing geometry follows the render convention (viewer_z, tan el law)
+    el_ref = math.degrees(math.atan((1000.0 - h.viewer_z) / D_CREST))
+    assert abs(by["crest"]["el_deg"] - el_ref) < 1e-6
+    assert by["front"]["el_deg"] < 0.0      # ground below the viewer
+    assert h.visible_peaks([]) == []
+
+
 def test_cli_horizon_out(dem_dir, tmp_path):
     out = tmp_path / "horizon.geojson"
+    pois_in = tmp_path / "pois.json"
+    pois_in.write_text(json.dumps(_POIS))
+    pois_out = tmp_path / "peaks.geojson"
     r = subprocess.run(
         [sys.executable, "-m", "horizonator_tpu.cli",
          "--dirdems", dem_dir, "--width", "33", "--zfar", "35000",
-         "--horizon-out", str(out), str(VLAT), str(VLON), "0", "15"],
+         "--horizon-out", str(out), "--pois", str(pois_in),
+         "--pois-out", str(pois_out), str(VLAT), str(VLON), "0", "15"],
         capture_output=True, text=True, timeout=600, env=_CLI_ENV)
     assert r.returncode == 0, r.stderr
+    pdoc = json.loads(pois_out.read_text())
+    props = {f["properties"]["name"]: f["properties"]
+             for f in pdoc["features"]}
+    assert len(pdoc["features"]) == 4
+    assert props["crest"]["visible"] and not props["behind"]["visible"]
+    assert abs(props["crest"]["dist_m"] - D_CREST) < 1.0
+    assert pdoc["features"][0]["geometry"]["coordinates"][1] == WALL_LAT
     doc = json.loads(out.read_text())
     (feat,) = doc["features"]
     assert len(feat["geometry"]["coordinates"]) == 33
