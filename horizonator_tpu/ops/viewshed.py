@@ -90,13 +90,21 @@ def viewshed_polar(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
 def viewshed_grid(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
                   surface="bilinear", out_halfwidth=None, sampler="step",
                   lat_hint_deg=45.0, znear_hint_m=100.0, with_dropped=False,
-                  aligned_scene=None):
+                  aligned_scene=None, out_center_ij=None):
     """GIS-style visibility raster around the viewer.
 
     Evaluates the polar visibility at each output CELL's own (az, dist)
     (gather from the polar field -- scatter-free), so every cell of the
     (2*out_halfwidth)^2 window around the viewer gets a boolean.
     Cells nearer than znear or beyond zfar are False.
+
+    ``out_center_ij``: optional (i, j) float cell coords of the output
+    window's center. Default None keeps the window centered on the viewer
+    (offsets at half-cell centers around the viewer's fractional
+    position, the original contract). A FIXED center lets multiple
+    observers share one output frame -- the basis of ``viewshed_count``'s
+    cumulative raster, where every observer's raster must be registered
+    to the same cells.
 
     sampler: as in viewshed_polar; 'window' runs the gather-free Pallas
     march (the fast TPU path -- the distance->sample-index inversion then
@@ -128,6 +136,12 @@ def viewshed_grid(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
     # cell-center offsets from the viewer, in meters
     di = (jnp.arange(2 * hw, dtype=jnp.float32) - hw + 0.5)
     dj = (jnp.arange(2 * hw, dtype=jnp.float32) - hw + 0.5)
+    if out_center_ij is not None:
+        # fixed output frame: absolute cell centers minus the viewer's
+        # fractional position (in-band f32 subtraction, same as above)
+        ci, cj = out_center_ij
+        di = ci + di - p.viewer_cell_i
+        dj = cj + dj - p.viewer_cell_j
     e = di[None, :] * cell_m_east                  # (1, 2hw)
     nn = dj[:, None] * cell_m_north                # (2hw, 1)
     dist = jnp.sqrt(e * e + nn * nn)               # (2hw, 2hw)
@@ -325,24 +339,12 @@ def _sharded_sweep(mesh, width, nsteps, cells_per_deg, surface, sampler,
         check_vma=False))   # pallas window kernel under shard_map
 
 
-def viewshed_sweep(dem, viewpoints_ij, *, viewer_height_m=2.0, width=256,
-                   nsteps=None, cells_per_deg=1200, znear=50.0, zfar=20000.0,
-                   cos_viewer_lat=None, batch=256, surface="bilinear",
-                   sampler="crossing", lat_deg=None, mesh=None):
-    """Sweep many viewpoints over a DEM region (host-side driver).
-
-    viewpoints_ij: (N, 2) float cell coords. Renders in fixed-size batches to
-    keep one compiled executable, returning (N, width) horizon profiles.
-    Viewer elevation = terrain + viewer_height_m (sampled bilinearly).
-    Default sampler 'crossing' (the fast path); 'step' for the uniform-step
-    oracle (surface= applies there).
-
-    ``mesh``: a jax.sharding.Mesh with a "batch" axis -- each dispatch's
-    viewpoint batch shards across its devices (the config-5 10k-viewpoint
-    sweep scaled over a pod slice). ``batch`` must be a multiple of the
-    axis size; the DEM replicates (shard it separately with
-    parallel.regions when it exceeds one chip's HBM).
-    """
+def _sweep_prep(dem, viewpoints_ij, viewer_height_m, *, sampler, nsteps,
+                cells_per_deg, zfar, cos_viewer_lat, lat_deg):
+    """Shared viewpoint-sweep prep (viewshed_sweep / viewshed_count):
+    viewer elevations from the terrain, the sampler's scene format, the
+    k budget, and the one aligned-table prep that amortizes over every
+    viewpoint."""
     from ..render.raymarch import _as_packed, _sample_surface
 
     # lat_deg and cos_viewer_lat are redundant: derive whichever is
@@ -360,7 +362,7 @@ def viewshed_sweep(dem, viewpoints_ij, *, viewer_height_m=2.0, width=256,
         # ints to f32 would silently march garbage. Raw int16 grids
         # (mosaic.grid) are fine -- they cast to real elevations below.
         raise TypeError(
-            "viewshed_sweep with sampler='crossing'/'window' needs the "
+            "viewpoint sweeps with sampler='crossing'/'window' need the "
             "elevation grid, not a pack_dem_pairs plane")
     dem_packed, n = _as_packed(dem_f)
     pts = jnp.asarray(viewpoints_ij, jnp.float32)
@@ -390,6 +392,32 @@ def viewshed_sweep(dem, viewpoints_ij, *, viewer_height_m=2.0, width=256,
                                              nsteps)
     elif nsteps is None:
         nsteps = 512
+    return dem_packed, pts, vz, nsteps, lat_hint_deg, al_scene, cos_viewer_lat
+
+
+def viewshed_sweep(dem, viewpoints_ij, *, viewer_height_m=2.0, width=256,
+                   nsteps=None, cells_per_deg=1200, znear=50.0, zfar=20000.0,
+                   cos_viewer_lat=None, batch=256, surface="bilinear",
+                   sampler="crossing", lat_deg=None, mesh=None):
+    """Sweep many viewpoints over a DEM region (host-side driver).
+
+    viewpoints_ij: (N, 2) float cell coords. Renders in fixed-size batches to
+    keep one compiled executable, returning (N, width) horizon profiles.
+    Viewer elevation = terrain + viewer_height_m (sampled bilinearly).
+    Default sampler 'crossing' (the fast path); 'step' for the uniform-step
+    oracle (surface= applies there).
+
+    ``mesh``: a jax.sharding.Mesh with a "batch" axis -- each dispatch's
+    viewpoint batch shards across its devices (the config-5 10k-viewpoint
+    sweep scaled over a pod slice). ``batch`` must be a multiple of the
+    axis size; the DEM replicates (shard it separately with
+    parallel.regions when it exceeds one chip's HBM).
+    """
+    (dem_packed, pts, vz, nsteps, lat_hint_deg, al_scene,
+     cos_viewer_lat) = _sweep_prep(
+        dem, viewpoints_ij, viewer_height_m, sampler=sampler, nsteps=nsteps,
+        cells_per_deg=cells_per_deg, zfar=zfar,
+        cos_viewer_lat=cos_viewer_lat, lat_deg=lat_deg)
 
     sweep = functools.partial(
         horizon_sweep, width=width, nsteps=nsteps,
@@ -431,3 +459,98 @@ def viewshed_sweep(dem, viewpoints_ij, *, viewer_height_m=2.0, width=256,
         from ..parallel.sharding import broadcast_params_batch
         outs.append(sweep_call(dem_packed, broadcast_params_batch(params)))
     return jnp.concatenate(outs, axis=0)[:nview]
+
+
+@functools.lru_cache(maxsize=32)
+def _counter(mesh, width, nsteps, cells_per_deg, sampler, lat_hint_deg,
+             znear_hint_m, out_halfwidth, center_i, center_j):
+    """Jitted (optionally shard_map'd) cumulative-count kernel, cached per
+    (mesh, static config) like _sharded_sweep."""
+    hw = out_halfwidth
+
+    def count_batch(dem, scene, params_b, weights):
+        def body(acc, pw):
+            p, w = pw
+            vis = viewshed_grid(
+                dem, p, width=width, nsteps=nsteps,
+                cells_per_deg=cells_per_deg, sampler=sampler,
+                lat_hint_deg=lat_hint_deg, znear_hint_m=znear_hint_m,
+                out_halfwidth=hw, out_center_ij=(center_i, center_j),
+                aligned_scene=scene)
+            return acc + vis.astype(jnp.int32) * w, None
+        acc0 = jnp.zeros((2 * hw, 2 * hw), jnp.int32)
+        return jax.lax.scan(body, acc0, (params_b, weights))[0]
+
+    if mesh is None:
+        return jax.jit(count_batch)
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map              # jax >= 0.8
+    except ImportError:                        # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    inner = lambda dem, scene, p, w: jax.lax.psum(
+        count_batch(dem, scene, p, w), "batch")
+    return jax.jit(shard_map(
+        inner, mesh=mesh, in_specs=(P(), P(), P("batch"), P("batch")),
+        out_specs=P(),
+        check_vma=False))   # pallas window kernel under shard_map
+
+
+def viewshed_count(dem, viewpoints_ij, *, out_center_ij, out_halfwidth,
+                   viewer_height_m=2.0, width=256, nsteps=None,
+                   cells_per_deg=1200, znear=50.0, zfar=20000.0,
+                   cos_viewer_lat=None, lat_deg=None, batch=64,
+                   sampler="window", mesh=None):
+    """Cumulative (multi-observer) viewshed: per-cell observer counts.
+
+    The standard GIS product the reference cannot express at all: for a
+    FIXED output window (``out_center_ij`` float cell coords of its
+    center, ``out_halfwidth`` cells half-width), count how many of the N
+    observers see each cell. Every observer's raster is registered to
+    that one frame (viewshed_grid's ``out_center_ij``) and accumulated ON
+    DEVICE -- nothing but the final (2hw, 2hw) int32 counts ever leaves.
+
+    Same conventions as viewshed_sweep: viewpoints_ij (N, 2) float cell
+    coords, observers ``viewer_height_m`` above the bilinear terrain,
+    full 360-degree sweep each, fixed-size ``batch`` per dispatch (one
+    compiled executable; pad viewpoints carry ZERO weight so counts are
+    exact for any N). ``mesh``: shard each dispatch's batch over a
+    "batch" mesh axis; the per-device partial counts combine with one
+    psum (counts, not rasters, ride the ICI).
+    """
+    (dem_fmt, pts, vz, nsteps, lat_hint_deg, al_scene,
+     cos_viewer_lat) = _sweep_prep(
+        dem, viewpoints_ij, viewer_height_m, sampler=sampler, nsteps=nsteps,
+        cells_per_deg=cells_per_deg, zfar=zfar,
+        cos_viewer_lat=cos_viewer_lat, lat_deg=lat_deg)
+    hw = int(out_halfwidth)
+    if mesh is not None and batch % mesh.shape["batch"]:
+        raise ValueError(f"batch {batch} not divisible by mesh batch axis "
+                         f"{mesh.shape['batch']}")
+    count = _counter(mesh, width, nsteps, cells_per_deg, sampler,
+                     lat_hint_deg, float(znear), hw,
+                     float(out_center_ij[0]), float(out_center_ij[1]))
+
+    from ..parallel.sharding import broadcast_params_batch
+    nview = pts.shape[0]
+    npad = -(-nview // batch) * batch
+    pad = npad - nview
+    pts_p = jnp.pad(pts, ((0, pad), (0, 0)), mode="edge")
+    vz_p = jnp.pad(vz, (0, pad), mode="edge")
+    w_p = jnp.pad(jnp.ones((nview,), jnp.int32), (0, pad))
+    total = jnp.zeros((2 * hw, 2 * hw), jnp.int32)
+    for b in range(0, npad, batch):
+        sl = slice(b, b + batch)
+        params = RenderParams(
+            viewer_cell_i=pts_p[sl, 0], viewer_cell_j=pts_p[sl, 1],
+            viewer_z=vz_p[sl],
+            cos_viewer_lat=jnp.full((batch,), cos_viewer_lat, jnp.float32),
+            az_rad0=jnp.full((batch,), -math.pi, jnp.float32),
+            az_rad1=jnp.full((batch,), math.pi, jnp.float32),
+            znear=jnp.full((batch,), znear, jnp.float32),
+            zfar=jnp.full((batch,), zfar, jnp.float32),
+            znear_color=jnp.full((batch,), znear, jnp.float32),
+            zfar_color=jnp.full((batch,), zfar, jnp.float32))
+        total = total + count(dem_fmt, al_scene,
+                              broadcast_params_batch(params), w_p[sl])
+    return total

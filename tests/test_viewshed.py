@@ -301,3 +301,111 @@ def test_sweep_accepts_int16_grid():
     out = viewshed_sweep(dem16, pts, width=32, nsteps=64, cells_per_deg=CPD,
                          zfar=4000.0, batch=1, sampler="crossing")
     assert out.shape == (1, 32) and np.isfinite(np.asarray(out)).all()
+
+
+def test_viewshed_grid_fixed_center_matches_default():
+    """out_center_ij = the viewer's own fractional position must reproduce
+    the default viewer-centered window bitwise (the offsets are the same
+    f32 numbers)."""
+    n = 512
+    dem_np = np.zeros((n, n), np.float32)
+    dem_np[300:302, :] = 400.0
+    dem = jnp.asarray(dem_np)
+    p = params(256.25, 256.5, 2.0, zfar=8000.0)
+    kw = dict(width=256, nsteps=256, cells_per_deg=CPD, sampler="window",
+              out_halfwidth=64)
+    base = np.asarray(viewshed_grid(dem, p, **kw))
+    fixed = np.asarray(viewshed_grid(dem, p, out_center_ij=(256.25, 256.5),
+                                     **kw))
+    assert np.array_equal(base, fixed)
+
+
+def test_viewshed_grid_shifted_center_registers():
+    """A center shifted by whole cells must index the same ground cells:
+    the overlap of the two windows must agree exactly (flat terrain far
+    from edges -- registration is what's under test)."""
+    n = 512
+    dem = jnp.zeros((n, n), jnp.float32)
+    p = params(256.0, 256.0, 2.0, zfar=8000.0)
+    kw = dict(width=256, nsteps=256, cells_per_deg=CPD, sampler="window",
+              out_halfwidth=32)
+    base = np.asarray(viewshed_grid(dem, p, out_center_ij=(256.0, 256.0),
+                                    **kw))
+    shifted = np.asarray(viewshed_grid(dem, p, out_center_ij=(266.0, 252.0),
+                                       **kw))
+    # row axis = j (north), col axis = i (east); center moved by
+    # (di, dj) = (+10 east, -4 north)
+    di, dj = 10, -4
+    b = base[max(0, -dj):64 + min(0, -dj), max(0, -di):64 + min(0, -di)]
+    s = shifted[max(0, dj):64 + min(0, dj), max(0, di):64 + min(0, di)]
+    assert np.array_equal(b, s)
+
+
+def test_viewshed_count_single_equals_grid():
+    """One observer, window centered on it -> counts == the boolean grid."""
+    from horizonator_tpu.ops import viewshed_count
+    n = 512
+    dem_np = np.zeros((n, n), np.float32)
+    dem_np[300:302, :] = 400.0
+    dem = jnp.asarray(dem_np)
+    p = params(256.0, 256.0, 2.0, zfar=8000.0)
+    kw = dict(width=256, nsteps=256, cells_per_deg=CPD, sampler="window",
+              out_halfwidth=48)
+    grid = np.asarray(viewshed_grid(dem, p, **kw)).astype(np.int32)
+    counts = np.asarray(viewshed_count(
+        dem, np.array([[256.0, 256.0]]), out_center_ij=(256.0, 256.0),
+        out_halfwidth=48, viewer_height_m=2.0, width=256, nsteps=256,
+        cells_per_deg=CPD, znear=50.0, zfar=8000.0, batch=4,
+        sampler="window"))
+    assert counts.shape == (96, 96)
+    assert np.array_equal(counts, grid)
+
+
+def test_viewshed_count_flat_analytic():
+    """Flat plain: every cell within [znear, zfar] of an observer is seen
+    by it (grazing visibility on flat ground), so the counts equal the
+    analytic ring-membership sum. Also proves pad weights are exact
+    (3 observers, batch=2 -> one zero-weight pad)."""
+    from horizonator_tpu.ops import viewshed_count
+    n = 512
+    dem = jnp.zeros((n, n), jnp.float32)
+    pts = np.array([[236.0, 246.0], [276.0, 266.0], [256.0, 251.0]])
+    hw, c = 40, (256.0, 256.0)
+    znear, zfar = 50.0, 6000.0
+    counts = np.asarray(viewshed_count(
+        dem, pts, out_center_ij=c, out_halfwidth=hw, viewer_height_m=2.0,
+        width=512, nsteps=256, cells_per_deg=CPD, znear=znear, zfar=zfar,
+        batch=2, sampler="window"))
+    ii = c[0] - hw + np.arange(2 * hw) + 0.5
+    jj = c[1] - hw + np.arange(2 * hw) + 0.5
+    expect = np.zeros((2 * hw, 2 * hw), np.int32)
+    for vi, vj in pts:
+        d = np.hypot((ii[None, :] - vi) * CELL_M,
+                     (jj[:, None] - vj) * CELL_M)
+        expect += ((d >= znear) & (d <= zfar)).astype(np.int32)
+    # boundary cells can flip either way at the znear ring (the polar
+    # inversion rounds to the nearest sample); interiors must agree
+    mism = (counts != expect).mean()
+    assert mism < 0.02, f"mismatch fraction {mism}"
+    assert counts.max() == 3 and counts.min() >= 0
+
+
+def test_viewshed_count_mesh_matches_single():
+    """8-virtual-device mesh: counts identical to the unsharded run."""
+    import jax
+    from jax.sharding import Mesh
+    from horizonator_tpu.ops import viewshed_count
+    n = 512
+    dem_np = np.zeros((n, n), np.float32)
+    dem_np[280:283, :] = 300.0
+    dem = jnp.asarray(dem_np)
+    pts = np.array([[246.0, 246.0], [266.0, 266.0], [256.0, 240.0],
+                    [250.0, 270.0], [262.0, 254.0]])
+    kw = dict(out_center_ij=(256.0, 256.0), out_halfwidth=32,
+              viewer_height_m=2.0, width=256, nsteps=256,
+              cells_per_deg=CPD, znear=50.0, zfar=6000.0, batch=8,
+              sampler="window")
+    single = np.asarray(viewshed_count(dem, pts, **kw))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("batch",))
+    sharded = np.asarray(viewshed_count(dem, pts, mesh=mesh, **kw))
+    assert np.array_equal(single, sharded)
