@@ -16,6 +16,7 @@ viewer elevation, ``pick()``, ``horizon()``, and batched ``render_batch()``.
 from __future__ import annotations
 
 import math
+import warnings
 
 import numpy as np
 
@@ -53,7 +54,8 @@ class horizonator:
                  texture_on_error="raise", texture_quality="grid2x",
                  curvature="none", allow_dem_downloads=False,
                  dem_url_fmt=None, hillshade=False, sun_az_deg=315.0,
-                 sun_alt_deg=45.0, sun_time=None, shadows=False):
+                 sun_alt_deg=45.0, sun_time=None, shadows=False,
+                 strict_coverage=False):
         if render_radius_cells < 0 and render_radius_m < 0:
             render_radius_cells = RADIUS_CELLS_DEFAULT_PY  # horizonator-pywrap.c:65,98-99
         elif render_radius_cells > 0 and render_radius_m > 0:
@@ -188,6 +190,38 @@ class horizonator:
         self._last = None   # (ranges ndarray, render kwargs) for pick()
         self._los_packed = None   # lazily-built pair-packed DEM for LOS ops
         self._skyline_scene = None  # lazily-built CrossingScene for skyline()
+        # Window-kernel coverage self-guard: when the march reports dropped
+        # samples (CrossingDists.dropped != 0 -- a manual nsteps= below
+        # k_cross_for's latitude-scaled budget, or a wrong lat hint), warn
+        # (or raise under strict_coverage=True) instead of silently
+        # lowering horizons.
+        self.strict_coverage = bool(strict_coverage)
+
+    @staticmethod
+    def _guard_of(dists):
+        """dropped + truncated as one device scalar (None if neither)."""
+        parts = [x for x in (getattr(dists, "dropped", None),
+                             getattr(dists, "truncated", None))
+                 if x is not None]
+        if not parts:
+            return None
+        return parts[0] if len(parts) == 1 else parts[0] + parts[1]
+
+    def _check_dropped(self, dropped, what="render"):
+        """Surface the march's dropped-sample counter (one device int32
+        pull -- callers invoke this alongside an existing D2H sync)."""
+        if dropped is None:
+            return
+        n = int(dropped)
+        if n:
+            msg = (f"{what}(): {n} march samples exceeded the static "
+                   f"window/step budget and were masked -- horizons may be "
+                   f"silently low. Usual cause: a manual nsteps= below "
+                   f"k_cross_for's latitude-scaled budget, or a wrong "
+                   f"lat_hint. Raise nsteps or drop the override.")
+            if self.strict_coverage:
+                raise RuntimeError(msg)
+            warnings.warn(msg, RuntimeWarning, stacklevel=3)
 
     def _put_color_planes(self, planes, scale, device):
         """Shared tail of the texture/hillshade plane prep: camera-
@@ -332,7 +366,7 @@ class horizonator:
             curv=f(self._curv))
 
         dem, sampler, nsteps, lod_plan = self._batch_render_plan(znear, zfar)
-        image, ranges = render_panorama(
+        image, ranges, dropped = render_panorama(
             dem, params,
             width=self.width, height=self.height, nsteps=nsteps,
             cells_per_deg=self.mosaic.cells_per_deg,
@@ -343,7 +377,8 @@ class horizonator:
             lod_plan=lod_plan, znear_hint_m=self._znear_hint(znear),
             color_planes=self._color_planes if sampler == "window" else None,
             aligned_scene=(self._aligned_for(nsteps)
-                           if sampler == "window" else None))
+                           if sampler == "window" else None),
+            with_dropped=True)
 
         # pick() needs the range image, but pulling it device->host on
         # EVERY render would add a full D2H transfer per frame even when
@@ -359,6 +394,9 @@ class horizonator:
             out.append(np.asarray(image))
         if return_range:
             out.append(ranges_np)
+        # the image/ranges pull above already synced the dispatch; the
+        # guard scalar's own D2H is then a cheap tail read
+        self._check_dropped(dropped, "render")
         return tuple(out) if len(out) > 1 else out[0]
 
     def _last_ranges(self):
@@ -527,15 +565,17 @@ class horizonator:
             az_rad0=f(math.radians(az_deg0)), az_rad1=f(math.radians(az_deg1)),
             znear=f(znear), zfar=f(zfar), znear_color=f(znear),
             zfar_color=f(zfar), curv=f(self._curv))
+        dropped = None
         if self.sampler == "window":
             from .render.window import march_window
             nsteps = self._auto_nsteps(znear, zfar)
-            tanel, _, _, az = march_window(
+            tanel, _, dists, az = march_window(
                 self._dem, params, width=width, k_cross=nsteps,
                 cells_per_deg=self.mosaic.cells_per_deg,
                 lat_hint_deg=self._lat_hint(),
                 znear_hint_m=self._znear_hint(znear),
                 scene=self._aligned_for(nsteps))
+            dropped = self._guard_of(dists)
             # full-column horizon = plain max; the running-max scan
             # dead-codes out (it cost ~0.45 ms at headline widths)
             tan_el = jnp.max(tanel, axis=1)
@@ -550,7 +590,9 @@ class horizonator:
                 self._dem, params, width=width,
                 nsteps=self._auto_nsteps(znear, zfar),
                 cells_per_deg=self.mosaic.cells_per_deg, surface=self.surface)
-        return np.asarray(az), np.asarray(tan_el)
+        out = np.asarray(az), np.asarray(tan_el)
+        self._check_dropped(dropped, "horizon")
+        return out
 
     def skyline(self, az_deg0, az_deg1, *, width=None,
                 znear=ZNEAR_DEFAULT, zfar=ZFAR_DEFAULT):
@@ -596,6 +638,18 @@ class horizonator:
             # scenes (packed pairs / pyramid) don't carry a distance table;
             # build + cache a CrossingScene once.
             from .render.crossing import march_crossing, pack_scene
+            if self.sampler not in ("crossing",) and self._nsteps_fixed is None:
+                # step/lod budgets are UNIFORM-spacing counts
+                # ((zfar-znear)/cell_north * oversample) -- too small for a
+                # crossing march above |lat|~48 deg (cos < 1/oversample) or
+                # with a lowered oversample, silently truncating the distant
+                # skyline. Use the crossing march's own column-dominant
+                # budget instead (k_cross_for), keeping explicit nsteps=
+                # overrides untouched.
+                from .render.crossing import k_cross_for
+                nsteps = k_cross_for(zfar, self.mosaic.cells_per_deg,
+                                     self.viewer_lat,
+                                     n=self.mosaic.grid.shape[0])
             if self.sampler == "crossing":
                 scene = self._dem
             else:
@@ -615,6 +669,7 @@ class horizonator:
         # one stacked D2H pull (the tunneled-TPU transfer floor is per-op)
         out = np.asarray(jnp.stack([az, jnp.arctan(tan_el), d, lat, lon]),
                          dtype=np.float64)
+        self._check_dropped(self._guard_of(dists), "skyline")
         return {"az_deg": np.degrees(out[0]), "el_deg": np.degrees(out[1]),
                 "dist_m": out[2], "lat": out[3], "lon": out[4]}
 

@@ -244,22 +244,36 @@ def main(argv=None) -> int:
     if not (-180.0 <= args.lon <= 180.0):
         print("Got invalid longitude", file=sys.stderr)
         return 1
-    if args.width > 0 and args.image is None and args.horizon_out is None:
-        print("--width makes sense only with --image", file=sys.stderr)
+    wants_gis_vectors = (args.horizon_out is not None
+                         or args.pois_out is not None)
+    if args.width > 0 and args.image is None and not wants_gis_vectors:
+        print("--width makes sense only with --image, --horizon-out or "
+              "--pois-out", file=sys.stderr)
         return 1
     if args.width <= 0 and args.image is not None:
         print("--width required if --image", file=sys.stderr)
         return 1
+    if args.width == 1:
+        # the pixel-center az conversion divides by width-1
+        print("--width must be >= 2", file=sys.stderr)
+        return 1
     if args.height > 0 and args.width <= 0:
         print("--height makes sense only with --width", file=sys.stderr)
         return 1
-    if args.viewshed is not None:
-        rc = _run_viewshed(args)
-        if rc != 0 or args.image is None:
-            return rc
+    if args.az_radius_deg <= 0 and (args.image is not None
+                                    or wants_gis_vectors):
+        # the default-height formula divides by az_radius
+        print("AZ_RADIUS_DEG must be > 0", file=sys.stderr)
+        return 1
     if args.pois_out is not None and args.pois is None:
         print("--pois-out needs --pois", file=sys.stderr)
         return 1
+    if args.viewshed is not None:
+        rc = _run_viewshed(args)
+        # only stop here when nothing else was requested: --image,
+        # --horizon-out and --pois-out all compose with --viewshed
+        if rc != 0 or (args.image is None and not wants_gis_vectors):
+            return rc
     if args.image is None and (args.horizon_out is not None
                                or args.pois_out is not None):
         # GIS-products batch mode (like --viewshed: vector outputs, no

@@ -67,6 +67,8 @@ def viewshed_polar(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
         if with_dropped:
             dropped = (dists.dropped if dists.dropped is not None
                        else jnp.int32(0))
+            if dists.truncated is not None:   # k-budget shortfall counts too
+                dropped = dropped + dists.truncated
             return visible, tanel, d, az, dropped
         return visible, tanel, d, az
     tanel, run_max, d, az = march_tanel(
@@ -217,6 +219,8 @@ def viewshed_grid(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
         # raster over-reports visibility
         dropped = (dists.dropped if dists is not None
                    and dists.dropped is not None else jnp.int32(0))
+        if dists is not None and dists.truncated is not None:
+            dropped = dropped + dists.truncated
         return vis, dropped
     return vis
 

@@ -194,6 +194,12 @@ class CrossingDists(NamedTuple):
     # the window) and the horizon may be lowered. 0 == all samples covered.
     # Asserted zero in tests and the TPU smoke run.
     dropped: jax.Array | None = None
+    # march_window only: int32 count of columns whose geometrically-valid
+    # crossing interval extends past the caller's k budget -- the march
+    # stopped before zfar/the grid edge and far terrain went unmarched
+    # (the failure mode of a manual nsteps below k_cross_for's
+    # latitude-scaled budget). 0 under any k_cross_for-sized budget.
+    truncated: jax.Array | None = None
     # march_window AlignedScene path only: (W,) per-column lane offset --
     # sample lane l past the near band is crossing STEP l - lane0 (the
     # sub-128 residual of the camera-dependent table start that the

@@ -123,6 +123,10 @@ class LodDists(NamedTuple):
     # summed march_window dropped-tile counters across levels (see
     # crossing.CrossingDists.dropped); 0 == every level's window covered
     dropped: jax.Array | None = None
+    # summed march_window budget-truncation counters across levels (see
+    # crossing.CrossingDists.truncated); each level's zfar is clipped to
+    # its band, so 0 under any lod_plan-sized budget
+    truncated: jax.Array | None = None
 
     def d_of(self, idx):
         q = self.n_near
@@ -165,6 +169,7 @@ def march_lod(pyramid, params: RenderParams, *, width, plan, cells_per_deg,
     scales = []
     near_hi = None
     dropped = jnp.int32(0)
+    truncated = jnp.int32(0)
     for si, spec in enumerate(plan):
         dem_l = pyramid[spec.level]
         p_l = _scaled_params(p, spec.level)
@@ -193,6 +198,7 @@ def march_lod(pyramid, params: RenderParams, *, width, plan, cells_per_deg,
         es.append(dists_l.e)
         scales.append(dists_l.scale)
         dropped = dropped + dists_l.dropped
+        truncated = truncated + dists_l.truncated
 
     tanel = jnp.concatenate(segs, axis=1)
     run_max = _scan_shift(tanel, jnp.maximum, NEG_BIG)
@@ -200,5 +206,5 @@ def march_lod(pyramid, params: RenderParams, *, width, plan, cells_per_deg,
                      znear=p.znear, near_hi=near_hi, n_near=n_near,
                      k_lo=tuple(s.k_lo for s in plan),
                      seg_len=tuple(s.k_len for s in plan),
-                     dropped=dropped)
+                     dropped=dropped, truncated=truncated)
     return tanel, run_max, dists, az

@@ -799,13 +799,13 @@ def march_tanel(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
     static_argnames=("width", "height", "nsteps", "cells_per_deg",
                      "surface", "refine", "textured", "atlas_params",
                      "sampler", "lat_hint_deg", "lod_plan",
-                     "znear_hint_m"))
+                     "znear_hint_m", "with_dropped"))
 def render_panorama(dem, params: RenderParams, *, width, height, nsteps,
                     cells_per_deg, surface="bilinear", refine=True,
                     textured=False, atlas=None, atlas_params=None,
                     sampler="step", lat_hint_deg=45.0, lod_plan=None,
                     color_planes=None, znear_hint_m=100.0,
-                    aligned_scene=None):
+                    aligned_scene=None, with_dropped=False):
     """Render one panorama.
 
     Args:
@@ -841,8 +841,14 @@ def render_panorama(dem, params: RenderParams, *, width, height, nsteps,
         (glClearColor(0,0,1), horizonator-lib.c:185).
       ranges: (H, W) float32 3D slant range in meters; invisible/sky = -1
         (horizonator.h:164, depth->range math horizonator-lib.c:978-1047).
+      with_dropped=True appends the march's dropped-sample self-guard
+        counter (CrossingDists.dropped; a device int32 scalar, or None for
+        samplers without one): nonzero means valid samples were masked by
+        an undersized static window/budget and horizons may be silently
+        lowered -- callers should surface it loudly.
     """
     p = params
+    dists = None
     tex_samples = None
     if sampler == "lod":
         from . import lod as _lod
@@ -891,10 +897,18 @@ def render_panorama(dem, params: RenderParams, *, width, height, nsteps,
             return p.znear + (idx.astype(jnp.float32) + 0.5) * step
     else:
         raise ValueError(f"unknown sampler {sampler!r}")
-    return resolve_to_image(
+    out = resolve_to_image(
         tanel, run_max, d_of, az, p, width=width, height=height,
         cells_per_deg=cells_per_deg, refine=refine, textured=textured,
         atlas=atlas, atlas_params=atlas_params, tex_samples=tex_samples)
+    if with_dropped:
+        parts = [x for x in (getattr(dists, "dropped", None),
+                             getattr(dists, "truncated", None))
+                 if x is not None]
+        guard = parts[0] if len(parts) == 1 else (
+            parts[0] + parts[1] if parts else None)
+        return out + (guard,)
+    return out
 
 
 def resolve_to_image(tanel, run_max, d_of, az, params, *, width, height,

@@ -719,6 +719,35 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
              & (d_all >= p.znear) & (d_all <= p.zfar)
              & (m >= 0.0) & (m < k_limit))
 
+    # --- budget-truncation self-guard (free (W,)-array VPU math) -----------
+    # Every validity constraint above is a monotone interval in the step
+    # index m, so the valid set per column is one interval [m_lo, m_hi];
+    # if it reaches past the k budget, the march stopped short of zfar /
+    # the grid edge and far terrain silently went unmarched (the failure
+    # mode of a manual nsteps below k_cross_for's latitude-scaled budget).
+    # Count such columns -- surfaced as dists.truncated; 0 under any
+    # k_cross_for-sized budget (its +2-step margin dominates e in [0,1)).
+    ax0f = geo.axis0.astype(jnp.float32)
+    sgnf = geo.sign.astype(jnp.float32)
+    big = jnp.float32(3e38)
+    abs_t = jnp.maximum(jnp.abs(geo.t), jnp.float32(1e-30))
+    ax_hi_m = jnp.where(sgnf > 0, axis_hi - ax0f, ax0f - axis_lo)
+    ax_lo_m = jnp.where(sgnf > 0, axis_lo - ax0f, ax0f - axis_hi)
+    pos_hi_m = jnp.where(
+        geo.t == 0.0, big,
+        jnp.where(geo.t > 0, cross_hi - geo.a, geo.a - cross_lo) / abs_t)
+    pos_lo_m = jnp.where(
+        geo.t == 0.0, -big,
+        jnp.where(geo.t > 0, cross_lo - geo.a, geo.a - cross_hi) / abs_t)
+    m_hi = jnp.minimum(jnp.minimum(ax_hi_m, pos_hi_m),
+                       p.zfar / geo.scale - geo.e)
+    m_lo = jnp.maximum(jnp.maximum(ax_lo_m, pos_lo_m),
+                       jnp.maximum(p.znear / geo.scale - geo.e, 0.0))
+    truncated = jnp.sum(
+        (jnp.floor(m_hi) >= jnp.maximum(jnp.ceil(m_lo),
+                                        jnp.float32(k_limit)))
+        .astype(jnp.int32))
+
     # the window origins/extents index LOCAL table rows: the E/W cross
     # axis (row coordinate) shifts by j_offset
     pos_local = jnp.where(jd[:, None], pos, pos - offs_f)
@@ -1059,6 +1088,7 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
     # unaligned path's
     dists = CrossingDists(e=geo.e, scale=geo.scale, znear=p.znear,
                           near_hi=near_hi, n_near=n_near, dropped=dropped,
+                          truncated=truncated,
                           lane0=r_col if aligned else None)
     if textured:
         return tanel, run_max, dists, geo.az, tex

@@ -179,6 +179,58 @@ def test_cli_arg_validation(dem_dir):
                         "95", "-117", "0", "45"],
                        capture_output=True, text=True, cwd="/root/repo", env=env)
     assert r.returncode == 1 and "latitude" in r.stderr
+    # --width WITH --pois-out alone is legal (the GIS batch mode reads it;
+    # r3 rejected it with a misleading --image error): validation falls
+    # through to the pois/pois-out pairing check instead
+    r = subprocess.run([sys.executable, "-m", "horizonator_tpu.cli",
+                        "--width", "100", "--pois-out", "/tmp/x.geojson",
+                        "34", "-117", "0", "45"],
+                       capture_output=True, text=True, cwd="/root/repo", env=env)
+    assert r.returncode == 1 and "--pois-out needs --pois" in r.stderr
+    # --width 1 would divide by zero in the pixel-center conversion
+    r = subprocess.run([sys.executable, "-m", "horizonator_tpu.cli",
+                        "--width", "1", "--image", "/tmp/x.png",
+                        "34", "-117", "0", "45"],
+                       capture_output=True, text=True, cwd="/root/repo", env=env)
+    assert r.returncode == 1 and "width" in r.stderr
+    # AZ_RADIUS_DEG 0 would divide by zero in the default-height formula
+    r = subprocess.run([sys.executable, "-m", "horizonator_tpu.cli",
+                        "--width", "100", "--image", "/tmp/x.png",
+                        "34", "-117", "0", "0"],
+                       capture_output=True, text=True, cwd="/root/repo", env=env)
+    assert r.returncode == 1 and "AZ_RADIUS_DEG" in r.stderr
+
+
+def test_dropped_guard_small_nsteps_warns(dem_dir):
+    """A manual nsteps below k_cross_for's latitude-scaled budget used to
+    silently truncate the march short of zfar (lowered horizons); the
+    march's truncation counter now reaches render()/horizon() as a
+    RuntimeWarning, and strict_coverage=True turns it into an error."""
+    hh = horizonator(34.40, -117.45, 64, 32, dir_dems=dem_dir,
+                     render_radius_m=20000.0, nsteps=64)
+    with pytest.warns(RuntimeWarning, match="masked"):
+        hh.render(-60, 60, zfar=20000.0)
+    with pytest.warns(RuntimeWarning, match="masked"):
+        hh.horizon(-60, 60, zfar=20000.0)
+    with pytest.warns(RuntimeWarning, match="masked"):
+        hh.skyline(-60, 60, zfar=20000.0)
+    hs = horizonator(34.40, -117.45, 64, 32, dir_dems=dem_dir,
+                     render_radius_m=20000.0, nsteps=64,
+                     strict_coverage=True)
+    with pytest.raises(RuntimeError, match="masked"):
+        hs.render(-60, 60, zfar=20000.0)
+
+
+def test_dropped_guard_quiet_on_auto_budget(dem_dir):
+    """The default (k_cross_for-sized) budget must never trip the guard."""
+    import warnings
+    hh = horizonator(34.40, -117.45, 64, 32, dir_dems=dem_dir,
+                     render_radius_m=20000.0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        hh.render(-60, 60, zfar=20000.0)
+        hh.horizon(-60, 60, zfar=20000.0)
+        hh.skyline(-60, 60, zfar=20000.0)
 
 
 def test_render_batch_method(dem_dir):

@@ -93,6 +93,24 @@ def test_skyline_sampler_crosscheck(dem_dir, h):
     np.testing.assert_allclose(a["lat"], b["lat"], atol=1e-5, rtol=0)
 
 
+def test_skyline_step_sampler_budget(dem_dir):
+    """skyline() always marches CROSSINGS, so its step budget must be
+    k_cross_for's column-dominant count even on the step/lod samplers:
+    the uniform-step budget ((zfar-znear)/cell_north * oversample) runs
+    out before zfar once oversample < 1/cos(lat), and the old code
+    silently truncated the distant skyline (the ridge at 27.8 km vanished
+    while horizon() still saw it)."""
+    hh = horizonator(VLAT, VLON, 96, 48, dir_dems=dem_dir,
+                     render_radius_m=35000.0, sampler="step", oversample=0.5)
+    sky = hh.skyline(-10.0, 10.0, width=33, zfar=35000.0)
+    el_deg, d_el = _oracle_max_el(hh.viewer_z)
+    assert abs(sky["el_deg"].max() - el_deg) < 0.05
+    assert abs(sky["dist_m"][np.argmax(sky["el_deg"])] - d_el) < 600.0
+    # and horizon() (uniform steps, which DO reach zfar) agrees
+    _, tan_el = hh.horizon(-10.0, 10.0, width=33, zfar=35000.0)
+    assert abs(np.degrees(np.arctan(tan_el)).max() - el_deg) < 0.05
+
+
 def test_geojson_and_csv_roundtrip(h, tmp_path):
     sky = h.skyline(-10.0, 10.0, width=17)
     p = tmp_path / "sky.geojson"
@@ -179,3 +197,21 @@ def test_cli_horizon_out(dem_dir, tmp_path):
     dm = np.array(feat["properties"]["dist_m"])
     assert el.max() > 1.0
     assert abs(dm[np.argmax(el)] - D_CREST) < 2000.0
+
+
+def test_cli_viewshed_composes_with_horizon_out(dem_dir, tmp_path):
+    """--viewshed + --horizon-out without --image must write BOTH outputs:
+    the r3 CLI returned right after the viewshed and silently skipped the
+    requested vector products."""
+    tif = tmp_path / "vis.tif"
+    out = tmp_path / "horizon.geojson"
+    r = subprocess.run(
+        [sys.executable, "-m", "horizonator_tpu.cli",
+         "--dirdems", dem_dir, "--width", "33", "--zfar", "8000",
+         "--viewshed", str(tif), "--viewshed-halfwidth", "24",
+         "--horizon-out", str(out), str(VLAT), str(VLON), "0", "15"],
+        capture_output=True, text=True, timeout=600, env=_CLI_ENV)
+    assert r.returncode == 0, r.stderr
+    assert tif.exists() and tif.stat().st_size > 0
+    doc = json.loads(out.read_text())
+    assert len(doc["features"][0]["geometry"]["coordinates"]) == 33
