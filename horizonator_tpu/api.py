@@ -102,6 +102,7 @@ class horizonator:
 
         dem_f32 = self.mosaic.grid.astype(np.float32)
         self._pyramid = None
+        self._color_pyramid = None   # lod.build_color_pyramid, lazy
         if sampler == "window":
             self._dem = jax.device_put(jnp.asarray(dem_f32), device)
         elif sampler == "crossing":
@@ -365,7 +366,8 @@ class horizonator:
             znear_color=f(znear_color), zfar_color=f(zfar_color),
             curv=f(self._curv))
 
-        dem, sampler, nsteps, lod_plan = self._batch_render_plan(znear, zfar)
+        dem, sampler, nsteps, lod_plan, cp = self._batch_render_plan(znear,
+                                                                     zfar)
         image, ranges, dropped = render_panorama(
             dem, params,
             width=self.width, height=self.height, nsteps=nsteps,
@@ -375,7 +377,7 @@ class horizonator:
             atlas=self._atlas, atlas_params=self._atlas_params,
             sampler=sampler, lat_hint_deg=self._lat_hint(),
             lod_plan=lod_plan, znear_hint_m=self._znear_hint(znear),
-            color_planes=self._color_planes if sampler == "window" else None,
+            color_planes=cp,
             aligned_scene=(self._aligned_for(nsteps)
                            if sampler == "window" else None),
             with_dropped=True)
@@ -419,22 +421,21 @@ class horizonator:
         return float(max(128.0, 2.0 ** math.ceil(math.log2(max(znear, 1.0)))))
 
     def _batch_render_plan(self, znear, zfar):
-        """(dem, sampler, nsteps, lod_plan): the auto-LOD switch shared by
-        render() and the batch/path renderers -- long clip ranges (e.g.
-        300 km at SRTM1) swap the flat march for the LOD mip-chain; step
-        count then grows ~logarithmically with zfar."""
+        """(dem, sampler, nsteps, lod_plan, color_planes): the auto-LOD
+        switch shared by render() and the batch/path renderers -- long clip
+        ranges (e.g. 300 km at SRTM1) swap the flat march for the LOD
+        mip-chain; step count then grows ~logarithmically with zfar.
+        Textured/hillshade renders ride along: the LOD march samples a
+        color MIP CHAIN in-kernel (lod.build_color_pyramid), so the swap
+        never falls back to per-pixel atlas gathers."""
         nsteps = self._auto_nsteps(znear, zfar)
         sampler = self.sampler if self.sampler != "lod" else "window"
         dem = self._dem
         lod_plan = None
-        # Textured renders WITHOUT an atlas (= hillshade) must stay on the
-        # flat window march: march_lod has no color-plane path, and unlike
-        # OSM textures there is no atlas to fall back to for per-pixel
-        # gathers -- the LOD swap would crash in resolve_to_image. Long
-        # hillshade clips pay linear (not log) step count; still correct.
-        lod_ok = not (self.render_texture and self._atlas is None)
-        if sampler == "window" and nsteps > 1536 and lod_ok:
-            from .render.lod import lod_plan as _mk_plan, build_pyramid
+        cp = self._color_planes if sampler == "window" else None
+        if sampler == "window" and nsteps > 1536:
+            from .render.lod import lod_plan as _mk_plan, build_pyramid, \
+                build_color_pyramid
             lod_plan = _mk_plan(zfar, self.width, self.mosaic.cells_per_deg,
                                 self._lat_plan_hint(),
                                 self.mosaic.grid.shape[0])
@@ -445,7 +446,15 @@ class horizonator:
                     for x in build_pyramid(self._dem, nlev))
             dem = self._pyramid
             sampler = "lod"
-        return dem, sampler, nsteps, lod_plan
+            if cp is not None:
+                if (self._color_pyramid is None
+                        or len(self._color_pyramid) < nlev):
+                    self._color_pyramid = jax.tree.map(
+                        jax.device_put,
+                        build_color_pyramid(cp, nlev,
+                                            self.mosaic.grid.shape[0]))
+                cp = self._color_pyramid
+        return dem, sampler, nsteps, lod_plan, cp
 
     def render_batch(self, az_deg0, az_deg1, lats, lons, *, ele_m=None,
                      znear=ZNEAR_DEFAULT, zfar=ZFAR_DEFAULT,
@@ -485,13 +494,14 @@ class horizonator:
                 znear=f(znear), zfar=f(zfar),
                 znear_color=f(znear_color), zfar_color=f(zfar_color),
                 curv=f(self._curv)))
-        dem, sampler, nsteps, lod_plan = self._batch_render_plan(znear, zfar)
-        # textured follows render(): the window sampler textures in-kernel
-        # from the grid color planes; the LOD sampler (long clip ranges)
-        # textures from the atlas at resolve time, so the atlas must ride
-        # along or the resolve would crash on atlas=None
+        dem, sampler, nsteps, lod_plan, cp = self._batch_render_plan(znear,
+                                                                     zfar)
+        # textured follows render(): the window AND lod samplers texture
+        # in-kernel (grid color planes / the color mip chain); the atlas
+        # only rides along as the resolve-time fallback when no in-kernel
+        # colors exist (e.g. texture_quality="exact")
         textured = self.render_texture and (
-            self._color_planes is not None or self._atlas is not None)
+            cp is not None or self._atlas is not None)
         kw = dict(width=self.width, height=self.height, nsteps=nsteps,
                   cells_per_deg=self.mosaic.cells_per_deg,
                   surface=self.surface, refine=self.refine,
@@ -499,8 +509,8 @@ class horizonator:
                   lod_plan=lod_plan, textured=textured,
                   atlas_params=self._atlas_params if textured else None,
                   znear_hint_m=self._znear_hint(znear))
-        cp = (self._color_planes if textured and sampler == "window"
-              else None)
+        if not textured:
+            cp = None
         atlas = self._atlas if textured and cp is None else None
 
         if mesh is None:

@@ -100,10 +100,18 @@ def _banded_march(dem_band, params, *, width, k_cross, cells_per_deg,
     integer row count, so local step indices coincide with global step
     indices and e/scale/near_hi are band-invariant.
 
-    colors_band: optional (3, nb, n) CELL-resolution color planes sharded
-    like the elevation rows ('window' sampler only): they ride the same
-    1-row halo and the march's fused elevation+color tables, so banded
-    textures cost one extra ppermute."""
+    colors_band: optional color planes sharded like the elevation rows
+    ('window' sampler only). CELL resolution: a (3, nb, n) array riding the
+    same 1-row halo and the march's fused elevation+color tables. HALF-CELL
+    (grid2x, the API's default texture quality): a 3-tuple of the prepared
+    global views (texture.prepare_color_planes), row-band sharded --
+    (ns (2n, nb) [x2, band row], ew (2nb, n) [band 2x row, i],
+    full_packed (2nb, 2n)) -- each extended by its own next-band halo
+    (1 step column for ns, 2 cross rows for ew/full_packed: the hat at
+    2*pos reaches row 2*j_hi+1) and re-wrapped as a band-local
+    texture.ColorPlanes2x; the reversed views are LOCAL reversals (a band
+    slice of the global reversed view belongs to the MIRROR device, so
+    rebuilding them locally beats a whole-band ppermute)."""
     nb = dem_band.shape[0]
     idx = jax.lax.axis_index(axis)
 
@@ -114,7 +122,23 @@ def _banded_march(dem_band, params, *, width, k_cross, cells_per_deg,
     local = jnp.concatenate([dem_band, halo], axis=0)          # (nb+1, n)
     j_hi = jnp.where(idx == r - 1, jnp.float32(nb - 1), jnp.float32(nb))
     colors_local = None
-    if colors_band is not None:
+    if isinstance(colors_band, (tuple, list)):
+        from ..render.texture import ColorPlanes2x
+        ns_b, ew_b, fp_b = colors_band
+        ns_h = jax.lax.ppermute(ns_b[:, 0:1], axis, perm)
+        ew_h = jax.lax.ppermute(ew_b[0:2], axis, perm)
+        fp_h = jax.lax.ppermute(fp_b[0:2], axis, perm)
+        last = idx == r - 1
+        ns_l = jnp.concatenate(
+            [ns_b, jnp.where(last, 0, ns_h)], axis=1)          # (2n, nb+1)
+        ew_l = jnp.concatenate(
+            [ew_b, jnp.where(last, 0, ew_h)], axis=0)          # (2nb+2, n)
+        fp_l = jnp.concatenate(
+            [fp_b, jnp.where(last, 0, fp_h)], axis=0)          # (2nb+2, 2n)
+        colors_local = ColorPlanes2x(ns=ns_l, ns_rev=ns_l[:, ::-1],
+                                     ew=ew_l, ew_rev=ew_l[:, ::-1],
+                                     full_packed=fp_l)
+    elif colors_band is not None:
         chalo = jax.lax.ppermute(colors_band[:, 0:1, :], axis, perm)
         chalo = jnp.where(idx == r - 1, jnp.zeros_like(chalo), chalo)
         colors_local = jnp.concatenate([colors_band, chalo], axis=1)
@@ -153,7 +177,8 @@ def _banded_march(dem_band, params, *, width, k_cross, cells_per_deg,
 def make_region_sharded_renderer(mesh: Mesh, *, width, height, k_cross,
                                  cells_per_deg, refine=True, axis="region",
                                  az_axis=None, sampler="window",
-                                 lat_hint_deg=45.0, textured=False):
+                                 lat_hint_deg=45.0, textured=False,
+                                 texture_scale=1):
     """Region-sharded FULL panorama (SURVEY.md 5.8c complete): fn(dem
     (n, n) f32 [n % R == 0], params) -> (image (H, W, 3) u8 BGR, ranges
     (H, W) f32) equal to the single-device crossing render.
@@ -170,12 +195,16 @@ def make_region_sharded_renderer(mesh: Mesh, *, width, height, k_cross,
     region axis, compute with the az axis).
 
     ``textured=True`` ('window' sampler only): the returned fn takes
-    (dem, color_planes, params) with CELL-resolution (3, n, n) planes,
-    row-sharded like the elevation (so texture memory also scales with the
-    region axis). Every sample is valid in exactly ONE band, so the
-    winning colors recombine with a masked pmax; the resolve then routes
-    them exactly as on one device. Half-cell planes need a square
-    unsharded grid and are not available here.
+    (dem, color_planes, params) with the planes row-sharded like the
+    elevation (so texture memory also scales with the region axis).
+    ``texture_scale=1``: CELL-resolution (3, n, n) planes.
+    ``texture_scale=2`` (grid2x, the API's default texture quality): pass
+    (ns, ew, full_packed) from a texture.prepare_color_planes prep -- each
+    band re-wraps its slice (+2x halo) as a local ColorPlanes2x, so the
+    region-sharded render keeps HALF-CELL texture fidelity (r3 silently
+    dropped to cell resolution here). Every sample is valid in exactly ONE
+    band, so the winning colors recombine with a masked pmax; the resolve
+    then routes them exactly as on one device.
     """
     r = mesh.shape[axis]
     n_az = mesh.shape[az_axis] if az_axis else 1
@@ -205,7 +234,14 @@ def make_region_sharded_renderer(mesh: Mesh, *, width, height, k_cross,
 
     img_spec = P(None, az_axis, None) if az_axis else P(None, None, None)
     rng_spec = P(None, az_axis) if az_axis else P(None, None)
-    col_spec = P(None, axis, None) if textured else P()
+    if textured and texture_scale == 2:
+        # (ns [x2, j], ew [J2, i], full_packed [J2, I2]): ns shards its
+        # STEP columns (DEM rows), the other two their 2x cross rows
+        col_spec = (P(None, axis), P(axis, None), P(axis, None))
+    elif textured:
+        col_spec = P(None, axis, None)
+    else:
+        col_spec = P()
     sharded = shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(axis, None), col_spec, P()),

@@ -63,6 +63,58 @@ def build_pyramid(dem, levels: int):
     return tuple(out)
 
 
+def build_color_pyramid(color_planes, levels: int, n0: int):
+    """Mip chain of texture/hillshade color planes for the LOD march.
+
+    Level 0 is the input itself (a texture.ColorPlanes2x or (3, s*n0, s*n0)
+    float planes, s in {1, 2}); level L >= 1 is (3, n_L, n_L) float32
+    CELL-resolution planes matching build_pyramid's level-L grid
+    (n_L = ceil(n_{L-1} / 2), average-pooled with edge padding -- the same
+    antialiased-limit filter, so far-field texels are prefiltered instead
+    of aliased). Each level then rides march_window's in-kernel color path
+    (the fused tex_scale=1 tables), keeping textured AND hillshade
+    long-clip renders gather-free -- the resolve-time atlas fallback
+    (tens of ms of per-pixel gathers at headline sizes) becomes dead code
+    for API renders. The reference lists LOD itself as future work
+    (README.org:169-185) and always textures per fragment
+    (fragment.glsl:21); pooled level colors are this pipeline's mip chain.
+
+    Half-cell level-0 planes are first brought to cell resolution with a
+    centered 1/4-1/2-1/4 tent along each axis (texel 2J sits exactly at
+    grid J, so the tent is centered on the cell -- plain 2x2 pooling would
+    shift colors a quarter cell off the DEM pyramid's cell centers)."""
+    from .texture import ColorPlanes2x, unpack_color_planes
+    if isinstance(color_planes, ColorPlanes2x):
+        base = unpack_color_planes(color_planes.full_packed)   # (3, 2n, 2n)
+        s = 2
+    else:
+        base = jnp.asarray(color_planes, jnp.float32)
+        s = base.shape[1] // n0
+
+    def pool2(a):
+        pj, pi = a.shape[1] % 2, a.shape[2] % 2
+        if pj or pi:
+            a = jnp.pad(a, ((0, 0), (0, pj), (0, pi)), mode="edge")
+        return (a[:, 0::2, 0::2] + a[:, 0::2, 1::2]
+                + a[:, 1::2, 0::2] + a[:, 1::2, 1::2]) * 0.25
+
+    def tent_half(a):
+        # (3, 2m, 2m) half-cell -> (3, m, m) cell: 1/4-1/2-1/4 at even
+        # texels (edge-clamped), separable
+        e = jnp.pad(a, ((0, 0), (1, 1), (1, 1)), mode="edge")
+        rows = (0.25 * e[:, 0:-2:2, :] + 0.5 * e[:, 1:-1:2, :]
+                + 0.25 * e[:, 2::2, :])
+        return (0.25 * rows[:, :, 0:-2:2] + 0.5 * rows[:, :, 1:-1:2]
+                + 0.25 * rows[:, :, 2::2])
+
+    out = [color_planes]
+    cur = tent_half(base) if s == 2 else base                # (3, n0, n0)
+    for _ in range(1, levels):
+        cur = pool2(cur)
+        out.append(cur)
+    return tuple(out)
+
+
 def lod_plan(zfar_m: float, width: int, cells_per_deg: float, lat_deg: float,
              n: int, *, theta_px: float = 1.0, span_hint_rad: float = None,
              max_levels: int = 8) -> tuple:
@@ -150,12 +202,18 @@ def _scaled_params(p: RenderParams, level: int):
 
 def march_lod(pyramid, params: RenderParams, *, width, plan, cells_per_deg,
               lat_hint_deg=45.0, n_near=N_NEAR, interpret=None,
-              znear_hint_m=100.0):
+              znear_hint_m=100.0, color_pyramid=None):
     """Multi-level crossing march. Same output contract as march_window:
-    (tanel (W, n_near + sum(seg_len)), run_max, dists, az).
+    (tanel (W, n_near + sum(seg_len)), run_max, dists, az), plus a fifth
+    value tex (W, same) int32 packed sample colors when ``color_pyramid``
+    is given.
 
     pyramid: tuple from build_pyramid (must have >= max plan level + 1
-    entries); plan: tuple of LevelSpec from lod_plan (static).
+    entries); plan: tuple of LevelSpec from lod_plan (static);
+    color_pyramid: optional tuple from build_color_pyramid (same level
+    count) -- each level's march samples its own prefiltered color planes
+    in-kernel, so textured/hillshade LOD renders never fall back to
+    per-pixel atlas gathers at resolve time.
 
     Deliberately NOT jitted itself: the returned LodDists carries static
     ints/tuples that must stay Python values for d_of; callers (e.g.
@@ -164,7 +222,9 @@ def march_lod(pyramid, params: RenderParams, *, width, plan, cells_per_deg,
     from .window import march_window
 
     p = params
+    textured = color_pyramid is not None
     segs = []
+    tex_segs = []
     es = []
     scales = []
     near_hi = None
@@ -179,22 +239,37 @@ def march_lod(pyramid, params: RenderParams, *, width, plan, cells_per_deg,
         p_l = p_l._replace(znear=jnp.maximum(p.znear, jnp.float32(spec.d_lo)),
                            zfar=jnp.minimum(p.zfar, jnp.float32(spec.d_hi)))
         is_first = si == 0
-        tanel_l, _, dists_l, az = march_window(
+        outs = march_window(
             dem_l, p_l, width=width, k_cross=spec.k_lo + spec.k_len,
             cells_per_deg=cpd_l, lat_hint_deg=lat_hint_deg,
             n_near=n_near if is_first else 0, interpret=interpret,
-            znear_hint_m=znear_hint_m if is_first else None)
+            znear_hint_m=znear_hint_m if is_first else None,
+            color_planes=color_pyramid[spec.level] if textured else None)
+        if textured:
+            tanel_l, _, dists_l, az, tex_l = outs
+        else:
+            tanel_l, _, dists_l, az = outs
+            tex_l = None
         nn = n_near if is_first else 0
         k_avail = tanel_l.shape[1] - nn
         hi = min(spec.k_lo + spec.k_len, k_avail)
+        pad_k = spec.k_len - (hi - spec.k_lo)   # kernel rounded K down
         seg = tanel_l[:, nn + spec.k_lo: nn + hi]
-        if hi - spec.k_lo < spec.k_len:   # kernel rounded K down (tiny DEM)
-            seg = jnp.pad(seg, ((0, 0), (0, spec.k_len - (hi - spec.k_lo))),
+        if pad_k > 0:                           # (tiny DEM)
+            seg = jnp.pad(seg, ((0, 0), (0, pad_k)),
                           constant_values=NEG_BIG)
         if is_first:
             segs.append(tanel_l[:, :nn])
             near_hi = dists_l.near_hi
         segs.append(seg)
+        if textured:
+            tseg = tex_l[:, nn + spec.k_lo: nn + hi]
+            if pad_k > 0:
+                # padded lanes are NEG_BIG in tanel: never win a pixel
+                tseg = jnp.pad(tseg, ((0, 0), (0, pad_k)))
+            if is_first:
+                tex_segs.append(tex_l[:, :nn])
+            tex_segs.append(tseg)
         es.append(dists_l.e)
         scales.append(dists_l.scale)
         dropped = dropped + dists_l.dropped
@@ -207,4 +282,6 @@ def march_lod(pyramid, params: RenderParams, *, width, plan, cells_per_deg,
                      k_lo=tuple(s.k_lo for s in plan),
                      seg_len=tuple(s.k_len for s in plan),
                      dropped=dropped, truncated=truncated)
+    if textured:
+        return tanel, run_max, dists, az, jnp.concatenate(tex_segs, axis=1)
     return tanel, run_max, dists, az

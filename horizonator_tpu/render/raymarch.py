@@ -856,10 +856,24 @@ def render_panorama(dem, params: RenderParams, *, width, height, nsteps,
         if pyramid is None:
             nlev = 1 + max(s.level for s in lod_plan)
             pyramid = _lod.build_pyramid(dem, nlev)
-        tanel, run_max, dists, az = _lod.march_lod(
-            tuple(pyramid), p, width=width, plan=lod_plan,
-            cells_per_deg=cells_per_deg, lat_hint_deg=lat_hint_deg,
-            znear_hint_m=znear_hint_m)
+        if textured and color_planes is not None:
+            # in-kernel LOD colors: color_planes here is a PYRAMID tuple
+            # (lod.build_color_pyramid) -- each level samples its own
+            # prefiltered planes; the resolve-time atlas fallback below
+            # (tens of ms of per-pixel gathers at headline sizes) is only
+            # for callers without one
+            cpyr = (color_planes if isinstance(color_planes, (tuple, list))
+                    else _lod.build_color_pyramid(
+                        color_planes, len(pyramid), pyramid[0].shape[0]))
+            tanel, run_max, dists, az, tex_samples = _lod.march_lod(
+                tuple(pyramid), p, width=width, plan=lod_plan,
+                cells_per_deg=cells_per_deg, lat_hint_deg=lat_hint_deg,
+                znear_hint_m=znear_hint_m, color_pyramid=tuple(cpyr))
+        else:
+            tanel, run_max, dists, az = _lod.march_lod(
+                tuple(pyramid), p, width=width, plan=lod_plan,
+                cells_per_deg=cells_per_deg, lat_hint_deg=lat_hint_deg,
+                znear_hint_m=znear_hint_m)
         d_of = dists.d_of
     elif sampler == "window":
         from . import window as _window

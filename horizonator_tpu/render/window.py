@@ -301,8 +301,8 @@ def build_crossing_tables(dem, params: RenderParams, k_kernel: int):
 
 
 def _build_color_tables_2x(cp, params: RenderParams, k_kernel: int,
-                           n: int):
-    """(4, 2*n_pad, k_kernel) PACKED int32 color tables from a prepared
+                           nj: int, ni: int, j_offset=None):
+    """(4, 2*cross_pad, k_kernel) PACKED int32 color tables from a prepared
     texture.ColorPlanes2x (half-cell planes).
 
     The line crossed at step m is a DEM grid line: row j0+m is 2x-grid row
@@ -316,22 +316,35 @@ def _build_color_tables_2x(cp, params: RenderParams, k_kernel: int,
     belongs to scene prep; packed int32 (vs 3 bf16 planes) is 2/3 the
     build+DMA bytes of a DMA-bound path. The kernel unpacks per 8-row
     block and contracts against hat weights at 2*pos -- half-cell
-    bilinear interpolation along the crossing line."""
+    bilinear interpolation along the crossing line.
+
+    Rectangular (nj, ni) band grids (region sharding): the N/S views have
+    nj step columns and 2*ni cross rows, the E/W views 2*nj cross rows and
+    ni step columns; ``j_offset`` (traced int, default 0) rebases the
+    N/S step starts to band-local rows exactly like _build_tables_multi."""
     cj, ci = params.viewer_cell_j, params.viewer_cell_i
-    j0n = (jnp.floor(cj) + 1).astype(jnp.int32)
-    j0s = (jnp.ceil(cj) - 1).astype(jnp.int32)
+    offs = (jnp.int32(0) if j_offset is None
+            else jnp.asarray(j_offset, jnp.int32))
+    j0n = (jnp.floor(cj) + 1).astype(jnp.int32) - offs
+    j0s = (jnp.ceil(cj) - 1).astype(jnp.int32) - offs
     i0e = (jnp.floor(ci) + 1).astype(jnp.int32)
     i0w = (jnp.ceil(ci) - 1).astype(jnp.int32)
 
-    t_n = _slice_roll_cols(cp.ns, j0n, k_kernel)                 # (2n, k)
-    t_s = _slice_roll_cols(cp.ns_rev, (n - 1) - j0s, k_kernel)
-    t_e = _slice_roll_cols(cp.ew, i0e, k_kernel)
-    t_w = _slice_roll_cols(cp.ew_rev, (n - 1) - i0w, k_kernel)
-    tall = jnp.stack([t_n, t_s, t_e, t_w])                       # (4, 2n, k)
-    n_pad2 = 2 * (-(-n // 64) * 64)
-    if n_pad2 != 2 * n:
-        tall = jnp.pad(tall, ((0, 0), (0, n_pad2 - 2 * n), (0, 0)))
-    return tall
+    def padk(v):   # step axis up to k_kernel (short band dims; masked)
+        return (v if v.shape[1] >= k_kernel
+                else jnp.pad(v, ((0, 0), (0, k_kernel - v.shape[1]))))
+
+    t_n = _slice_roll_cols(padk(cp.ns), j0n, k_kernel)          # (2ni, k)
+    t_s = _slice_roll_cols(padk(cp.ns_rev), (nj - 1) - j0s, k_kernel)
+    t_e = _slice_roll_cols(padk(cp.ew), i0e, k_kernel)          # (2nj, k)
+    t_w = _slice_roll_cols(padk(cp.ew_rev), (ni - 1) - i0w, k_kernel)
+    cross_pad2 = 2 * max(-(-ni // 64) * 64, -(-nj // 64) * 64)
+    parts = []
+    for tt in (t_n, t_s, t_e, t_w):
+        if tt.shape[0] != cross_pad2:
+            tt = jnp.pad(tt, ((0, cross_pad2 - tt.shape[0]), (0, 0)))
+        parts.append(tt)
+    return jnp.stack(parts)                    # (4, 2*cross_pad, k)
 
 
 def _dir_id(geo):
@@ -579,17 +592,24 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
         or (j_offset is not None)
     if textured and banded:
         from .texture import ColorPlanes2x as _CP2x
-        if isinstance(color_planes, _CP2x) or \
-                color_planes.shape[1] != nj_real:
-            # Half-cell planes are prestrided FULL-GRID views; a band
-            # would need its own 2x prep + a 2-row halo. Cell-resolution
-            # planes ride the SAME rectangular band machinery as
-            # elevation (one fused table build, one halo row), so
-            # region-sharded textures run at cell resolution.
-            raise NotImplementedError(
-                "region-sharded textured marches take CELL-resolution "
-                "color planes (3, nj, ni) matching the band; half-cell "
-                "ColorPlanes2x requires a square unsharded grid")
+        if isinstance(color_planes, _CP2x):
+            # Half-cell planes under region sharding: the band's OWN
+            # prestrided views (built from the band's 2x rows + a 2-row
+            # halo, parallel/regions.py) -- the crossing lines stay EVEN
+            # 2x indices after the integer row rebase, so the same
+            # column-slice table build applies with j_offset.
+            if color_planes.ns.shape != (2 * ni_real, nj_real) or \
+                    color_planes.ew.shape != (2 * nj_real, ni_real):
+                raise ValueError(
+                    f"banded ColorPlanes2x views {color_planes.ns.shape}/"
+                    f"{color_planes.ew.shape} do not match the "
+                    f"({nj_real}, {ni_real}) band (want (2*ni, nj)/"
+                    f"(2*nj, ni))")
+        elif color_planes.shape[1] != nj_real:
+            raise ValueError(
+                "region-sharded textured marches take color planes "
+                "matching the band: CELL-resolution (3, nj, ni) arrays "
+                "or a band-local half-cell ColorPlanes2x")
     if j_hi is None:
         j_hi = nj_real - 1
     j_hi_f = jnp.asarray(j_hi, jnp.float32)
@@ -599,9 +619,10 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
     if textured:
         if isinstance(color_planes, ColorPlanes2x):
             tex_scale = 2
-            if color_planes.n != n_real:
+            if color_planes.ns.shape != (2 * ni_real, nj_real):
                 raise ValueError(
-                    f"ColorPlanes2x for n={color_planes.n}, DEM n={n_real}")
+                    f"ColorPlanes2x views {color_planes.ns.shape} do not "
+                    f"match the ({nj_real}, {ni_real}) grid")
         else:
             tex_scale = color_planes.shape[1] // nj_real
             if tex_scale not in (1, 2) or color_planes.shape[1:] != (
@@ -820,7 +841,8 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
                                    k_kernel,
                                    j_offset=offs)[:, 0]  # (4, n_pad, k)
         if textured:
-            tallc = _build_color_tables_2x(cp2x, p, k_kernel, n)
+            tallc = _build_color_tables_2x(cp2x, p, k_kernel, nj, ni,
+                                           j_offset=offs)
     pcol = jnp.stack([
         geo.a, geo.t, geo.e, geo.scale,
         geo.axis0.astype(jnp.float32), geo.sign.astype(jnp.float32),

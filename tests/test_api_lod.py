@@ -47,7 +47,7 @@ def test_render_batch_auto_lod(srtm1_dir):
     from horizonator_tpu.api import horizonator
     h = horizonator(34.05, -117.95, 128, 64, SRTM1=True, dir_dems=srtm1_dir,
                     render_radius_m=150000.0)
-    dem, sampler, nsteps, plan = h._batch_render_plan(100.0, 150000.0)
+    dem, sampler, nsteps, plan, _ = h._batch_render_plan(100.0, 150000.0)
     assert sampler == "lod" and plan is not None
     imgs, rngs = h.render_batch(10, 80, [34.05, 34.06], [-117.95, -117.94],
                                 zfar=150000.0)
@@ -59,18 +59,22 @@ def test_render_batch_auto_lod(srtm1_dir):
     assert rngs.max() > 50000.0
 
 
-def test_hillshade_long_range_stays_on_window(srtm1_dir):
-    """Hillshade = textured without an atlas: the auto-LOD swap would send
-    textured=True, atlas=None into the resolve (march_lod has no
-    color-plane path), so long clips must stay on the window march."""
+def test_hillshade_long_range_takes_lod(srtm1_dir):
+    """Hillshade = textured without an atlas. Through round 3 the auto-LOD
+    swap was DISABLED for it (march_lod had no color path and there is no
+    atlas fallback), so long hillshade clips paid linear step count; the
+    color mip chain (lod.build_color_pyramid) removes that: the swap now
+    happens and the render stays in-kernel shaded."""
     from horizonator_tpu.api import horizonator
-    h = horizonator(34.05, -117.95, 64, 32, SRTM1=True, dir_dems=srtm1_dir,
+    h = horizonator(34.05, -117.95, 128, 64, SRTM1=True, dir_dems=srtm1_dir,
                     render_radius_m=150000.0, hillshade=True)
-    dem, sampler, nsteps, plan = h._batch_render_plan(100.0, 150000.0)
-    assert sampler == "window" and plan is None
-    # a real OSM-textured scene (atlas present) still takes the LOD swap:
-    # the exact per-pixel atlas gather is its textured fallback
-    h2 = horizonator(34.05, -117.95, 64, 32, SRTM1=True, dir_dems=srtm1_dir,
-                     render_radius_m=150000.0)
-    _, sampler2, _, plan2 = h2._batch_render_plan(100.0, 150000.0)
-    assert sampler2 == "lod" and plan2 is not None
+    dem, sampler, nsteps, plan, cp = h._batch_render_plan(100.0, 150000.0)
+    assert sampler == "lod" and plan is not None
+    assert isinstance(cp, tuple) and len(cp) >= 2
+    img, rng = h.render(10, 80, zfar=150000.0)
+    vis = rng > 0
+    assert vis.any() and rng.max() > 50000.0
+    # hillshade planes are gray: B == G everywhere (the red channel also
+    # carries the 0.3 distance ramp), and the shading varies with slope
+    assert np.array_equal(img[vis][:, 0], img[vis][:, 1])
+    assert img[vis][:, 0].std() > 1.0

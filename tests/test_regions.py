@@ -272,3 +272,42 @@ def test_region_textured_panorama_bitwise():
     # and the texture is actually on screen (not the red-only ramp)
     vis = np.asarray(rng1) > 0
     assert np.asarray(img1)[..., 1][vis].max() > 30
+
+
+@pytest.mark.parametrize("viewer_j", [127.6, 2.5, 253.4])
+def test_region_grid2x_panorama_bitwise(viewer_j):
+    """HALF-CELL (grid2x) textured region sharding: the API's default
+    texture quality must survive row-band sharding at FULL fidelity (r3
+    silently dropped to cell resolution here). Each band re-wraps its
+    slice of the prepared global views (+ a 2-element halo) as a local
+    ColorPlanes2x; the crossing lines stay even 2x indices after the
+    integer row rebase, so image AND ranges equal the single-device
+    grid2x render exactly."""
+    from horizonator_tpu.parallel.regions import make_region_sharded_renderer
+    from horizonator_tpu.render import render_panorama
+    from horizonator_tpu.render.texture import prepare_color_planes
+
+    dem = make_dem(256, rough=6.0)
+    rng0 = np.random.default_rng(11)
+    colors2x = jnp.asarray(
+        rng0.integers(0, 255, (3, 512, 512)).astype(np.float32))
+    cp = prepare_color_planes(colors2x)
+    d_np = np.asarray(dem)
+    vz = float(d_np[int(viewer_j):int(viewer_j) + 2, 128:130].max()) + 2.0
+    p = params_for(dem, 128.3, viewer_j, vz, zfar=9000.0)
+    k = k_cross_for(9000.0, CPD, 34.0, n=256)
+    width, height = 192, 64
+
+    img1, rng1 = render_panorama(dem, p, width=width, height=height,
+                                 nsteps=k, cells_per_deg=CPD,
+                                 sampler="window", lat_hint_deg=34.0,
+                                 textured=True, color_planes=cp)
+    fn = make_region_sharded_renderer(_mesh(4), width=width, height=height,
+                                      k_cross=k, cells_per_deg=CPD,
+                                      sampler="window", lat_hint_deg=34.0,
+                                      textured=True, texture_scale=2)
+    img2, rng2 = fn(dem, (cp.ns, cp.ew, cp.full_packed), p)
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+    np.testing.assert_array_equal(np.asarray(rng1), np.asarray(rng2))
+    vis = np.asarray(rng1) > 0
+    assert np.asarray(img1)[..., 1][vis].max() > 30

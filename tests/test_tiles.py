@@ -323,10 +323,11 @@ def test_halfcell_texture_beats_grid_on_checkerboard(tmp_path):
 
 
 def test_textured_render_batch_auto_lod(tmp_path):
-    """A textured long-clip BATCH must survive the auto-LOD switch: the
-    LOD march has no in-kernel colors, so the batch renderers need the
-    atlas at resolve time (crashed on atlas=None before round 3) and must
-    match the single textured render() bit for bit."""
+    """A textured long-clip BATCH must survive the auto-LOD switch (it
+    crashed on atlas=None before round 3; since round 4 the LOD march
+    samples a color MIP CHAIN in-kernel instead of falling back to
+    per-pixel atlas gathers) and must match the single textured render()
+    bit for bit."""
     from horizonator_tpu import horizonator
     from horizonator_tpu.dem import hgt
 
@@ -346,8 +347,10 @@ def test_textured_render_batch_auto_lod(tmp_path):
                     dir_dems=str(d), dir_tiles=str(tmp_path),
                     allow_downloads=False, render_radius_cells=150,
                     nsteps=2048)
-    dem, sampler, nsteps, plan = h._batch_render_plan(100.0, 9000.0)
+    dem, sampler, nsteps, plan, cp = h._batch_render_plan(100.0, 9000.0)
     assert sampler == "lod" and plan is not None
+    # in-kernel LOD colors: the plan must carry the color mip chain
+    assert isinstance(cp, tuple) and len(cp) == len(dem)
     imgs, rngs = h.render_batch(-45, 45, [lat, lat + 0.01], [lon, lon],
                                 zfar=9000.0)
     assert imgs.shape == (2, 64, 128, 3)
@@ -361,3 +364,65 @@ def test_textured_render_batch_auto_lod(tmp_path):
     g = imgs[0][vis][:, 1].astype(float)
     assert np.abs(b - 35).max() <= 2.0
     assert np.abs(g - 70).max() <= 2.0
+
+
+def test_textured_lod_in_kernel_matches_atlas_fallback(tmp_path):
+    """The LOD march's in-kernel color mip chain vs the resolve-time
+    per-pixel atlas gather it replaced, on a smooth gradient atlas: same
+    geometry bitwise, colors close (the two sample the same texture at
+    crossing positions vs refined hit positions, so a smooth field bounds
+    the difference by the local gradient)."""
+    from horizonator_tpu import horizonator
+    from horizonator_tpu.dem import hgt
+    from horizonator_tpu.render import render_panorama, RenderParams
+    import jax.numpy as jnp
+    import math
+
+    d = tmp_path / "dems"
+    edge = hgt.SRTM3_EDGE
+    jj, ii = np.meshgrid(np.arange(edge), np.arange(edge), indexing="ij")
+    z = (400 + 250 * np.sin(ii / 31.0) * np.cos(jj / 43.0)).astype(np.int16)
+    hgt.write_hgt(d / "N34W118.hgt", z)
+    lat, lon = 34.40, -117.45
+    x_lo, y_lo = tile_xy_from_latlon(lat + 160 / 1200, lon - 160 / 1200, 12)
+    x_hi, y_hi = tile_xy_from_latlon(lat - 160 / 1200, lon + 160 / 1200, 12)
+    # smooth world-space gradient: B grows east, G grows south
+    for x in range(x_lo - 1, x_hi + 2):
+        for y in range(y_lo - 1, y_hi + 2):
+            p = tiles.tile_path(str(tmp_path), "mapnik", 12, x, y)
+            p.parent.mkdir(parents=True, exist_ok=True)
+            gx = ((x * 256 + np.arange(256))[None, :] // 8) % 256
+            gy = ((y * 256 + np.arange(256))[:, None] // 8) % 256
+            col = np.stack([np.broadcast_to(gx, (256, 256)),
+                            np.broadcast_to(gy, (256, 256)),
+                            np.full((256, 256), 120)],
+                           -1).astype(np.uint8)
+            Image.fromarray(col).save(p)
+
+    h = horizonator(lat, lon, 128, 64, render_texture=True,
+                    dir_dems=str(d), dir_tiles=str(tmp_path),
+                    allow_downloads=False, render_radius_cells=150,
+                    nsteps=2048)
+    dem, sampler, nsteps, plan, cp = h._batch_render_plan(100.0, 9000.0)
+    assert sampler == "lod" and isinstance(cp, tuple)
+    ci, cj = h.mosaic.viewer_cell(lat, lon)
+    f = jnp.float32
+    params = RenderParams(
+        viewer_cell_i=f(ci), viewer_cell_j=f(cj), viewer_z=f(h.viewer_z),
+        cos_viewer_lat=f(math.cos(math.radians(lat))),
+        az_rad0=f(math.radians(-45)), az_rad1=f(math.radians(45)),
+        znear=f(100.0), zfar=f(9000.0), znear_color=f(100.0),
+        zfar_color=f(9000.0), curv=f(0.0))
+    kw = dict(width=128, height=64, nsteps=nsteps,
+              cells_per_deg=h.mosaic.cells_per_deg, sampler="lod",
+              lod_plan=plan, textured=True, lat_hint_deg=34.0,
+              atlas_params=h._atlas_params)
+    img_k, rng_k = render_panorama(dem, params, color_planes=cp, **kw)
+    img_a, rng_a = render_panorama(dem, params, atlas=h._atlas, **kw)
+    np.testing.assert_array_equal(np.asarray(rng_k), np.asarray(rng_a))
+    vis = np.asarray(rng_k) > 0
+    assert vis.any()
+    diff = np.abs(np.asarray(img_k)[vis].astype(int)
+                  - np.asarray(img_a)[vis].astype(int))
+    assert np.median(diff) <= 3, np.median(diff)
+    assert np.percentile(diff, 95) <= 24, np.percentile(diff, 95)
