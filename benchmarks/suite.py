@@ -201,12 +201,14 @@ def config5(iters):
             "viewpoints_per_sec": round(B / sec)}
 
 
-def config6(iters, scale=2):
+def config6(iters, scale=2, hybrid=True):
     """Textured headline: 4096x1024, 3x3 mosaic, in-kernel texture sampling
     (colors ride the march kernel's VMEM windows; the resolve routes each
     pixel's winning sample color -- zero atlas gathers per frame). Default
-    scale=2: HALF-CELL color planes (~46 m at SRTM3, the z12 fidelity
-    class the reference textures at); scale=1 is the cell-resolution
+    scale=2 + hybrid: HALF-CELL color planes (~46 m at SRTM3) PLUS
+    atlas-true z12 texels for d <= 1200 m via the viewer-patch contraction
+    -- the API's default textured configuration (texture_quality="hybrid",
+    measured +~0.15 ms over plain grid2x); scale=1 is the cell-resolution
     round-2 path for comparison."""
     import functools
     import jax, jax.numpy as jnp
@@ -220,20 +222,34 @@ def config6(iters, scale=2):
     colors = jnp.asarray(
         rng.integers(0, 255, (3, scale * n, scale * n)).astype(np.float32))
     scene = None
+    atlas = ap = None
+    exact_near_m = None
     if scale == 2:
         from horizonator_tpu.render.texture import prepare_color_planes
         from horizonator_tpu.render.window import prepare_aligned_scene
         colors = prepare_color_planes(colors)   # per-scene, like the API
         scene = prepare_aligned_scene(dem, k, color_planes=colors)
+        if hybrid:
+            from horizonator_tpu.render.texture import AtlasParams
+            exact_near_m = 1200.0               # the API default
+            ap = AtlasParams(origin_cell_lon_deg=-118.0,
+                             origin_cell_lat_deg=34.0,
+                             osmtile_lowest_x=702, osmtile_lowest_y=1630,
+                             ntiles_x=8, ntiles_y=8)
+            atlas = jax.device_put(jnp.asarray(
+                rng.integers(0, 1 << 24, (2048, 2048)).astype(np.int32)))
     colors = jax.tree.map(jax.device_put, colors)
     fn = functools.partial(render_panorama, width=4096, height=1024,
                            nsteps=k, cells_per_deg=1200, sampler="window",
-                           lat_hint_deg=34.3, textured=True)
-    sec = timed_chain(lambda dem, colors, scene, p:
-                      fn(dem, p, color_planes=colors, aligned_scene=scene),
-                      dem, colors, scene, p, iters=iters)
-    name = "pano_4096x1024_3x3_textured" + ("_halfcell" if scale == 2
-                                            else "_cellres")
+                           lat_hint_deg=34.3, textured=True,
+                           atlas_params=ap, exact_near_m=exact_near_m)
+    sec = timed_chain(lambda dem, colors, scene, atlas, p:
+                      fn(dem, p, color_planes=colors, aligned_scene=scene,
+                         atlas=atlas),
+                      dem, colors, scene, atlas, p, iters=iters)
+    name = "pano_4096x1024_3x3_textured" + (
+        "_hybrid" if scale == 2 and hybrid
+        else "_halfcell" if scale == 2 else "_cellres")
     return {"config": 6, "metric": name, "value":
             round(sec * 1e3, 3), "unit": "ms/viewpoint"}
 

@@ -51,7 +51,8 @@ class horizonator:
                  *,
                  nsteps=None, surface="bilinear", refine=True,
                  oversample=1.5, sampler="auto", device=None,
-                 texture_on_error="raise", texture_quality="grid2x",
+                 texture_on_error="raise", texture_quality="hybrid",
+                 exact_near_m=1200.0,
                  curvature="none", allow_dem_downloads=False,
                  dem_url_fmt=None, hillshade=False, sun_az_deg=315.0,
                  sun_alt_deg=45.0, sun_time=None, shadows=False,
@@ -135,23 +136,29 @@ class horizonator:
             self._atlas = jax.device_put(pack_atlas(jnp.asarray(atlas)),
                                          device)
             self._atlas_params = ap
-            if texture_quality in ("grid", "grid2x") and \
+            if texture_quality in ("grid", "grid2x", "hybrid") and \
                     self.sampler == "window":
                 # fast textured path: colors resampled onto the DEM grid
                 # once, then sampled IN the march kernel (zero atlas
-                # gathers per frame). "grid2x" (default) resamples at
-                # HALF-CELL resolution (~46 m at SRTM3 -- the z12
-                # fidelity class the reference renders, ~38 m/texel,
-                # horizonator-lib.c:25-27); "grid" keeps cell-resolution
-                # planes (~92 m, half the table bytes);
-                # texture_quality="exact" keeps full-z12 per-pixel
-                # gathers (slow: ~40x over budget; fidelity oracle only).
-                scale = 2 if texture_quality == "grid2x" else 1
+                # gathers per frame). "hybrid" (default) = half-cell
+                # planes (~46 m at SRTM3) PLUS atlas-true z12 texels for
+                # the near field (d <= exact_near_m, the viewer-patch
+                # contraction in window._exact_near_colors) -- full
+                # reference fidelity (31.6 m/texel at lat 34,
+                # horizonator-lib.c:25-27) where pixels are dense per
+                # texel; "grid2x" skips the near-field swap; "grid" keeps
+                # cell-resolution planes (~92 m, half the table bytes);
+                # "exact" keeps full-z12 per-pixel gathers everywhere
+                # (slow: ~40x over budget; the fidelity oracle).
+                scale = 1 if texture_quality == "grid" else 2
                 planes = atlas_to_grid_colors(self._atlas, ap,
                                               self.mosaic.grid.shape[0],
                                               self.mosaic.cells_per_deg,
                                               scale=scale)
                 self._put_color_planes(planes, scale, device)
+        self._exact_near_m = (float(exact_near_m)
+                              if render_texture and exact_near_m
+                              and texture_quality == "hybrid" else None)
 
         self.hillshade = bool(hillshade)
         if shadows and not hillshade:
@@ -380,7 +387,9 @@ class horizonator:
             color_planes=cp,
             aligned_scene=(self._aligned_for(nsteps)
                            if sampler == "window" else None),
-            with_dropped=True)
+            with_dropped=True,
+            exact_near_m=(self._exact_near_m if sampler == "window"
+                          else None))
 
         # pick() needs the range image, but pulling it device->host on
         # EVERY render would add a full D2H transfer per frame even when
@@ -508,10 +517,17 @@ class horizonator:
                   sampler=sampler, lat_hint_deg=self._lat_hint(),
                   lod_plan=lod_plan, textured=textured,
                   atlas_params=self._atlas_params if textured else None,
-                  znear_hint_m=self._znear_hint(znear))
+                  znear_hint_m=self._znear_hint(znear),
+                  exact_near_m=(self._exact_near_m
+                                if textured and sampler == "window"
+                                else None))
         if not textured:
             cp = None
-        atlas = self._atlas if textured and cp is None else None
+        # the atlas rides along when it's the color source (no in-kernel
+        # planes) OR the hybrid near field needs it for exact z12 texels
+        atlas = (self._atlas if textured
+                 and (cp is None or kw["exact_near_m"] is not None)
+                 else None)
 
         if mesh is None:
             imgs, rngs = _rb(dem, stack_params(ps), color_planes=cp,

@@ -55,12 +55,14 @@ def broadcast_params_batch(params: RenderParams) -> RenderParams:
     jax.jit,
     static_argnames=("width", "height", "nsteps", "cells_per_deg", "surface",
                      "refine", "sampler", "lat_hint_deg", "lod_plan",
-                     "textured", "znear_hint_m", "atlas_params"))
+                     "textured", "znear_hint_m", "atlas_params",
+                     "exact_near_m"))
 def render_batch(dem, params: RenderParams, *, width, height, nsteps,
                  cells_per_deg, surface="bilinear", refine=True,
                  sampler="step", lat_hint_deg=45.0, lod_plan=None,
                  textured=False, color_planes=None, znear_hint_m=100.0,
-                 aligned_scene=None, atlas=None, atlas_params=None):
+                 aligned_scene=None, atlas=None, atlas_params=None,
+                 exact_near_m=None):
     """Single-device batch render over a stacked RenderParams batch.
     Returns (images (B,H,W,3) u8, ranges (B,H,W) f32).
 
@@ -82,7 +84,8 @@ def render_batch(dem, params: RenderParams, *, width, height, nsteps,
         sampler=sampler, lat_hint_deg=lat_hint_deg, lod_plan=lod_plan,
         textured=textured, color_planes=color_planes,
         atlas=atlas, atlas_params=atlas_params,
-        znear_hint_m=znear_hint_m, aligned_scene=aligned_scene)
+        znear_hint_m=znear_hint_m, aligned_scene=aligned_scene,
+        exact_near_m=exact_near_m)
     params = broadcast_params_batch(params)
     if sampler in ("window", "lod"):
         return jax.lax.map(fn, params)
@@ -106,7 +109,8 @@ def _wedge_params(p: RenderParams, az_idx, n_az: int) -> RenderParams:
 def make_sharded_renderer(mesh: Mesh, *, width, height, nsteps, cells_per_deg,
                           surface="bilinear", refine=True, sampler="step",
                           lat_hint_deg=45.0, lod_plan=None, textured=False,
-                          znear_hint_m=100.0, atlas_params=None):
+                          znear_hint_m=100.0, atlas_params=None,
+                          exact_near_m=None):
     """Build the multi-chip renderer over mesh axes ("batch", "az").
 
     Returns a jitted fn(dem, params_batch) -> (images (B,H,W,3), ranges
@@ -131,7 +135,7 @@ def make_sharded_renderer(mesh: Mesh, *, width, height, nsteps, cells_per_deg,
                 lod_plan=lod_plan, textured=textured,
                 color_planes=color_planes, atlas=atlas,
                 atlas_params=atlas_params, znear_hint_m=znear_hint_m,
-                aligned_scene=scene)
+                aligned_scene=scene, exact_near_m=exact_near_m)
 
         if sampler in ("window", "lod"):
             return jax.lax.map(one, params)
@@ -207,12 +211,14 @@ def make_sharded_horizon(mesh: Mesh, *, width, nsteps, cells_per_deg,
     jax.jit,
     static_argnames=("width", "height", "nsteps", "cells_per_deg", "surface",
                      "refine", "sampler", "lat_hint_deg", "lod_plan",
-                     "textured", "znear_hint_m", "atlas_params"))
+                     "textured", "znear_hint_m", "atlas_params",
+                     "exact_near_m"))
 def render_path(dem, params_path: RenderParams, *, width, height, nsteps,
                 cells_per_deg, surface="bilinear", refine=True,
                 sampler="step", lat_hint_deg=45.0, lod_plan=None,
                 textured=False, color_planes=None, znear_hint_m=100.0,
-                aligned_scene=None, atlas=None, atlas_params=None):
+                aligned_scene=None, atlas=None, atlas_params=None,
+                exact_near_m=None):
     """Fly-through: render a whole camera path in ONE dispatch via lax.map,
     avoiding per-frame host->device latency (SURVEY.md §7 'interactivity
     economics'). params_path: stacked RenderParams with leading axis =
@@ -225,5 +231,6 @@ def render_path(dem, params_path: RenderParams, *, width, height, nsteps,
         sampler=sampler, lat_hint_deg=lat_hint_deg, lod_plan=lod_plan,
         textured=textured, color_planes=color_planes,
         atlas=atlas, atlas_params=atlas_params,
-        znear_hint_m=znear_hint_m, aligned_scene=aligned_scene)
+        znear_hint_m=znear_hint_m, aligned_scene=aligned_scene,
+        exact_near_m=exact_near_m)
     return jax.lax.map(fn, broadcast_params_batch(params_path))

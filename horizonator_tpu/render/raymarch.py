@@ -799,13 +799,14 @@ def march_tanel(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
     static_argnames=("width", "height", "nsteps", "cells_per_deg",
                      "surface", "refine", "textured", "atlas_params",
                      "sampler", "lat_hint_deg", "lod_plan",
-                     "znear_hint_m", "with_dropped"))
+                     "znear_hint_m", "with_dropped", "exact_near_m"))
 def render_panorama(dem, params: RenderParams, *, width, height, nsteps,
                     cells_per_deg, surface="bilinear", refine=True,
                     textured=False, atlas=None, atlas_params=None,
                     sampler="step", lat_hint_deg=45.0, lod_plan=None,
                     color_planes=None, znear_hint_m=100.0,
-                    aligned_scene=None, with_dropped=False):
+                    aligned_scene=None, with_dropped=False,
+                    exact_near_m=None):
     """Render one panorama.
 
     Args:
@@ -880,12 +881,15 @@ def render_panorama(dem, params: RenderParams, *, width, height, nsteps,
         if textured and color_planes is not None:
             # in-kernel texture sampling: per-sample packed colors come out
             # of the march and are routed to pixels by the resolve -- no
-            # atlas gathers anywhere on this path
+            # atlas gathers anywhere on this path. exact_near_m (the
+            # "hybrid" texture quality) swaps the near field's colors for
+            # atlas-true z12 texels via the viewer-patch contraction.
             tanel, run_max, dists, az, tex_samples = _window.march_window(
                 dem, p, width=width, k_cross=nsteps,
                 cells_per_deg=cells_per_deg, lat_hint_deg=lat_hint_deg,
                 color_planes=color_planes, znear_hint_m=znear_hint_m,
-                scene=aligned_scene)
+                scene=aligned_scene, atlas=atlas, atlas_params=atlas_params,
+                exact_near_m=exact_near_m)
         else:
             tanel, run_max, dists, az = _window.march_window(
                 dem, p, width=width, k_cross=nsteps,

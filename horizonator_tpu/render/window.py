@@ -347,6 +347,89 @@ def _build_color_tables_2x(cp, params: RenderParams, k_kernel: int,
     return jnp.stack(parts)                    # (4, 2*cross_pad, k)
 
 
+EXACT_PATCH_CAP = 256    # atlas-patch edge cap for the hybrid near field
+
+
+def exact_near_sizes(exact_near_m: float, cells_per_deg: int,
+                     lat_hint_deg: float, zoom: int):
+    """Static (k_x, patch_px) for the hybrid near field: the crossing-step
+    count reaching ``exact_near_m`` and the atlas-patch edge covering it.
+    Worst case over the latitude bucket: smallest cell_e / texel."""
+    from .. import geometry
+    cos_l = max(0.05, math.cos(math.radians(min(abs(lat_hint_deg) + 5.0,
+                                                85.0))))
+    cell_e_min = geometry.EARTH_RADIUS_M * DEG / cells_per_deg * cos_l
+    k_x = int(math.ceil(exact_near_m / cell_e_min)) + 2
+    texel_m = 40075016.686 / (256.0 * (1 << zoom)) * cos_l
+    p_at = int(math.ceil(2.0 * exact_near_m / texel_m)) + 8
+    return k_x, -(-p_at // 8) * 8
+
+
+def _exact_near_colors(atlas, ap, geo, p, *, n_near, k_x, p_at,
+                       cells_per_deg, exact_near_m):
+    """Hybrid near field: per-SAMPLE packed colors bilinearly sampled from
+    the z12 atlas itself for the near band + the first ``k_x`` crossing
+    steps -- reference-fidelity texels (fragment.glsl:21 samples z12 per
+    fragment, horizonator-lib.c:25-27) where pixels are dense per texel.
+
+    Per-pixel/per-sample atlas GATHERS are off the table on this hardware
+    (~10 ns/element measured; 4 corners x W x K_near is milliseconds), so
+    this uses the near-band trick at atlas scale: ONE viewer-centered
+    dynamic-slice patch of the packed atlas + a tensor-product hat
+    contraction in mercator pixel space (dense MXU/VPU math, camera moves
+    stay traced -- no recompile, no per-move re-prep). Samples outside the
+    static patch keep their grid2x color (graceful, not silent: the cap
+    is latitude-sized by exact_near_sizes).
+
+    Returns (packed (W, n_near + k_x) int32, in_patch bool mask)."""
+    from .texture import atlas_px_from_grid
+    f = jnp.float32
+    # sample distances: the near band's uniform ramp (bitwise the
+    # march's own dq expression) + the first k_x crossing steps
+    parts = []
+    if n_near > 0:
+        q = jnp.arange(n_near, dtype=jnp.float32)[None, :]
+        m_star = jnp.maximum(jnp.ceil(p.znear / geo.scale - geo.e), 0.0)
+        near_hi = jnp.maximum((m_star + geo.e) * geo.scale, p.znear)
+        parts.append(jnp.maximum(
+            p.znear + q * ((near_hi[:, None] - p.znear) / n_near), 1e-3))
+    mm = jnp.arange(k_x, dtype=jnp.float32)[None, :]
+    parts.append((mm + geo.e[:, None]) * geo.scale[:, None])
+    d = jnp.concatenate(parts, axis=1)                     # (W, q_tot)
+
+    sin_az = jnp.sin(geo.az)[:, None]
+    cos_az = jnp.cos(geo.az)[:, None]
+    iq = p.viewer_cell_i + d * sin_az / geo.cell_m_east
+    jq = p.viewer_cell_j + d * cos_az / geo.cell_m_north
+    px, py = atlas_px_from_grid(iq, jq, ap, cells_per_deg)
+    pxv, pyv = atlas_px_from_grid(p.viewer_cell_i, p.viewer_cell_j, ap,
+                                  cells_per_deg)
+    h_at, w_at = atlas.shape
+    ox = jnp.clip(jnp.round(pxv).astype(jnp.int32) - p_at // 2,
+                  0, max(w_at - p_at, 0))
+    oy = jnp.clip(jnp.round(pyv).astype(jnp.int32) - p_at // 2,
+                  0, max(h_at - p_at, 0))
+    patch = jax.lax.dynamic_slice(atlas, (oy, ox), (p_at, p_at))
+    xr = px - 0.5 - ox.astype(f)                          # (W, q_tot)
+    yr = py - 0.5 - oy.astype(f)
+    u = jnp.arange(p_at, dtype=jnp.float32)
+    hx = jnp.maximum(1.0 - jnp.abs(xr[..., None] - u), 0.0)
+    hy = jnp.maximum(1.0 - jnp.abs(yr[..., None] - u), 0.0)
+
+    def contract(plane):       # (p_at, p_at) f32 [y, x] -> (W, q_tot) u8
+        acc = jnp.einsum("wqu,vu->wqv", hx, plane)
+        val = jnp.sum(acc * hy, axis=-1)
+        return jnp.clip(jnp.round(val), 0, 255).astype(jnp.int32)
+
+    chans = [contract(((patch >> sh) & 0xff).astype(f))
+             for sh in (16, 8, 0)]                         # R, G, B
+    packed = (chans[0] << 16) | (chans[1] << 8) | chans[2]
+    replace = ((xr >= 0.0) & (xr <= p_at - 1.0)
+               & (yr >= 0.0) & (yr <= p_at - 1.0)
+               & (d <= exact_near_m))
+    return packed, replace
+
+
 def _dir_id(geo):
     """0=N, 1=S (row-dominant), 2=E, 3=W (column-dominant), per column."""
     jd = geo.j_dom
@@ -523,11 +606,13 @@ def _window_kernel(orig_ref, act_ref, cb_ref, fscal_ref,   # scalar prefetch
 @functools.partial(jax.jit, static_argnames=("width", "k_cross",
                                              "cells_per_deg", "lat_hint_deg",
                                              "n_near", "interpret", "tile_w",
-                                             "znear_hint_m"))
+                                             "znear_hint_m", "exact_near_m",
+                                             "atlas_params"))
 def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
                  lat_hint_deg=45.0, n_near=N_NEAR, interpret=None,
                  tile_w=None, color_planes=None, j_hi=None, j_offset=None,
-                 znear_hint_m=100.0, scene=None):
+                 znear_hint_m=100.0, scene=None, atlas=None,
+                 atlas_params=None, exact_near_m=None):
     """Pallas-kernel crossing march on a raw (n, n) float32 DEM.
 
     ``scene``: optional AlignedScene (prepare_aligned_scene) -- skips the
@@ -1074,6 +1159,54 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
                 tex_q = ((bil(full_planes[2]) << 16)
                          | (bil(full_planes[1]) << 8) | bil(full_planes[0]))
             tex = jnp.concatenate([tex_q, tex], axis=1)
+
+    if (textured and exact_near_m is not None and atlas is not None
+            and atlas_params is not None and not banded):
+        # --- hybrid near field: exact z12 colors for d <= exact_near_m ----
+        # (texture_quality="hybrid"): replaces the grid2x colors of the
+        # near band + the first k_x crossing steps with atlas-true texels
+        # via a viewer-patch tensor contraction (_exact_near_colors) --
+        # the one regime where half-cell planes (46 m at SRTM3) visibly
+        # trail the reference's per-fragment z12 sampling (31.6 m,
+        # horizonator-lib.c:25-27). Geometry and sample validity are
+        # untouched: only winning colors change, so ranges stay bitwise
+        # the grid2x render's.
+        k_x, p_at = exact_near_sizes(exact_near_m, cells_per_deg,
+                                     lat_hint_deg, atlas_params.zoom)
+        if p_at <= EXACT_PATCH_CAP and k_x <= TILE_K:
+            packed_ex, rep = _exact_near_colors(
+                atlas, atlas_params, geo, p, n_near=n_near, k_x=k_x,
+                p_at=p_at, cells_per_deg=cells_per_deg,
+                exact_near_m=exact_near_m)
+            pieces = []
+            if n_near > 0:
+                pieces.append(jnp.where(rep[:, :n_near],
+                                        packed_ex[:, :n_near],
+                                        tex[:, :n_near]))
+            cs = packed_ex[:, n_near:]                       # (W, k_x)
+            ms = rep[:, n_near:]
+            if aligned:
+                # step s of a direction-d column lives at lane s + r_d:
+                # roll per direction (r_d takes only 4 values), select by
+                # the column's direction; the TILE_K zero pad absorbs the
+                # largest residual without wrapping real values
+                L = k_x + TILE_K
+                cs = jnp.pad(cs, ((0, 0), (0, TILE_K)))
+                ms = jnp.pad(ms, ((0, 0), (0, TILE_K)))
+                ex_lane = jnp.zeros_like(cs)
+                mk_lane = jnp.zeros_like(ms)
+                for dci in range(4):
+                    sel = (dirid == dci)[:, None]
+                    ex_lane = jnp.where(sel, jnp.roll(cs, r_d[dci], axis=1),
+                                        ex_lane)
+                    mk_lane = jnp.where(sel, jnp.roll(ms, r_d[dci], axis=1),
+                                        mk_lane)
+            else:
+                L, ex_lane, mk_lane = k_x, cs, ms
+            pieces.append(jnp.where(mk_lane, ex_lane,
+                                    tex[:, n_near:n_near + L]))
+            pieces.append(tex[:, n_near + L:])
+            tex = jnp.concatenate(pieces, axis=1)
 
     if aligned and n_near > 0:
         # Residual-gap lanes [n_near, n_near + r) sit between the near

@@ -288,7 +288,7 @@ def test_halfcell_texture_beats_grid_on_checkerboard(tmp_path):
     kw = dict(render_texture=True, dir_dems=str(d), dir_tiles=str(tmp_path),
               allow_downloads=False, render_radius_cells=150, nsteps=192)
     h_grid = horizonator(lat, lon, 256, 128, texture_quality="grid", **kw)
-    h_2x = horizonator(lat, lon, 256, 128, **kw)      # default: grid2x
+    h_2x = horizonator(lat, lon, 256, 128, texture_quality="grid2x", **kw)
     h_ex = horizonator(lat, lon, 256, 128, texture_quality="exact", **kw)
     from horizonator_tpu.render.texture import ColorPlanes2x
     assert isinstance(h_2x._color_planes, ColorPlanes2x)
@@ -320,6 +320,24 @@ def test_halfcell_texture_beats_grid_on_checkerboard(tmp_path):
     d_g = np.abs(img_g[near].astype(int) - img_e[near].astype(int)).mean()
     assert d_2x < 14.0, d_2x
     assert d_2x < 0.55 * d_g, (d_2x, d_g)
+
+    # hybrid (the API default): atlas-true z12 texels for d <= exact_near_m
+    # via the viewer-patch contraction -- the near field must track the
+    # exact oracle far closer than grid2x (measured 3.36 vs 9.29 mean
+    # |diff| on this adversarial checkerboard; the residual is the
+    # crossing-position vs refined-hit-position mismatch, not texel
+    # resolution), with geometry untouched and the far field unchanged.
+    h_hy = horizonator(lat, lon, 256, 128, texture_quality="hybrid",
+                       exact_near_m=2500.0, **kw)
+    img_h, rng_h = h_hy.render(-60, 60, zfar=9000.0)
+    np.testing.assert_array_equal(rng_h, rng_e)
+    d_hy = np.abs(img_h[near].astype(int) - img_e[near].astype(int)).mean()
+    assert d_hy < 4.5, d_hy
+    assert d_hy < 0.45 * d_2x, (d_hy, d_2x)
+    # far field unchanged (slant >= cut/cos(max el): the replacement gate
+    # is on HORIZONTAL distance, slant ranges run up to 1/cos(30 deg) over)
+    far = vis & (rng_e >= 2500.0 / np.cos(np.radians(31)))
+    np.testing.assert_array_equal(img_h[far], img_2[far])
 
 
 def test_textured_render_batch_auto_lod(tmp_path):

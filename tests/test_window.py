@@ -360,6 +360,40 @@ class TestAlignedScene:
         al = self._march(dem, p, k, color_planes=cp, scene=scene)
         self._compare_rolled(base, al, extra_base=base[4], extra_al=al[4])
 
+    def test_hybrid_near_field_bitwise_parity(self):
+        """The hybrid exact-near color merge (atlas-patch contraction,
+        roll-placed into the aligned path's shifted lanes by direction
+        residual) must keep the aligned contract: same rolled-lane colors
+        as the unaligned hybrid march -- and it must actually REPLACE the
+        near colors (differ from the plain grid2x march)."""
+        from horizonator_tpu.render.crossing import N_NEAR
+        from horizonator_tpu.render.window import prepare_aligned_scene
+        from horizonator_tpu.render.texture import (
+            prepare_color_planes, AtlasParams, tile_xy_from_latlon)
+        n = 257
+        dem = make_dem(n)
+        rng = np.random.default_rng(5)
+        cp = prepare_color_planes(jnp.asarray(
+            rng.integers(0, 256, (3, 2 * n, 2 * n)).astype(np.float32)))
+        olon, olat = -118.0, 34.0
+        tx, ty = tile_xy_from_latlon(olat + 120.7 / CPD, olon + 131.3 / CPD,
+                                     12)
+        ap = AtlasParams(olon, olat, tx - 1, ty - 1, 4, 4)
+        atlas = jnp.asarray(
+            rng.integers(0, 1 << 24, (1024, 1024)).astype(np.int32))
+        vz = float(np.asarray(dem)[120:122, 131:133].max()) + 2.0
+        p = params_for(dem, 131.3, 120.7, vz, zfar=9000.0)
+        k = k_cross_for(9000.0, CPD, 34.0, n=n)
+        kw = dict(color_planes=cp, atlas=atlas, atlas_params=ap,
+                  exact_near_m=1500.0)
+        base = self._march(dem, p, k, **kw)
+        scene = prepare_aligned_scene(dem, k, color_planes=cp)
+        al = self._march(dem, p, k, scene=scene, **kw)
+        self._compare_rolled(base, al, extra_base=base[4], extra_al=al[4])
+        plain = self._march(dem, p, k, color_planes=cp)
+        t_p, t_h = np.asarray(plain[4]), np.asarray(base[4])
+        assert (t_p[:, :N_NEAR + 4] != t_h[:, :N_NEAR + 4]).any()
+
     def test_render_bitwise_parity(self):
         # the full (image, ranges) contract through render_panorama: d_of
         # consumes dists.lane0, the resolve sees column-rolled rows --
