@@ -56,7 +56,7 @@ class horizonator:
                  curvature="none", allow_dem_downloads=False,
                  dem_url_fmt=None, hillshade=False, sun_az_deg=315.0,
                  sun_alt_deg=45.0, sun_time=None, shadows=False,
-                 strict_coverage=False):
+                 strict_coverage=False, region_mesh=None):
         if render_radius_cells < 0 and render_radius_m < 0:
             render_radius_cells = RADIUS_CELLS_DEFAULT_PY  # horizonator-pywrap.c:65,98-99
         elif render_radius_cells > 0 and render_radius_m > 0:
@@ -104,8 +104,18 @@ class horizonator:
         dem_f32 = self.mosaic.grid.astype(np.float32)
         self._pyramid = None
         self._color_pyramid = None   # lod.build_color_pyramid, lazy
+        # one-knob >HBM rendering: region_mesh shards the mosaic itself in
+        # row bands (parallel.regions) behind plain render()/render_batch()
+        # -- the TPU equivalent of the reference's transparent DEM window
+        # (dem.c:106-127). Placement is deferred to _init_region so the
+        # grid/planes never materialize unsharded on one device.
+        self._region = None
+        self._region_pending = region_mesh
+        if region_mesh is not None and sampler != "window":
+            raise ValueError("region_mesh requires the 'window' sampler")
         if sampler == "window":
-            self._dem = jax.device_put(jnp.asarray(dem_f32), device)
+            self._dem = (dem_f32 if region_mesh is not None
+                         else jax.device_put(jnp.asarray(dem_f32), device))
         elif sampler == "crossing":
             from .render.crossing import pack_scene
             scene = pack_scene(jnp.asarray(dem_f32))
@@ -204,6 +214,88 @@ class horizonator:
         # (or raise under strict_coverage=True) instead of silently
         # lowering horizons.
         self.strict_coverage = bool(strict_coverage)
+        if region_mesh is not None:
+            self._init_region(region_mesh)
+
+    def _init_region(self, region_mesh):
+        """Shard the scene over a 'region' mesh axis in row bands: the
+        one-knob >HBM path. The grid (zero-padded to a band multiple,
+        masked exactly like the unsharded march masks rows > n-1) and the
+        color planes live 1/R-per-device; the z12 atlas (small) rides
+        replicated for the hybrid near field. render()/render_batch()/
+        horizon() then dispatch through parallel.regions transparently --
+        the TPU analog of the reference's load-a-window-around-the-viewer
+        contract (dem.c:106-127) at scales beyond one chip's HBM."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        if region_mesh == "auto":
+            mesh = Mesh(np.array(jax.devices()), ("region",))
+        elif isinstance(region_mesh, int):
+            mesh = Mesh(np.array(jax.devices()[:region_mesh]), ("region",))
+        else:
+            mesh = region_mesh
+        if "region" not in mesh.shape:
+            raise ValueError("region_mesh needs a 'region' mesh axis")
+        r = mesh.shape["region"]
+        n = self.mosaic.grid.shape[0]
+        n_pad = _round_up(n, r)
+        grid = np.asarray(self._dem, np.float32)
+        if n_pad != n:
+            grid = np.pad(grid, ((0, n_pad - n), (0, 0)))
+        self._dem = jax.device_put(jnp.asarray(grid),
+                                   NamedSharding(mesh, P("region", None)))
+        colors = None
+        tex_scale = 0
+        if self._color_planes is not None:
+            planes = jnp.asarray(self._color_planes)   # raw (3, s*n, s*n)
+            s = self._color_scale
+            if n_pad != n:
+                planes = jnp.pad(planes,
+                                 ((0, 0), (0, s * (n_pad - n)), (0, 0)))
+            if s == 2:
+                from .render.texture import prepare_color_planes
+                cp = prepare_color_planes(planes)
+                colors = (
+                    jax.device_put(cp.ns,
+                                   NamedSharding(mesh, P(None, "region"))),
+                    jax.device_put(cp.ew,
+                                   NamedSharding(mesh, P("region", None))),
+                    jax.device_put(cp.full_packed,
+                                   NamedSharding(mesh, P("region", None))))
+            else:
+                colors = jax.device_put(
+                    planes, NamedSharding(mesh, P(None, "region", None)))
+            tex_scale = s
+        atlas = None
+        if (self._exact_near_m is not None and self._atlas is not None
+                and tex_scale == 2):
+            atlas = jax.device_put(self._atlas, NamedSharding(mesh, P()))
+        self._region = dict(mesh=mesh, r=r, n_valid=n, colors=colors,
+                            tex_scale=tex_scale, atlas=atlas, fns={})
+
+    def _render_region(self, params, znear, zfar):
+        """render() through the region-sharded renderer (cached per static
+        config)."""
+        from .parallel.regions import make_region_sharded_renderer
+        R = self._region
+        nsteps = self._auto_nsteps(znear, zfar)
+        hint = self._lat_hint()
+        key = ("render", self.width, self.height, nsteps, hint)
+        fn = R["fns"].get(key)
+        if fn is None:
+            fn = make_region_sharded_renderer(
+                R["mesh"], width=self.width, height=self.height,
+                k_cross=nsteps, cells_per_deg=self.mosaic.cells_per_deg,
+                lat_hint_deg=hint, sampler="window",
+                textured=R["tex_scale"] > 0, texture_scale=R["tex_scale"],
+                n_valid_rows=R["n_valid"],
+                atlas_params=(self._atlas_params if R["atlas"] is not None
+                              else None),
+                exact_near_m=(self._exact_near_m
+                              if R["atlas"] is not None else None))
+            R["fns"][key] = fn
+        if R["tex_scale"] > 0:
+            return fn(self._dem, R["colors"], params, R["atlas"])
+        return fn(self._dem, params)
 
     @staticmethod
     def _guard_of(dists):
@@ -235,7 +327,12 @@ class horizonator:
         """Shared tail of the texture/hillshade plane prep: camera-
         independent prestride/transpose once per scene for half-cell
         planes (texture.ColorPlanes2x -- measured ~5 ms/frame if left to
-        render time), then device placement."""
+        render time), then device placement. Region-sharded instances
+        keep the raw planes host-side; _init_region places them."""
+        if getattr(self, "_region_pending", None) is not None:
+            self._color_planes = np.asarray(planes, np.float32)
+            self._color_scale = scale
+            return
         if scale == 2:
             from .render.texture import prepare_color_planes
             planes = prepare_color_planes(planes)
@@ -373,6 +470,19 @@ class horizonator:
             znear_color=f(znear_color), zfar_color=f(zfar_color),
             curv=f(self._curv))
 
+        if self._region is not None:
+            image, ranges = self._render_region(params, znear, zfar)
+            ranges_np = np.asarray(ranges) if return_range else None
+            self._last = dict(ranges=ranges_np, ranges_dev=ranges,
+                              az_deg0=az_deg0, az_deg1=az_deg1,
+                              lat=self.viewer_lat, lon=self.viewer_lon)
+            out = []
+            if return_image:
+                out.append(np.asarray(image))
+            if return_range:
+                out.append(ranges_np)
+            return tuple(out) if len(out) > 1 else out[0]
+
         dem, sampler, nsteps, lod_plan, cp = self._batch_render_plan(znear,
                                                                      zfar)
         image, ranges, dropped = render_panorama(
@@ -489,6 +599,23 @@ class horizonator:
             znear_color = znear
         if zfar_color < 0.0:
             zfar_color = zfar
+        if self._region is not None:
+            # region-sharded scenes: every viewpoint renders through the
+            # row-band mesh already; the batch is a host loop over the
+            # cached sharded renderer (one compile, B dispatches)
+            if mesh is not None:
+                raise ValueError("render_batch(mesh=) cannot combine with "
+                                 "a region_mesh instance")
+            imgs, rngs = [], []
+            for b, (la, lo) in enumerate(zip(lats, lons)):
+                img, rg = self.render(
+                    az_deg0, az_deg1, lat=la, lon=lo,
+                    ele_m=(float(ele_m[b]) if ele_m is not None else None),
+                    znear=znear, zfar=zfar, znear_color=znear_color,
+                    zfar_color=zfar_color)
+                imgs.append(img)
+                rngs.append(rg)
+            return np.stack(imgs), np.stack(rngs)
         f = jnp.float32
         ps = []
         for b, (la, lo) in enumerate(zip(lats, lons)):
@@ -591,6 +718,21 @@ class horizonator:
             az_rad0=f(math.radians(az_deg0)), az_rad1=f(math.radians(az_deg1)),
             znear=f(znear), zfar=f(zfar), znear_color=f(znear),
             zfar_color=f(zfar), curv=f(self._curv))
+        if self._region is not None:
+            from .parallel.regions import make_region_sharded_horizon
+            R = self._region
+            nsteps = self._auto_nsteps(znear, zfar)
+            key = ("horizon", width, nsteps, self._lat_hint())
+            fn = R["fns"].get(key)
+            if fn is None:
+                fn = make_region_sharded_horizon(
+                    R["mesh"], width=width, k_cross=nsteps,
+                    cells_per_deg=self.mosaic.cells_per_deg,
+                    lat_hint_deg=self._lat_hint(),
+                    n_valid_rows=R["n_valid"])
+                R["fns"][key] = fn
+            az, tan_el = fn(self._dem, params)
+            return np.asarray(az), np.asarray(tan_el)
         dropped = None
         if self.sampler == "window":
             from .render.window import march_window
@@ -641,6 +783,11 @@ class horizonator:
         same math ``pick()`` uses, so skyline lat/lons agree with a pick on
         the skyline pixel.
         """
+        if self._region is not None:
+            raise NotImplementedError(
+                "skyline() on a region_mesh instance is not yet supported "
+                "(the banded march's distance table stays per-band); use "
+                "horizon() or an unsharded instance")
         width = self.width if width is None else int(width)
         ci, cj = self.mosaic.viewer_cell(self.viewer_lat, self.viewer_lon)
         f = jnp.float32

@@ -46,7 +46,8 @@ from ..render.raymarch import resolve_to_image, _scan_shift
 
 def make_region_sharded_horizon(mesh: Mesh, *, width, k_cross, cells_per_deg,
                                 axis="region", az_axis=None,
-                                sampler="window", lat_hint_deg=45.0):
+                                sampler="window", lat_hint_deg=45.0,
+                                n_valid_rows=None):
     """Build fn(dem (n, n) f32 [n % R == 0], params) -> (az (W,), tan_el
     (W,)) with the DEM row-sharded over mesh axis ``axis`` and the horizon
     combined exactly across bands.
@@ -71,7 +72,8 @@ def make_region_sharded_horizon(mesh: Mesh, *, width, k_cross, cells_per_deg,
         tanel, _, az, _, _ = _banded_march(
             dem_band, params, width=w_local, k_cross=k_cross,
             cells_per_deg=cells_per_deg, axis=axis, r=r, az_axis=az_axis,
-            n_az=n_az, sampler=sampler, lat_hint_deg=lat_hint_deg)
+            n_az=n_az, sampler=sampler, lat_hint_deg=lat_hint_deg,
+            n_valid_rows=n_valid_rows)
         h = jnp.max(tanel, axis=1)
         return az, jax.lax.pmax(h, axis)
 
@@ -86,7 +88,8 @@ def make_region_sharded_horizon(mesh: Mesh, *, width, k_cross, cells_per_deg,
 
 def _banded_march(dem_band, params, *, width, k_cross, cells_per_deg,
                   axis, r, az_axis, n_az, sampler="crossing",
-                  lat_hint_deg=45.0, colors_band=None):
+                  lat_hint_deg=45.0, colors_band=None, n_valid_rows=None,
+                  atlas=None, atlas_params=None, exact_near_m=None):
     """The shared band-local march: halo exchange + j-shifted crossing
     march, returning (tanel (W_local, K) with only this band's samples
     valid, dists, az, params-with-wedged-azimuth, tex-or-None).
@@ -120,7 +123,14 @@ def _banded_march(dem_band, params, *, width, k_cross, cells_per_deg,
     halo = jax.lax.ppermute(first_row, axis, perm)
     halo = jnp.where(idx == r - 1, jnp.zeros_like(halo), halo)
     local = jnp.concatenate([dem_band, halo], axis=0)          # (nb+1, n)
-    j_hi = jnp.where(idx == r - 1, jnp.float32(nb - 1), jnp.float32(nb))
+    # n_valid_rows (static): the true grid height when the global array's
+    # rows were zero-padded up to a band multiple (api.horizonator's
+    # region_mesh path) -- rows >= n_valid_rows mask exactly like the
+    # unsharded march masks rows > n-1, so padding stays invisible.
+    n_valid = n_valid_rows if n_valid_rows is not None else r * nb
+    j_hi = jnp.minimum(jnp.float32(nb),
+                       jnp.float32(n_valid - 1) - idx.astype(jnp.float32)
+                       * nb)
     colors_local = None
     if isinstance(colors_band, (tuple, list)):
         from ..render.texture import ColorPlanes2x
@@ -154,10 +164,17 @@ def _banded_march(dem_band, params, *, width, k_cross, cells_per_deg,
     if sampler == "window":
         from ..render.window import march_window
         if colors_local is not None:
+            # atlas/exact_near_m: the hybrid near field under region
+            # sharding -- the z12 atlas is small (tens of MB) and rides
+            # REPLICATED; positions are global, so each band computes
+            # identical exact colors for its valid lanes and the masked
+            # pmax combine stays an exact reassembly
             tanel, _, dists, az, tex = march_window(
                 local, p_img, width=width, k_cross=k_cross,
                 cells_per_deg=cells_per_deg, lat_hint_deg=lat_hint_deg,
-                j_hi=j_hi, j_offset=idx * nb, color_planes=colors_local)
+                j_hi=j_hi, j_offset=idx * nb, color_planes=colors_local,
+                atlas=atlas, atlas_params=atlas_params,
+                exact_near_m=exact_near_m)
         else:
             tanel, _, dists, az = march_window(
                 local, p_img, width=width, k_cross=k_cross,
@@ -178,7 +195,8 @@ def make_region_sharded_renderer(mesh: Mesh, *, width, height, k_cross,
                                  cells_per_deg, refine=True, axis="region",
                                  az_axis=None, sampler="window",
                                  lat_hint_deg=45.0, textured=False,
-                                 texture_scale=1):
+                                 texture_scale=1, n_valid_rows=None,
+                                 atlas_params=None, exact_near_m=None):
     """Region-sharded FULL panorama (SURVEY.md 5.8c complete): fn(dem
     (n, n) f32 [n % R == 0], params) -> (image (H, W, 3) u8 BGR, ranges
     (H, W) f32) equal to the single-device crossing render.
@@ -212,12 +230,14 @@ def make_region_sharded_renderer(mesh: Mesh, *, width, height, k_cross,
         raise ValueError(f"width {width} not divisible by az axis {n_az}")
     w_local = width // n_az
 
-    def local_fn(dem_band, colors_band, params):
+    def local_fn(dem_band, colors_band, atlas, params):
         tanel, dists, az, p_img, tex = _banded_march(
             dem_band, params, width=w_local, k_cross=k_cross,
             cells_per_deg=cells_per_deg, axis=axis, r=r, az_axis=az_axis,
             n_az=n_az, sampler=sampler, lat_hint_deg=lat_hint_deg,
-            colors_band=colors_band)
+            colors_band=colors_band, n_valid_rows=n_valid_rows,
+            atlas=atlas, atlas_params=atlas_params,
+            exact_near_m=exact_near_m)
         valid = tanel > NEG_BIG
         tanel = jax.lax.pmax(tanel, axis)
         if tex is not None:
@@ -244,10 +264,11 @@ def make_region_sharded_renderer(mesh: Mesh, *, width, height, k_cross,
         col_spec = P()
     sharded = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(axis, None), col_spec, P()),
+        in_specs=(P(axis, None), col_spec, P(), P()),
         out_specs=(img_spec, rng_spec),
         check_vma=False)   # pallas resolve body under shard_map
     jitted = jax.jit(sharded)
     if textured:
-        return jitted
-    return lambda dem, params: jitted(dem, None, params)
+        return lambda dem, colors, params, atlas=None: \
+            jitted(dem, colors, atlas, params)
+    return lambda dem, params: jitted(dem, None, None, params)

@@ -1161,8 +1161,11 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
             tex = jnp.concatenate([tex_q, tex], axis=1)
 
     if (textured and exact_near_m is not None and atlas is not None
-            and atlas_params is not None and not banded):
+            and atlas_params is not None):
         # --- hybrid near field: exact z12 colors for d <= exact_near_m ----
+        # (banded marches included: positions are GLOBAL, so each band
+        # computes identical exact colors for its valid lanes and the
+        # region combine stays exact; the atlas rides replicated)
         # (texture_quality="hybrid"): replaces the grid2x colors of the
         # near band + the first k_x crossing steps with atlas-true texels
         # via a viewer-patch tensor contraction (_exact_near_colors) --

@@ -274,6 +274,58 @@ def test_region_textured_panorama_bitwise():
     assert np.asarray(img1)[..., 1][vis].max() > 30
 
 
+def test_api_region_mesh_one_knob(tmp_path):
+    """>HBM rendering from ONE ctor knob: horizonator(region_mesh=) shards
+    the mosaic in row bands (zero-padded to a band multiple, padding
+    masked) and serves plain render()/render_batch()/horizon() -- bitwise
+    the unsharded instance, matching the reference's transparent
+    load-a-window contract (dem.c:106-127) at multi-chip scale. The
+    hillshade variant also exercises the sharded half-cell color planes
+    through the public API."""
+    from conftest import make_synthetic_dem_dir
+    from horizonator_tpu import horizonator
+
+    def peaks(lat, lon):
+        return (200 + 2200 * np.exp(-((lat - 34.55) ** 2
+                                      + (lon + 117.45) ** 2)
+                                    / (2 * 0.03 ** 2)))
+
+    d = make_synthetic_dem_dir(tmp_path, {(34, -118): peaks})
+    kw = dict(dir_dems=d, render_radius_m=20000.0)
+    h0 = horizonator(34.40, -117.45, 128, 64, **kw)
+    hr = horizonator(34.40, -117.45, 128, 64, region_mesh="auto", **kw)
+    assert hr._region["r"] == len(jax.devices())
+    img0, rng0 = h0.render(-60, 60, zfar=20000.0)
+    img1, rng1 = hr.render(-60, 60, zfar=20000.0)
+    np.testing.assert_array_equal(img0, img1)
+    np.testing.assert_array_equal(rng0, rng1)
+    # pick() reads the region render's ranges like any other
+    ys, xs = np.nonzero(rng1 > 0)
+    assert hr.pick(int(xs[0]), int(ys[0])) is not None
+    # horizon through the region mesh
+    az0, t0 = h0.horizon(-30, 30, width=64, zfar=20000.0)
+    az1, t1 = hr.horizon(-30, 30, width=64, zfar=20000.0)
+    np.testing.assert_array_equal(t0, t1)
+    # render_batch: host loop over the cached sharded renderer
+    imgs, rngs = hr.render_batch(-60, 60, [34.40, 34.42],
+                                 [-117.45, -117.44], zfar=20000.0)
+    imgb, rngb = h0.render(-60, 60, lat=34.42, lon=-117.44, zfar=20000.0)
+    np.testing.assert_array_equal(imgs[1], imgb)
+    np.testing.assert_array_equal(rngs[1], rngb)
+    with pytest.raises(NotImplementedError):
+        hr.skyline(-30, 30)
+
+    # hillshade (= textured, half-cell gray planes): the sharded-2x color
+    # path end to end through the public API
+    hs0 = horizonator(34.40, -117.45, 96, 48, hillshade=True, **kw)
+    hsr = horizonator(34.40, -117.45, 96, 48, hillshade=True,
+                      region_mesh="auto", **kw)
+    i0, r0 = hs0.render(-60, 60, zfar=20000.0)
+    i1, r1 = hsr.render(-60, 60, zfar=20000.0)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_array_equal(r0, r1)
+
+
 @pytest.mark.parametrize("viewer_j", [127.6, 2.5, 253.4])
 def test_region_grid2x_panorama_bitwise(viewer_j):
     """HALF-CELL (grid2x) textured region sharding: the API's default
