@@ -254,9 +254,14 @@ def config6(iters, scale=2, hybrid=True):
             round(sec * 1e3, 3), "unit": "ms/viewpoint"}
 
 
-def config7(iters):
+def config7(iters, method="auto"):
     """GIS viewshed raster: viewshed_grid on the window kernel -- one
-    800x800-cell visibility raster (full 360 deg, 20 km) per dispatch."""
+    800x800-cell visibility raster (full 360 deg, 20 km) per dispatch.
+    Default = the gather-free contraction resampler (method='auto' ->
+    'contract'; measured 6.6 -> ~2.0 ms on v5e -- the old gather path's
+    640k random-indexed lookups were the raster's floor, see
+    benchmarks/profile_viewshed_contract.py). method='gather' times the
+    original path."""
     import functools
     import jax
     from horizonator_tpu.ops import viewshed_grid
@@ -270,7 +275,8 @@ def config7(iters):
     # aligned k axis adds a TILE_K of lanes to the polar field ops.
     fn = functools.partial(viewshed_grid, width=720, nsteps=nsteps,
                            cells_per_deg=1200, out_halfwidth=400,
-                           sampler="window", lat_hint_deg=34.3)
+                           sampler="window", lat_hint_deg=34.3,
+                           method=method)
     sec = timed_chain(fn, dem, p, iters=iters)
     return {"config": 7, "metric": "viewshed_grid_800x800_window", "value":
             round(sec * 1e3, 3), "unit": "ms/raster"}
@@ -317,7 +323,9 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    from horizonator_tpu.compile_cache import harden_cache
+    harden_cache()   # atomic cache puts + zlib (compile_cache.py)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache2")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     log(f"device: {jax.devices()[0]}")
     fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,

@@ -144,6 +144,11 @@ def _honor_jax_platforms_env():
     if plat:
         import jax
         jax.config.update("jax_platforms", plat)
+    # While here (= before any compile): if a persistent compile cache is
+    # configured (JAX_COMPILATION_CACHE_DIR), make its writes zlib -- the
+    # zstandard serializer segfaults under bursts (compile_cache.py).
+    from .compile_cache import harden_cache
+    harden_cache()
 
 
 def _run_viewshed(args) -> int:

@@ -16,8 +16,15 @@ if "xla_force_host_platform_device_count" not in flags:
 # alone doesn't stick. Force the platform through the config API too.
 import jax
 jax.config.update("jax_platforms", "cpu")
-# Persistent compilation cache across test runs/processes.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+# Persistent compilation cache across test runs/processes, HARDENED:
+# atomic entry publishes (jax's unlocked put tears under the suite's
+# concurrent CLI subprocesses -- the root cause of the intermittent
+# full-suite segfaults) + zlib compression (see compile_cache.py; the
+# dir is suffixed 2 because the compression choice is dir-wide and the
+# old dir holds zstd entries).
+from horizonator_tpu.compile_cache import harden_cache
+harden_cache()
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache2")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np

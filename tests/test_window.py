@@ -467,19 +467,16 @@ def test_fuzz_window_vs_crossing_oracle():
     ranges. This is the net that catches silent-masking bug classes like
     the k_kernel round-down (test_far_edge_crossings_not_truncated).
 
-    The persistent compilation cache is DISABLED for the trials: every
-    trial compiles a fresh one-shot shape (pure cache pollution), and
-    this jax build's zstandard cache serializer segfaults intermittently
-    under exactly this burst of large put/get calls (observed three times
-    at compilation_cache.put/get_executable_and_time in full-suite runs).
+    The trials' per-shape compiles go through the persistent cache like
+    everything else: conftest hardens the cache (compile_cache.py --
+    ATOMIC entry publishes + zlib). The intermittent segfaults this burst
+    of large put/get calls used to trigger were torn reads of entries
+    concurrently written by another cache sharer (jax's unlocked
+    non-atomic put), first misattributed to the zstandard serializer
+    whose C frames sat on the crash stacks. Caching the one-shot shapes
+    also cuts the suite's cold-cache wall time.
     """
-    import jax as _jax
-    old_cache = _jax.config.jax_compilation_cache_dir
-    _jax.config.update("jax_compilation_cache_dir", None)
-    try:
-        _fuzz_trials()
-    finally:
-        _jax.config.update("jax_compilation_cache_dir", old_cache)
+    _fuzz_trials()
 
 
 def _fuzz_trials():

@@ -23,7 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    from horizonator_tpu.compile_cache import harden_cache
+    harden_cache()   # atomic cache puts + zlib (compile_cache.py)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache2")
     import jax.numpy as jnp
     from horizonator_tpu.render import RenderParams, render_panorama
     from horizonator_tpu.render.window import march_window
