@@ -88,17 +88,41 @@ def viewshed_polar(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
 @functools.partial(
     jax.jit, static_argnames=("width", "nsteps", "cells_per_deg", "surface",
                               "out_halfwidth", "sampler", "lat_hint_deg",
-                              "znear_hint_m", "with_dropped"))
+                              "znear_hint_m", "with_dropped", "method",
+                              "row_chunk"))
 def viewshed_grid(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
                   surface="bilinear", out_halfwidth=None, sampler="step",
                   lat_hint_deg=45.0, znear_hint_m=100.0, with_dropped=False,
-                  aligned_scene=None, out_center_ij=None):
+                  aligned_scene=None, out_center_ij=None, method="auto",
+                  row_chunk=None):
     """GIS-style visibility raster around the viewer.
 
-    Evaluates the polar visibility at each output CELL's own (az, dist)
-    (gather from the polar field -- scatter-free), so every cell of the
-    (2*out_halfwidth)^2 window around the viewer gets a boolean.
-    Cells nearer than znear or beyond zfar are False.
+    Every cell of the (2*out_halfwidth)^2 window around the viewer gets a
+    boolean. Cells nearer than znear or beyond zfar are False.
+
+    ``method`` picks the polar->cartesian resampler:
+
+    - ``"contract"`` (the fast TPU path): tests each cell's OWN elevation
+      angle against its polar column's running horizon via two separable
+      masked-max contractions -- ZERO gathers (TPU gathers cost ~10 ns per
+      element, which floored the 800^2 raster at ~6.5 ms; the contraction
+      runs it in ~2 ms). This is the classic GIS semantics (the cell
+      center vs the terrain strictly nearer along its ray); see
+      _grid_contract for the derivation and its quantization class.
+    - ``"gather"``: look up the visibility of the polar SAMPLE nearest
+      each cell in (az, dist) -- the original path, kept as the
+      cross-check oracle (the two agree except at visibility boundaries:
+      sub-sample quantization, measured ~0.4% on smooth terrain and ~5%
+      on white-noise terrain where boundary cells are coin flips; the
+      contract path measures CLOSER to an exact per-cell ray oracle).
+    - ``"auto"``: contract for the production samplers
+      (crossing/window) on a raw 2D elevation grid (the cell test needs
+      terrain heights; packed CrossingScene/pair-plane inputs fall back
+      to gather). The 'step' sampler keeps gather: it is the
+      uniform-step ORACLE path, and its dense radial sampling makes the
+      ray-sample semantics marginally closer to an exact per-cell march
+      than the contract's column-keyed evaluation (measured 4.2% vs
+      6.7% oracle distance at width=256).
 
     ``out_center_ij``: optional (i, j) float cell coords of the output
     window's center. Default None keeps the window centered on the viewer
@@ -109,12 +133,27 @@ def viewshed_grid(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
     to the same cells.
 
     sampler: as in viewshed_polar; 'window' runs the gather-free Pallas
-    march (the fast TPU path -- the distance->sample-index inversion then
-    uses the per-column crossing parameterization instead of the uniform
-    step grid). ``with_dropped=True`` appends the window kernel's
-    dropped-sample counter (see viewshed_polar).
+    march (the fast TPU path). ``with_dropped=True`` appends the window
+    kernel's dropped-sample counter (see viewshed_polar).
+    ``row_chunk``: contract-path work granularity (output rows per fused
+    reduction dispatch; default 100 -- measured ~flat 25..100 on v5e).
     """
     p = params
+    if method == "auto":
+        dem_a = dem if isinstance(dem, jax.Array) or hasattr(dem, "ndim") \
+            else None
+        raw_grid = (dem_a is not None and getattr(dem_a, "ndim", 0) == 2
+                    and not (dem_a.dtype == jnp.int32
+                             and dem_a.shape[1] == dem_a.shape[0] - 1))
+        method = ("contract" if raw_grid and sampler != "step"
+                  else "gather")
+    if method == "contract":
+        return _grid_contract(
+            dem, p, width=width, nsteps=nsteps, cells_per_deg=cells_per_deg,
+            surface=surface, out_halfwidth=out_halfwidth, sampler=sampler,
+            lat_hint_deg=lat_hint_deg, znear_hint_m=znear_hint_m,
+            with_dropped=with_dropped, aligned_scene=aligned_scene,
+            out_center_ij=out_center_ij, row_chunk=row_chunk or 100)
     if sampler in ("crossing", "window"):
         visible, tanel, _, _, dists = _polar_with_dists(
             dem, p, width=width, nsteps=nsteps, cells_per_deg=cells_per_deg,
@@ -260,6 +299,223 @@ def _polar_with_dists(dem, params, *, width, nsteps, cells_per_deg, surface,
     d = dists.d_of(jnp.broadcast_to(
         jnp.arange(tanel.shape[1], dtype=jnp.int32)[None, :], tanel.shape))
     return visible, tanel, d, az, dists
+
+
+def _raw_polar(dem, params, *, width, nsteps, cells_per_deg, surface,
+               sampler, lat_hint_deg, znear_hint_m, aligned_scene):
+    """March the polar field WITHOUT the visibility scan: (tanel (W, K),
+    d (W, K), half_step (W,), az (W,), dists-or-None). The contract
+    resampler consumes raw rows; building ``visible`` would force the
+    run_max scan the window kernel otherwise dead-codes."""
+    if sampler == "window":
+        from ..render.window import march_window
+        tanel, _, dists, az = march_window(
+            dem, params, width=width, k_cross=nsteps,
+            cells_per_deg=cells_per_deg, lat_hint_deg=lat_hint_deg,
+            znear_hint_m=znear_hint_m, scene=aligned_scene)
+    elif sampler == "crossing":
+        from ..render.crossing import CrossingScene, pack_scene, \
+            march_crossing
+        scene = dem if isinstance(dem, CrossingScene) else pack_scene(dem)
+        tanel, _, dists, az = march_crossing(
+            scene, params, width=width, k_cross=nsteps,
+            cells_per_deg=cells_per_deg)
+    else:
+        tanel, _, d, az = march_tanel(
+            dem, params, width=width, nsteps=nsteps,
+            cells_per_deg=cells_per_deg, surface=surface)
+        # The guard band must cover the target cell's own FOOTPRINT along
+        # the ray (the dominant-axis crossing spacing -- what dists.scale
+        # is for the crossing samplers), NOT half a step: uniform steps
+        # are much finer than a cell, and samples inside the cell's own
+        # bilinear patch read angles slightly above the cell-center angle
+        # on rising faces (measured: 16% of cells flipped invisible with
+        # a half-step band; ~4% boundary-only with the footprint band).
+        cell_n = geometry.EARTH_RADIUS_M * DEG / cells_per_deg
+        cell_e = cell_n * params.cos_viewer_lat
+        eps = jnp.float32(1e-6)
+        half = 0.5 * jnp.minimum(
+            cell_n / jnp.maximum(jnp.abs(jnp.cos(az)), eps),
+            cell_e / jnp.maximum(jnp.abs(jnp.sin(az)), eps))
+        return tanel, jnp.broadcast_to(d[None, :], tanel.shape), half, az, \
+            None
+    if getattr(dists, "lane0", None) is not None:
+        # aligned-scene marches fill the residual-gap lanes with COPIES of
+        # the near-band top (resolve bookkeeping); d_of maps them back
+        # into the near band at NEARER distances, which would add a
+        # duplicate value to masked-max sets the per-render-build march
+        # does not have -- mask them so aligned == unaligned exactly
+        lane = jnp.arange(tanel.shape[1], dtype=jnp.float32)[None, :]
+        gap = (lane >= dists.n_near) & (
+            lane < dists.n_near + dists.lane0[:, None])
+        tanel = jnp.where(gap, jnp.float32(-3.0e38), tanel)
+    d = dists.d_of(jnp.broadcast_to(
+        jnp.arange(tanel.shape[1], dtype=jnp.int32)[None, :], tanel.shape))
+    return tanel, d, 0.5 * dists.scale, az, dists
+
+
+def _grid_contract(dem, p, *, width, nsteps, cells_per_deg, surface,
+                   out_halfwidth, sampler, lat_hint_deg, znear_hint_m,
+                   with_dropped, aligned_scene, out_center_ij, row_chunk):
+    """Gather-free viewshed raster: two separable masked-max contractions.
+
+    Cell (a, b) is visible iff its own elevation angle reaches its polar
+    column's running horizon STRICTLY NEARER than the cell. The lookup
+    "horizon of column xc before distance r" is evaluated without any
+    gather by exploiting that each polar ray crosses each output ROW
+    exactly once (at radius r = nn / cos(az)):
+
+    - pass 1 (region A, |north| >= |east|; the cell's az is then within
+      45 deg of the N-S axis, where |cos az| >= 0.7): T_A[row, x] =
+      max over samples of column x with d < nn_row / cos(az_x) -- a pure
+      broadcast compare/select/max over the march's (W, K) rows. Columns
+      near az = +-90 deg (the 1/cos blowup) are never selected by
+      region-A cells; region B (|east| > |north|) is keyed by output
+      COLUMN with r = ee / sin(az) symmetrically.
+    - pass 2: th[a, b] = T[.., xc[a, b]] as a one-hot max over x
+      (xc == x), again pure VPU broadcast math.
+    - the cell's own angle comes from 4 shifted slices of an edge-padded
+      DEM window: the output grid has exactly unit spacing, so its
+      bilinear weights are CONSTANT -- no gathers anywhere.
+
+    Half-step guard band: for j-dominant columns the march's samples sit
+    EXACTLY at row crossings, so a strict d < r mask would admit the
+    cell's own sample by fp luck (+-1 ulp) -- and on a rising visible
+    face that self-test flips the cell invisible (the sample at the
+    ray/row crossing sits up to half a column's arc from the cell center
+    and reads a different angle). Excluding the half-step band below the
+    crossing removes the self-sample robustly; any true blocker is >= one
+    full step nearer and survives. This band and the nearest-column az
+    quantization are the method's error class: boundary cells only,
+    measured ~0.4% vs the gather path on smooth terrain and CLOSER than
+    the gather path to an exact per-cell ray oracle (see
+    tests/test_viewshed_contract.py and
+    benchmarks/profile_viewshed_contract.py).
+    """
+    tanel, d, half_step, az_cols, dists = _raw_polar(
+        dem, p, width=width, nsteps=nsteps, cells_per_deg=cells_per_deg,
+        surface=surface, sampler=sampler, lat_hint_deg=lat_hint_deg,
+        znear_hint_m=znear_hint_m, aligned_scene=aligned_scene)
+    NEG = jnp.float32(-3.0e38)
+    hw = out_halfwidth
+    if hw is None:
+        raise ValueError("out_halfwidth is required")
+    P2 = 2 * hw
+
+    cell_n = geometry.EARTH_RADIUS_M * DEG / cells_per_deg
+    cell_e = cell_n * p.cos_viewer_lat
+    di = jnp.arange(P2, dtype=jnp.float32) - hw + 0.5
+    dj = jnp.arange(P2, dtype=jnp.float32) - hw + 0.5
+    if out_center_ij is not None:
+        ci, cj = out_center_ij
+        di = ci + di - p.viewer_cell_i
+        dj = cj + dj - p.viewer_cell_j
+    nn = dj * cell_n                          # (P2,) north, axis 0
+    ee = di * cell_e                          # (P2,) east, axis 1
+
+    _, az_center, az_ndc_per_rad = _window(p)
+    az = jnp.arctan2(ee[None, :], nn[:, None])
+    az_u = _unwrap(az, az_center)
+    x_ndc = (az_u - az_center) * az_ndc_per_rad
+    xcol = jnp.round((x_ndc + 1.0) / 2.0 * width - 0.5).astype(jnp.int32)
+    in_az = (x_ndc >= -1.0) & (x_ndc <= 1.0)
+    xc = jnp.clip(xcol, 0, width - 1)
+    dist = jnp.sqrt(ee[None, :] ** 2 + nn[:, None] ** 2)
+    in_r = (dist >= p.znear) & (dist <= p.zfar)
+
+    cosx = jnp.cos(az_cols)
+    sinx = jnp.sin(az_cols)
+    xids = jnp.arange(width, dtype=jnp.int32)
+
+    # the cell's own elevation: 4 shifted slices of an edge-padded window
+    # (unit output spacing -> constant fractional weights; the pad keeps
+    # the dynamic_slice in-bounds for any viewer/center inside the grid,
+    # and windows reaching past the grid only expose cells the in-grid
+    # mask already rejects)
+    if getattr(dem, "ndim", 0) != 2:
+        raise TypeError(
+            "method='contract' needs the raw 2D elevation grid (the cell "
+            "test samples terrain heights); got "
+            f"{type(dem).__name__} -- pass the float grid or "
+            "method='gather'")
+    n0, n1 = dem.shape
+    pj = p.viewer_cell_j + dj
+    pi = p.viewer_cell_i + di
+    pad = hw + 2
+    demf = dem.astype(jnp.float32)
+    demp = jnp.pad(demf, pad, mode="edge")
+    j0 = jnp.floor(pj[0])
+    i0 = jnp.floor(pi[0])
+    fj = pj[0] - j0
+    fi = pi[0] - i0
+    S = P2 + 2
+    js = jnp.clip(j0 + pad, 0, (n0 + 2 * pad) - S).astype(jnp.int32)
+    is_ = jnp.clip(i0 + pad, 0, (n1 + 2 * pad) - S).astype(jnp.int32)
+    win = jax.lax.dynamic_slice(demp, (js, is_), (S, S))
+    if surface == "triangulated":
+        # fj/fi are grid-wide constants, so the whole raster lies in one
+        # triangle half of its cells (mesh.py's diagonal split)
+        z_lower = (win[:-2, :-2] + (win[:-2, 1:-1] - win[:-2, :-2]) * fi
+                   + (win[1:-1, 1:-1] - win[:-2, 1:-1]) * fj)
+        z_upper = (win[:-2, :-2] + (win[1:-1, 1:-1] - win[1:-1, :-2]) * fi
+                   + (win[1:-1, :-2] - win[:-2, :-2]) * fj)
+        z = jnp.where(fj <= fi, z_lower, z_upper)
+    else:
+        z = ((1 - fj) * (1 - fi) * win[:-2, :-2]
+             + (1 - fj) * fi * win[:-2, 1:-1]
+             + fj * (1 - fi) * win[1:-1, :-2]
+             + fj * fi * win[1:-1, 1:-1])
+    t_cell = (z - p.viewer_z) / dist - dist * p.curv
+    ing = (((pj >= 0) & (pj <= n0 - 1))[:, None]
+           & ((pi >= 0) & (pi <= n1 - 1))[None, :])
+    mask = in_az & in_r & ing
+    region_a = jnp.abs(nn)[:, None] >= jnp.abs(ee)[None, :]
+
+    # pad the output rows/cols to a row_chunk multiple (pad rows carry
+    # mask=False and a harmless geometry)
+    rc = row_chunk
+    npad = (-P2) % rc
+    nn_p = jnp.pad(nn, (0, npad), constant_values=1.0)
+    ee_p = jnp.pad(ee, (0, npad), constant_values=1.0)
+    pad2 = ((0, npad), (0, 0))
+    xc_p = jnp.pad(xc, pad2)
+    ra_p = jnp.pad(region_a, pad2)
+    t_p = jnp.pad(t_cell, pad2)
+    m_p = jnp.pad(mask, pad2)
+    nc = (P2 + npad) // rc
+
+    # pass 1, region B (keyed by output column; shared by every row chunk)
+    def tb_chunk(ee_c):
+        r = ee_c[:, None] / sinx[None, :] - half_step[None, :]   # (m, W)
+        msk = d[None] < r[:, :, None]                            # (m, W, K)
+        return jnp.max(jnp.where(msk, tanel[None], NEG), axis=-1)
+    TB = jax.lax.map(tb_chunk, ee_p.reshape(nc, rc)).reshape(-1, width)
+    TB = TB[:P2]
+
+    # pass 1 region A + pass 2 both regions, fused per row chunk
+    def rows(c):
+        r = c["nn"][:, None] / cosx[None, :] - half_step[None, :]
+        TA = jnp.max(jnp.where(d[None] < r[:, :, None],
+                               tanel[None], NEG), axis=-1)       # (m, W)
+        eq = c["xc"][:, :, None] == xids[None, None, :]          # (m,P2,W)
+        thA = jnp.max(jnp.where(eq, TA[:, None, :], NEG), axis=-1)
+        thB = jnp.max(jnp.where(eq, TB[None, :, :], NEG), axis=-1)
+        th = jnp.where(c["ra"], thA, thB)
+        return (c["t"] >= th) & c["m"]
+
+    chunked = {"nn": nn_p.reshape(nc, rc),
+               "xc": xc_p.reshape(nc, rc, P2),
+               "ra": ra_p.reshape(nc, rc, P2),
+               "t": t_p.reshape(nc, rc, P2),
+               "m": m_p.reshape(nc, rc, P2)}
+    vis = jax.lax.map(rows, chunked).reshape(-1, P2)[:P2]
+    if with_dropped:
+        dropped = (dists.dropped if dists is not None
+                   and dists.dropped is not None else jnp.int32(0))
+        if dists is not None and dists.truncated is not None:
+            dropped = dropped + dists.truncated
+        return vis, dropped
+    return vis
 
 
 def _window(p):

@@ -1,0 +1,244 @@
+"""The gather-free contraction viewshed raster (viewshed_grid
+method='contract'): semantics, quantization class, and fallbacks.
+
+The contract path answers the classic GIS question directly -- is the
+CELL's own elevation angle above its column's running horizon strictly
+nearer than the cell -- while the gather path reports the visibility of
+the polar SAMPLE nearest the cell. They agree except at visibility
+boundaries (sub-sample quantization); the oracle test below pins that the
+contract path is at least as close to an exact per-cell ray march.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from horizonator_tpu.ops import viewshed_grid
+from horizonator_tpu.render import RenderParams
+
+CPD = 1200
+CELL_M = 6371000.0 * np.pi / 180.0 / CPD
+
+
+def params(vi, vj, vz, zfar=20000.0, az0=-np.pi, az1=np.pi, znear=50.0,
+           cos_lat=1.0):
+    f = jnp.float32
+    return RenderParams(f(vi), f(vj), f(vz), f(cos_lat),
+                        f(az0), f(az1), f(znear), f(zfar),
+                        f(znear), f(zfar))
+
+
+def smooth_dem(n, noise=3.0, seed=7):
+    rng = np.random.default_rng(seed)
+    jj, ii = np.meshgrid(np.arange(n, dtype=np.float32),
+                         np.arange(n, dtype=np.float32), indexing="ij")
+    z = (600 + 500 * np.sin(ii / 223) * np.cos(jj / 181)
+         + 200 * np.sin(ii / 37 + 1.3) * np.cos(jj / 53)
+         + noise * rng.standard_normal((n, n), dtype=np.float32))
+    return np.maximum(z, 0).astype(np.float32)
+
+
+def _bil(d_np, jf, if_):
+    n = d_np.shape[0]
+    j0 = np.clip(np.floor(jf).astype(int), 0, n - 2)
+    i0 = np.clip(np.floor(if_).astype(int), 0, n - 2)
+    fj = jf - j0
+    fi = if_ - i0
+    return ((1 - fj) * (1 - fi) * d_np[j0, i0]
+            + (1 - fj) * fi * d_np[j0, i0 + 1]
+            + fj * (1 - fi) * d_np[j0 + 1, i0]
+            + fj * fi * d_np[j0 + 1, i0 + 1])
+
+
+def exact_oracle(d_np, vi, vj, vz, hw, znear, zfar, cos_lat=1.0, steps=700):
+    """Brute-force per-cell ray march: bilinear terrain along the exact
+    viewer->cell segment, stopping half a cell short of the target."""
+    n = d_np.shape[0]
+    cell_n = CELL_M
+    cell_e = CELL_M * cos_lat
+    off = np.arange(2 * hw) - hw + 0.5
+    PJ, PI = np.meshgrid(vj + off, vi + off, indexing="ij")
+    E = (PI - vi) * cell_e
+    N = (PJ - vj) * cell_n
+    dist = np.hypot(E, N)
+    t_cell = (_bil(d_np, PJ, PI) - vz) / dist
+    best = np.full_like(dist, -1e30)
+    for s in range(1, steps):
+        f = s / steps
+        dseg = dist * f
+        keep = (dseg < dist - 0.5 * min(cell_e, cell_n)) & (dseg >= znear)
+        tan_s = (_bil(d_np, vj + (PJ - vj) * f, vi + (PI - vi) * f)
+                 - vz) / np.maximum(dseg, 1.0)
+        best = np.where(keep, np.maximum(best, tan_s), best)
+    ok = (((PJ >= 0) & (PJ <= n - 1)) & ((PI >= 0) & (PI <= n - 1)))
+    return (t_cell >= best) & (dist >= znear) & (dist <= zfar) & ok
+
+
+def test_wall_shadow_contract():
+    """Analytic wall: the shadow boundary must land on the same cells for
+    both resamplers (up to a 1-cell transition)."""
+    n = 300
+    d_np = np.full((n, n), 100.0, np.float32)
+    d_np[:, 168:171] = 500.0                 # N-S wall east of the viewer
+    dem = jnp.asarray(d_np)
+    p = params(150, 150, 120.0, zfar=8000.0)
+    kw = dict(width=256, nsteps=256, cells_per_deg=CPD, out_halfwidth=100,
+              sampler="crossing")
+    vg = np.asarray(viewshed_grid(dem, p, method="gather", **kw))
+    vc = np.asarray(viewshed_grid(dem, p, method="contract", **kw))
+    # the exact expectations: plain visible before the wall, dark behind
+    assert vc[100, 60:110].all()             # west flats + up to the wall
+    assert not vc[100, 122:180].any()        # behind the wall
+    assert (vg != vc).mean() < 0.01          # boundary cells only
+
+
+@pytest.mark.parametrize("sampler", ["crossing", "step"])
+def test_contract_matches_gather_smooth(sampler):
+    # 'step' carries a slightly wider band: its gather path samples the
+    # ray densely while contract keys to the column ray, so the pure
+    # az-quantization term is fully exposed (auto keeps gather for step)
+    n = 300
+    dem = jnp.asarray(smooth_dem(n))
+    p = params(150, 150, 1400.0, zfar=8000.0,
+               cos_lat=math.cos(math.radians(34.3)))
+    kw = dict(width=256, nsteps=256 if sampler != "step" else 512,
+              cells_per_deg=CPD, out_halfwidth=100, sampler=sampler)
+    vg = np.asarray(viewshed_grid(dem, p, method="gather", **kw))
+    vc = np.asarray(viewshed_grid(dem, p, method="contract", **kw))
+    assert (vg != vc).mean() < (0.06 if sampler != "step" else 0.08)
+    # and the disagreement is boundary-class: flipped cells sit next to a
+    # visibility transition in the gather raster
+    bad = vg != vc
+    edge = np.zeros_like(vg)
+    edge[1:] |= vg[1:] != vg[:-1]
+    edge[:-1] |= vg[:-1] != vg[1:]
+    edge[:, 1:] |= vg[:, 1:] != vg[:, :-1]
+    edge[:, :-1] |= vg[:, :-1] != vg[:, 1:]
+    if bad.any():
+        assert (bad & edge).sum() / bad.sum() > 0.6
+
+
+def test_contract_at_least_as_close_to_oracle():
+    """The headline quality claim: against an exact per-cell ray march the
+    contract path is at least as accurate as the gather path (it evaluates
+    the oracle's own target point -- the cell center -- exactly)."""
+    n = 300
+    d_np = smooth_dem(n)
+    dem = jnp.asarray(d_np)
+    vz = 1400.0
+    p = params(150, 150, vz, zfar=8000.0)
+    hw = 100
+    kw = dict(width=256, nsteps=256, cells_per_deg=CPD, out_halfwidth=hw,
+              sampler="crossing")
+    vg = np.asarray(viewshed_grid(dem, p, method="gather", **kw))
+    vc = np.asarray(viewshed_grid(dem, p, method="contract", **kw))
+    oracle = exact_oracle(d_np, 150, 150, vz, hw, 50.0, 8000.0)
+    err_g = (vg != oracle).mean()
+    err_c = (vc != oracle).mean()
+    assert err_c <= err_g + 0.005
+    assert err_c < 0.10                      # sane absolute quality
+
+
+def test_contract_partial_window_and_center():
+    """Partial azimuth windows mask the out-of-window cells; a fixed
+    out_center registers to the same cells as the default frame."""
+    n = 300
+    dem = jnp.asarray(smooth_dem(n))
+    p = params(150.25, 150.5, 1400.0, zfar=8000.0,
+               az0=math.radians(-30), az1=math.radians(140))
+    kw = dict(width=256, nsteps=256, cells_per_deg=CPD, out_halfwidth=80,
+              sampler="crossing")
+    vg = np.asarray(viewshed_grid(dem, p, method="gather", **kw))
+    vc = np.asarray(viewshed_grid(dem, p, method="contract", **kw))
+    assert (vg != vc).mean() < 0.06
+    # out-of-window quadrant (south-west) is fully dark in both
+    assert not vc[:60, :60].any()
+    # fixed center == default center when they coincide
+    vfix = np.asarray(viewshed_grid(
+        dem, p, method="contract", out_center_ij=(150.25, 150.5), **kw))
+    np.testing.assert_array_equal(vc, vfix)
+
+
+def test_contract_shifted_center_registers():
+    """A shifted fixed frame must reproduce the overlapping cells of the
+    default frame exactly (same absolute cells, same values)."""
+    n = 300
+    dem = jnp.asarray(smooth_dem(n))
+    p = params(150.0, 150.0, 1400.0, zfar=8000.0)
+    kw = dict(width=256, nsteps=256, cells_per_deg=CPD, out_halfwidth=60,
+              sampler="crossing", method="contract")
+    base = np.asarray(viewshed_grid(dem, p, out_center_ij=(150.0, 150.0),
+                                    **kw))
+    shifted = np.asarray(viewshed_grid(dem, p, out_center_ij=(160.0, 144.0),
+                                       **kw))
+    # cell (a, b) of `shifted` is cell (a - 6*? ...) -- centers differ by
+    # (di=+10, dj=-6): shifted[a, b] = base[a - 6, b + 10]
+    np.testing.assert_array_equal(shifted[6:, :-10], base[:-6, 10:])
+
+
+def test_contract_row_chunk_invariance():
+    """row_chunk is a work-granularity knob only -- results are identical,
+    including when it does not divide the raster (pad rows are inert)."""
+    n = 300
+    dem = jnp.asarray(smooth_dem(n))
+    p = params(150, 150, 1400.0, zfar=8000.0)
+    kw = dict(width=256, nsteps=256, cells_per_deg=CPD, out_halfwidth=70,
+              sampler="crossing", method="contract")
+    a = np.asarray(viewshed_grid(dem, p, row_chunk=64, **kw))
+    b = np.asarray(viewshed_grid(dem, p, row_chunk=35, **kw))
+    c = np.asarray(viewshed_grid(dem, p, row_chunk=128, **kw))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, c)
+
+
+def test_contract_with_dropped_and_window_sampler():
+    """The window-kernel march under the contract resampler still surfaces
+    the drop guard, and agrees with the crossing-sampler contract."""
+    n = 300
+    dem = jnp.asarray(smooth_dem(n))
+    p = params(150, 150, 1400.0, zfar=8000.0)
+    kw = dict(width=256, nsteps=256, cells_per_deg=CPD, out_halfwidth=80)
+    vw, dropped = viewshed_grid(dem, p, sampler="window", lat_hint_deg=0.0,
+                                method="contract", with_dropped=True, **kw)
+    assert int(dropped) == 0
+    vx = viewshed_grid(dem, p, sampler="crossing", method="contract", **kw)
+    assert (np.asarray(vw) == np.asarray(vx)).mean() > 0.995
+
+
+def test_auto_method_and_fallbacks():
+    """auto = contract on raw grids; packed scenes fall back to gather;
+    an explicit contract on a packed scene fails loudly."""
+    from horizonator_tpu.render.crossing import pack_scene
+    n = 300
+    d_np = smooth_dem(n)
+    dem = jnp.asarray(d_np)
+    p = params(150, 150, 1400.0, zfar=8000.0)
+    kw = dict(width=256, nsteps=256, cells_per_deg=CPD, out_halfwidth=80,
+              sampler="crossing")
+    v_auto = np.asarray(viewshed_grid(dem, p, **kw))
+    v_con = np.asarray(viewshed_grid(dem, p, method="contract", **kw))
+    np.testing.assert_array_equal(v_auto, v_con)
+    scene = pack_scene(dem)
+    v_scene = np.asarray(viewshed_grid(scene, p, **kw))       # auto->gather
+    v_gather = np.asarray(viewshed_grid(dem, p, method="gather", **kw))
+    np.testing.assert_array_equal(v_scene, v_gather)
+    with pytest.raises(TypeError, match="raw 2D elevation grid"):
+        viewshed_grid(scene, p, method="contract", **kw)
+
+
+def test_contract_viewer_near_edge():
+    """Cells outside the DEM are invisible; the padded elevation slice
+    stays well-defined when the window reaches past the grid."""
+    n = 300
+    dem = jnp.asarray(smooth_dem(n))
+    p = params(20.0, 25.0, 1400.0, zfar=8000.0)
+    vc = np.asarray(viewshed_grid(dem, p, method="contract", width=256,
+                                  nsteps=256, cells_per_deg=CPD,
+                                  out_halfwidth=80, sampler="crossing"))
+    # window rows/cols mapping to dem cells < 0 are all dark
+    assert not vc[:int(80 - 25 - 1), :].any()    # pj < 0 rows
+    assert not vc[:, :int(80 - 20 - 1)].any()    # pi < 0 cols
+    assert vc.any()                               # in-grid part renders
