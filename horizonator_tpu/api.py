@@ -416,6 +416,40 @@ class horizonator:
         self.width = int(width)
         self.height = int(height)
 
+    _DEBUG_FILL_PITCH = 4
+
+    def _debug_planes(self, mode):
+        """Cell-resolution color planes that draw the DEM lattice: the
+        analog of the reference's GLUT wireframe/point fill modes
+        (standalone.c:68-97 cycles GL_FILL/GL_LINE/GL_POINT). The ray
+        marcher has no triangles to outline, so the lattice rides the
+        in-kernel texture path instead: bright green grid lines
+        ('wireframe') or nodes ('point') every _DEBUG_FILL_PITCH cells
+        over dark terrain -- the distance ramp still blends on top, so
+        depth reads like the normal render."""
+        if mode not in ("wireframe", "point"):
+            raise ValueError(
+                f"debug_fill must be 'wireframe' or 'point', got {mode!r}")
+        cached = getattr(self, "_debug_cp", None)
+        if cached is not None and cached[0] == mode:
+            return cached[1]
+        dem = self._dem
+        if not (hasattr(dem, "ndim") and getattr(dem, "ndim", 0) == 2):
+            raise ValueError(
+                "debug_fill needs the window sampler's raw elevation grid")
+        nj, ni = dem.shape
+        P = self._DEBUG_FILL_PITCH
+        jj = (np.arange(nj) % P) == 0
+        ii = (np.arange(ni) % P) == 0
+        on = (jj[:, None] | ii[None, :] if mode == "wireframe"
+              else jj[:, None] & ii[None, :])
+        base = np.full((nj, ni), 40.0, np.float32)
+        g = np.where(on, 255.0, base).astype(np.float32)
+        b = np.where(on, 0.0, base).astype(np.float32)
+        planes = jax.device_put(jnp.asarray(np.stack([b, g, b])))  # B,G,R
+        self._debug_cp = (mode, planes)
+        return planes
+
     # -- the main entry points ---------------------------------------------
 
     def render(self, az_deg0, az_deg1, lat=None, lon=None,
@@ -423,13 +457,18 @@ class horizonator:
                az_extents_use_pixel_centers=False,
                znear=ZNEAR_DEFAULT, zfar=ZFAR_DEFAULT,
                znear_color=-1.0, zfar_color=-1.0,
-               *, ele_m=None):
+               *, ele_m=None, debug_fill=None):
         """Render; same contract as the reference render()
         (horizonator-pywrap.c:158-279).
 
         Returns (image, ranges), or just one of them under
         return_image/return_range, or () if neither. image: (H, W, 3) uint8
         BGR top-row-first; ranges: (H, W) float32 slant meters, invisible=-1.
+
+        ``debug_fill``: 'wireframe' or 'point' renders the DEM lattice
+        instead of the scene texture (the reference's GLUT fill-mode
+        debug keys, standalone.c:68-97) -- window sampler only; see
+        _debug_planes.
         """
         if znear_color < 0.0:
             znear_color = znear        # horizonator-pywrap.c:194-195
@@ -485,21 +524,34 @@ class horizonator:
 
         dem, sampler, nsteps, lod_plan, cp = self._batch_render_plan(znear,
                                                                      zfar)
+        textured = self.render_texture
+        atlas, atlas_params = self._atlas, self._atlas_params
+        exact_near = self._exact_near_m if sampler == "window" else None
+        aligned = (self._aligned_for(nsteps) if sampler == "window"
+                   else None)
+        if debug_fill is not None:
+            if sampler != "window":
+                raise ValueError(
+                    "debug_fill requires the window sampler (this render "
+                    f"planned sampler={sampler!r} -- e.g. an auto-LOD "
+                    "long-clip swap; shorten zfar for the debug view)")
+            cp = self._debug_planes(debug_fill)
+            textured, atlas, atlas_params = True, None, None
+            exact_near = aligned = None   # per-render tables fuse the
+            #                               debug colors; no atlas near band
         image, ranges, dropped = render_panorama(
             dem, params,
             width=self.width, height=self.height, nsteps=nsteps,
             cells_per_deg=self.mosaic.cells_per_deg,
             surface=self.surface, refine=self.refine,
-            textured=self.render_texture,
-            atlas=self._atlas, atlas_params=self._atlas_params,
+            textured=textured,
+            atlas=atlas, atlas_params=atlas_params,
             sampler=sampler, lat_hint_deg=self._lat_hint(),
             lod_plan=lod_plan, znear_hint_m=self._znear_hint(znear),
             color_planes=cp,
-            aligned_scene=(self._aligned_for(nsteps)
-                           if sampler == "window" else None),
+            aligned_scene=aligned,
             with_dropped=True,
-            exact_near_m=(self._exact_near_m if sampler == "window"
-                          else None))
+            exact_near_m=exact_near)
 
         # pick() needs the range image, but pulling it device->host on
         # EVERY render would add a full D2H transfer per frame even when

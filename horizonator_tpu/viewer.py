@@ -136,10 +136,18 @@ window.addEventListener('mouseup', async e => {
   dragX = null;
   if(Math.abs(daz) > 0.01) await refresh({az_center: S.az_center + daz});
 });
-// 'w': horizon-profile debug overlay (the reference's wireframe key,
-// standalone.c:68-97). 'r' (winding flip) has no rasterizer to flip here.
+// 'w': horizon-profile debug overlay; 'e': cycle fill modes
+// normal -> wireframe -> point (the reference's GLUT debug keys,
+// standalone.c:68-97 -- its 'w' cycles GL_FILL/GL_LINE/GL_POINT; here
+// the DEM lattice rides the in-kernel texture path instead of a
+// rasterizer state). 'r' (winding flip) has no rasterizer to flip.
 window.addEventListener('keydown', async e => {
   if(e.key === 'w' && S) await refresh({debug: !S.debug});
+  if(e.key === 'e' && S) {
+    const next = S.fill === 'wireframe' ? 'point'
+               : S.fill === 'point' ? '' : 'wireframe';
+    await refresh({fill: next});
+  }
 });
 // live viewport resize (horizonator_resized parity): render at the pane's
 // real pixel size, debounced
@@ -190,6 +198,7 @@ class ViewerState:
         self.zfar = zfar
         self.gpx = gpx or []      # list of [(lat, lon), ...] polylines
         self.debug = False        # horizon-profile overlay (the 'w' key)
+        self.fill = None          # None|'wireframe'|'point' (the 'e' key)
         self.texture_failed = bool(texture_failed)
         # map-client config: tile URL + zoom limits from settings.xml
         # (osm::zoommin/zoommax, orb_settings.cpp:42-43 -> the map widget's
@@ -215,6 +224,7 @@ class ViewerState:
             "az_center": self.az_center, "az_radius": self.az_radius,
             "width": self.h.width, "height": self.h.height,
             "debug": self.debug,
+            "fill": self.fill,
             "texture_failed": self.texture_failed,
             "bounds": [lat0, lon0, lat1, lon1],
             "command": self.command(),
@@ -230,6 +240,11 @@ class ViewerState:
                 self.az_center = float(move["az_center"])
             if "debug" in move:
                 self.debug = bool(move["debug"])
+            if "fill" in move:
+                f = move["fill"] or None
+                if f not in (None, "wireframe", "point"):
+                    raise ValueError(f"bad fill mode {f!r}")
+                self.fill = f
             if "width" in move or "height" in move:
                 # live viewport resize (horizonator_resized,
                 # horizonator-lib.c:838-856; exercised by glutReshapeFunc)
@@ -242,7 +257,8 @@ class ViewerState:
             image = self.h.render(self.az_center - self.az_radius,
                                   self.az_center + self.az_radius,
                                   return_range=False,
-                                  znear=self.znear, zfar=self.zfar, **kw)
+                                  znear=self.znear, zfar=self.zfar,
+                                  debug_fill=self.fill, **kw)
             if self.debug:
                 image = self._overlay_horizon(image)
             from PIL import Image

@@ -384,3 +384,16 @@ def test_hillshade_sun_time(dem_dir):
     ie, re_ = he.render(-30, 30)
     vis = (rm > 0) & (re_ > 0)
     assert (im[..., 1][vis] != ie[..., 1][vis]).mean() > 0.2
+
+
+def test_debug_fill_validation(h):
+    """debug_fill: bad mode fails loudly; wireframe returns a normal-shape
+    BGR frame with green-dominant lattice pixels (the GLUT fill-mode
+    analog, standalone.c:68-97)."""
+    with pytest.raises(ValueError, match="wireframe.*point|point.*wireframe"):
+        h.render(-60, 60, debug_fill="triangles")
+    img = h.render(-60, 60, return_range=False, debug_fill="wireframe")
+    assert img.shape == (h.height, h.width, 3) and img.dtype == np.uint8
+    vis_green = ((img[:, :, 1].astype(int) > img[:, :, 0].astype(int) + 40)
+                 & (img[:, :, 1].astype(int) > img[:, :, 2].astype(int)))
+    assert vis_green.sum() > 50

@@ -148,3 +148,30 @@ def test_page_substitutes_tile_url_and_zoom_limits(server):
     assert b"__TILE_URL__" not in body and b"__ZOOM_MAX__" not in body
     assert state.tile_url.encode() in body
     assert f"maxZoom:{state.zoom_max}".encode() in body
+
+
+def test_fill_mode_cycle(server):
+    """The 'e' debug fill modes (reference: standalone.c:68-97 cycles
+    GL_FILL/GL_LINE/GL_POINT): wireframe renders the DEM lattice as
+    green-dominant terrain pixels; point lights far fewer; '' restores."""
+    url, state = server
+    from PIL import Image
+
+    def greenish_px():
+        body, _ = _get(url, "/pano.png")
+        a = np.asarray(Image.open(io.BytesIO(body)).convert("RGB"),
+                       np.int32)
+        return int(((a[:, :, 1] > 96) & (a[:, :, 1] > a[:, :, 0] + 40)
+                    & (a[:, :, 1] > a[:, :, 2] + 40)).sum())
+
+    s = _post(url, "/api/render", {"fill": "wireframe"})
+    assert s["fill"] == "wireframe"
+    n_wire = greenish_px()
+    assert n_wire > 200            # lattice lines across visible terrain
+    s = _post(url, "/api/render", {"fill": "point"})
+    assert s["fill"] == "point"
+    n_point = greenish_px()
+    assert 0 < n_point < n_wire / 2
+    s = _post(url, "/api/render", {"fill": ""})
+    assert s["fill"] is None
+    assert greenish_px() < n_point
