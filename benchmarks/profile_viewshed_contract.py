@@ -63,13 +63,15 @@ def main():
         log(f"gather path: {sec * 1e3:.3f} ms/raster "
             f"(wall incl compile {time.time() - t0:.0f} s)")
 
-    for rc in ([64] if which != "chunks" else [25, 64, 100]):
+    for rc, full in ([(100, False), (100, True)] if which != "chunks"
+                     else [(25, True), (64, True), (100, True)]):
         fn = functools.partial(viewshed_grid, method="contract",
-                               row_chunk=rc, **kw)
+                               row_chunk=rc, full_circle=full, **kw)
         t0 = time.time()
         sec = device_time_chain(fn, dem, p, perturb=perturb, reps=16,
                                 iters=5, rtt=rtt)
-        log(f"contract path (row_chunk={rc}): {sec * 1e3:.3f} ms/raster "
+        log(f"contract (row_chunk={rc}, full_circle={full}): "
+            f"{sec * 1e3:.3f} ms/raster "
             f"(wall incl compile {time.time() - t0:.0f} s)")
 
     vb = viewshed_grid(dem, p, method="gather", **kw)

@@ -276,7 +276,7 @@ def config7(iters, method="auto"):
     fn = functools.partial(viewshed_grid, width=720, nsteps=nsteps,
                            cells_per_deg=1200, out_halfwidth=400,
                            sampler="window", lat_hint_deg=34.3,
-                           method=method)
+                           method=method, full_circle=True)
     sec = timed_chain(fn, dem, p, iters=iters)
     return {"config": 7, "metric": "viewshed_grid_800x800_window", "value":
             round(sec * 1e3, 3), "unit": "ms/raster"}

@@ -196,11 +196,16 @@ def _run_viewshed(args) -> int:
         znear=f(args.znear), zfar=f(args.zfar), znear_color=f(args.znear),
         zfar_color=f(args.zfar),
         curv=f(geometry.curvature_coeff(args.curvature)))
+    # full circle iff the unwrapped span is exactly 2*pi: az_window_rad
+    # REWRAPS spans beyond 360 deg (radius 200 -> a 40 deg window), so
+    # only exact multiples of 180 qualify
+    r = abs(float(args.az_radius_deg))
+    full = r > 0.0 and (r % 180.0) == 0.0
     vis = np.asarray(viewshed_grid(
         jnp.asarray(m.grid.astype(np.float32)), params, width=width,
         nsteps=nsteps, cells_per_deg=m.cells_per_deg, out_halfwidth=hw,
         sampler=args.viewshed_sampler, lat_hint_deg=float(args.lat),
-        znear_hint_m=float(args.znear)))
+        znear_hint_m=float(args.znear), full_circle=full))
 
     # the raster covers cells viewer +- hw; georeference its outer edges
     cpd = m.cells_per_deg

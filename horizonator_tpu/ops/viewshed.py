@@ -89,12 +89,12 @@ def viewshed_polar(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
     jax.jit, static_argnames=("width", "nsteps", "cells_per_deg", "surface",
                               "out_halfwidth", "sampler", "lat_hint_deg",
                               "znear_hint_m", "with_dropped", "method",
-                              "row_chunk"))
+                              "row_chunk", "full_circle"))
 def viewshed_grid(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
                   surface="bilinear", out_halfwidth=None, sampler="step",
                   lat_hint_deg=45.0, znear_hint_m=100.0, with_dropped=False,
                   aligned_scene=None, out_center_ij=None, method="auto",
-                  row_chunk=None):
+                  row_chunk=None, full_circle=False):
     """GIS-style visibility raster around the viewer.
 
     Every cell of the (2*out_halfwidth)^2 window around the viewer gets a
@@ -106,7 +106,8 @@ def viewshed_grid(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
       angle against its polar column's running horizon via two separable
       masked-max contractions -- ZERO gathers (TPU gathers cost ~10 ns per
       element, which floored the 800^2 raster at ~6.5 ms; the contraction
-      runs it in ~2 ms). This is the classic GIS semantics (the cell
+      runs it in ~2 ms, or ~1.2 ms under ``full_circle``). This is the
+      classic GIS semantics (the cell
       center vs the terrain strictly nearer along its ray); see
       _grid_contract for the derivation and its quantization class.
     - ``"gather"``: look up the visibility of the polar SAMPLE nearest
@@ -137,6 +138,13 @@ def viewshed_grid(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
     kernel's dropped-sample counter (see viewshed_polar).
     ``row_chunk``: contract-path work granularity (output rows per fused
     reduction dispatch; default 100 -- measured ~flat 25..100 on v5e).
+    ``full_circle``: a STATIC promise that the params' azimuth window
+    spans exactly 360 degrees (params are traced, so this cannot be
+    auto-detected). The contract path then restricts its column
+    contractions to the two W/4-wide arcs each region can actually
+    select (pass 2 is the dominant cost; measured 2.0 -> 1.2 ms end-to-end
+    at the 800^2 config-7 raster).
+    Do NOT set it for partial windows -- coverage silently breaks.
     """
     p = params
     if method == "auto":
@@ -153,7 +161,8 @@ def viewshed_grid(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
             surface=surface, out_halfwidth=out_halfwidth, sampler=sampler,
             lat_hint_deg=lat_hint_deg, znear_hint_m=znear_hint_m,
             with_dropped=with_dropped, aligned_scene=aligned_scene,
-            out_center_ij=out_center_ij, row_chunk=row_chunk or 100)
+            out_center_ij=out_center_ij, row_chunk=row_chunk or 100,
+            full_circle=full_circle)
     if sampler in ("crossing", "window"):
         visible, tanel, _, _, dists = _polar_with_dists(
             dem, p, width=width, nsteps=nsteps, cells_per_deg=cells_per_deg,
@@ -356,7 +365,8 @@ def _raw_polar(dem, params, *, width, nsteps, cells_per_deg, surface,
 
 def _grid_contract(dem, p, *, width, nsteps, cells_per_deg, surface,
                    out_halfwidth, sampler, lat_hint_deg, znear_hint_m,
-                   with_dropped, aligned_scene, out_center_ij, row_chunk):
+                   with_dropped, aligned_scene, out_center_ij, row_chunk,
+                   full_circle=False):
     """Gather-free viewshed raster: two separable masked-max contractions.
 
     Cell (a, b) is visible iff its own elevation angle reaches its polar
@@ -484,22 +494,77 @@ def _grid_contract(dem, p, *, width, nsteps, cells_per_deg, surface,
     m_p = jnp.pad(mask, pad2)
     nc = (P2 + npad) // rc
 
+    if full_circle:
+        # Full-circle fast path: the az window spans exactly 2*pi, so az
+        # is LINEAR in x with period W (az_x = az_center - pi +
+        # 2*pi*(x+0.5)/W) and the columns a region's cells can ever
+        # select -- principal az within 45 deg of the N-S axis for A, of
+        # the E-W axis for B (|nn| >= |ee| <=> |tan az| <= 1 exactly) --
+        # form two contiguous arcs of STATIC width W/4 + slack at traced
+        # starts. Contracting over dynamic slices of those arcs instead
+        # of all W columns cuts pass 2, the raster's dominant cost
+        # (measured 2.0 -> 1.2 ms at the 800^2 config-7 shape). The
+        # caller PROMISES the window is the full circle; a partial
+        # window under this flag would silently mis-cover.
+        SA = min(width, width // 4 + 8)
+        K = tanel.shape[1]
+        # optimization_barrier: XLA TPU MISCOMPILES a dynamic_slice of a
+        # concatenate([x, x]) that crosses the seam when the concat fuses
+        # into a lax.map'd consumer -- the wrapped segment reads garbage
+        # (minimal repro: 0/640000 correct without the barrier,
+        # 640000/640000 with it; jax 0.9, v5e). Materializing the doubled
+        # arrays costs ~2 MB of HBM traffic, noise at this size.
+        col2 = lambda a: jax.lax.optimization_barrier(
+            jnp.concatenate([a, a], axis=0))
+        cos2, sin2, half2 = col2(cosx), col2(sinx), col2(half_step)
+        tan2, d2 = col2(tanel), col2(d)
+        xid2 = col2(xids)
+
+        def arc(theta0):
+            # first column whose az >= theta0 - 2-column slack
+            xf = ((theta0 - az_center + math.pi) * width
+                  / (2.0 * math.pi) - 0.5)
+            s = jnp.mod(jnp.floor(xf) - 2.0, width).astype(jnp.int32)
+            return dict(
+                cos=jax.lax.dynamic_slice(cos2, (s,), (SA,)),
+                sin=jax.lax.dynamic_slice(sin2, (s,), (SA,)),
+                half=jax.lax.dynamic_slice(half2, (s,), (SA,)),
+                tan=jax.lax.dynamic_slice(tan2, (s, 0), (SA, K)),
+                dd=jax.lax.dynamic_slice(d2, (s, 0), (SA, K)),
+                xid=jax.lax.dynamic_slice(xid2, (s,), (SA,)))
+
+        def cat(arcs):
+            return {k: jnp.concatenate([a[k] for a in arcs], axis=0)
+                    for k in arcs[0]}
+        qa = math.pi / 4.0
+        A_cols = cat([arc(-qa), arc(math.pi - qa)])          # N + S
+        B_cols = cat([arc(math.pi / 2 - qa), arc(-math.pi / 2 - qa)])
+    else:
+        allc = dict(cos=cosx, sin=sinx, half=half_step, tan=tanel, dd=d,
+                    xid=xids)
+        A_cols = B_cols = allc
+
     # pass 1, region B (keyed by output column; shared by every row chunk)
+    B = B_cols
+
     def tb_chunk(ee_c):
-        r = ee_c[:, None] / sinx[None, :] - half_step[None, :]   # (m, W)
-        msk = d[None] < r[:, :, None]                            # (m, W, K)
-        return jnp.max(jnp.where(msk, tanel[None], NEG), axis=-1)
-    TB = jax.lax.map(tb_chunk, ee_p.reshape(nc, rc)).reshape(-1, width)
-    TB = TB[:P2]
+        r = ee_c[:, None] / B["sin"][None, :] - B["half"][None, :]
+        msk = B["dd"][None] < r[:, :, None]                  # (m, XB, K)
+        return jnp.max(jnp.where(msk, B["tan"][None], NEG), axis=-1)
+    TB = jax.lax.map(tb_chunk, ee_p.reshape(nc, rc))
+    TB = TB.reshape(-1, TB.shape[-1])[:P2]                   # (P2, XB)
 
     # pass 1 region A + pass 2 both regions, fused per row chunk
+    A = A_cols
+
     def rows(c):
-        r = c["nn"][:, None] / cosx[None, :] - half_step[None, :]
-        TA = jnp.max(jnp.where(d[None] < r[:, :, None],
-                               tanel[None], NEG), axis=-1)       # (m, W)
-        eq = c["xc"][:, :, None] == xids[None, None, :]          # (m,P2,W)
-        thA = jnp.max(jnp.where(eq, TA[:, None, :], NEG), axis=-1)
-        thB = jnp.max(jnp.where(eq, TB[None, :, :], NEG), axis=-1)
+        r = c["nn"][:, None] / A["cos"][None, :] - A["half"][None, :]
+        TA = jnp.max(jnp.where(A["dd"][None] < r[:, :, None],
+                               A["tan"][None], NEG), axis=-1)  # (m, XA)
+        eqA = c["xc"][:, :, None] == A["xid"][None, None, :]   # (m,P2,XA)
+        thA = jnp.max(jnp.where(eqA, TA[:, None, :], NEG), axis=-1)
+        eqB = c["xc"][:, :, None] == B["xid"][None, None, :]
+        thB = jnp.max(jnp.where(eqB, TB[None, :, :], NEG), axis=-1)
         th = jnp.where(c["ra"], thA, thB)
         return (c["t"] >= th) & c["m"]
 
@@ -736,7 +801,11 @@ def _counter(mesh, width, nsteps, cells_per_deg, sampler, lat_hint_deg,
                 cells_per_deg=cells_per_deg, sampler=sampler,
                 lat_hint_deg=lat_hint_deg, znear_hint_m=znear_hint_m,
                 out_halfwidth=hw, out_center_ij=(center_i, center_j),
-                aligned_scene=scene)
+                aligned_scene=scene,
+                # viewshed_count always sweeps the full 360 degrees (the
+                # az window below is literally [-pi, pi]); the static
+                # promise unlocks the contract path's arc slicing
+                full_circle=True)
             return acc + vis.astype(jnp.int32) * w, None
         acc0 = jnp.zeros((2 * hw, 2 * hw), jnp.int32)
         return jax.lax.scan(body, acc0, (params_b, weights))[0]

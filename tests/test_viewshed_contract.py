@@ -242,3 +242,23 @@ def test_contract_viewer_near_edge():
     assert not vc[:int(80 - 25 - 1), :].any()    # pj < 0 rows
     assert not vc[:, :int(80 - 20 - 1)].any()    # pi < 0 cols
     assert vc.any()                               # in-grid part renders
+
+
+def test_full_circle_arcs_bitwise():
+    """full_circle=True restricts the contractions to the two arcs each
+    region can select -- a pure work optimization, so the raster must be
+    BITWISE the full-W contraction on any full-circle window (including
+    off-grid-center viewers and fixed frames)."""
+    n = 300
+    dem = jnp.asarray(smooth_dem(n))
+    for vi, vj, center in [(150.25, 150.5, None), (80.0, 210.0, None),
+                           (150.0, 150.0, (135.0, 160.0))]:
+        p = params(vi, vj, 1400.0, zfar=8000.0,
+                   cos_lat=math.cos(math.radians(34.3)))
+        kw = dict(width=256, nsteps=256, cells_per_deg=CPD,
+                  out_halfwidth=80, sampler="crossing", method="contract",
+                  out_center_ij=center)
+        a = np.asarray(viewshed_grid(dem, p, full_circle=False, **kw))
+        b = np.asarray(viewshed_grid(dem, p, full_circle=True, **kw))
+        np.testing.assert_array_equal(a, b)
+        assert a.any()
