@@ -566,20 +566,33 @@ def _grid_contract(dem, p, *, width, nsteps, cells_per_deg, surface,
         eqB = c["xc"][:, :, None] == B["xid"][None, None, :]
         thB = jnp.max(jnp.where(eqB, TB[None, :, :], NEG), axis=-1)
         th = jnp.where(c["ra"], thA, thB)
-        return (c["t"] >= th) & c["m"]
+        out = (c["t"] >= th) & c["m"]
+        if not (with_dropped and full_circle):
+            return out, jnp.int32(0)
+        # arc-coverage self-guard (mirrors the window kernel's dropped
+        # counter): an unmasked cell whose column matched NO arc column
+        # would silently take th = -inf -> visible. Exact and cheap: the
+        # eq tensors already exist; this is one extra reduce over them.
+        # Nonzero means the full_circle promise was broken (a partial
+        # window) or an arc miscovered -- surfaced via with_dropped.
+        hitA = jnp.max(eqA, axis=-1)
+        hitB = jnp.max(eqB, axis=-1)
+        uncov = c["m"] & ~jnp.where(c["ra"], hitA, hitB)
+        return out, jnp.sum(uncov.astype(jnp.int32))
 
     chunked = {"nn": nn_p.reshape(nc, rc),
                "xc": xc_p.reshape(nc, rc, P2),
                "ra": ra_p.reshape(nc, rc, P2),
                "t": t_p.reshape(nc, rc, P2),
                "m": m_p.reshape(nc, rc, P2)}
-    vis = jax.lax.map(rows, chunked).reshape(-1, P2)[:P2]
+    vis, uncovered = jax.lax.map(rows, chunked)
+    vis = vis.reshape(-1, P2)[:P2]
     if with_dropped:
         dropped = (dists.dropped if dists is not None
                    and dists.dropped is not None else jnp.int32(0))
         if dists is not None and dists.truncated is not None:
             dropped = dropped + dists.truncated
-        return vis, dropped
+        return vis, dropped + jnp.sum(uncovered)
     return vis
 
 

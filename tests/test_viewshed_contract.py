@@ -262,3 +262,21 @@ def test_full_circle_arcs_bitwise():
         b = np.asarray(viewshed_grid(dem, p, full_circle=True, **kw))
         np.testing.assert_array_equal(a, b)
         assert a.any()
+
+
+def test_full_circle_coverage_guard():
+    """The arc path's self-guard: with_dropped counts unmasked cells whose
+    column matched no arc -- 0 on an honest full circle, LOUDLY nonzero
+    when the full_circle promise is broken with a partial window."""
+    n = 300
+    dem = jnp.asarray(smooth_dem(n))
+    kw = dict(width=256, nsteps=256, cells_per_deg=CPD, out_halfwidth=80,
+              sampler="crossing", method="contract", full_circle=True,
+              with_dropped=True)
+    p = params(150, 150, 1400.0, zfar=8000.0)
+    _, dropped = viewshed_grid(dem, p, **kw)
+    assert int(dropped) == 0
+    p_bad = params(150, 150, 1400.0, zfar=8000.0,
+                   az0=math.radians(-30), az1=math.radians(140))
+    _, dropped_bad = viewshed_grid(dem, p_bad, **kw)
+    assert int(dropped_bad) > 0
