@@ -317,9 +317,43 @@ def config8(iters):
             "value": round(fps, 1), "unit": "fps"}
 
 
+def config9(iters):
+    """Textured LOD: config 3's SRTM1/300 km 64-viewpoint batch with the
+    in-kernel color MIP CHAIN (lod.build_color_pyramid -- each pyramid
+    level samples its own average-pooled planes inside the march; VERDICT
+    r3 item 3's bench config). Per-scene prep (both pyramids) stays
+    outside the timed loop, like the API."""
+    import functools
+    import jax, jax.numpy as jnp
+    from horizonator_tpu.parallel import stack_params
+    from horizonator_tpu.parallel.sharding import render_path
+    from horizonator_tpu.render.lod import (build_pyramid,
+                                            build_color_pyramid, lod_plan)
+    n = 3601
+    dem = synth_dem(n)
+    plan = lod_plan(300000.0, 2048, 3600, 34.0, n)
+    nlev = 1 + max(sp.level for sp in plan)
+    pyr = tuple(jax.device_put(x) for x in build_pyramid(dem, nlev))
+    rng = np.random.default_rng(3)
+    colors = jnp.asarray(
+        rng.integers(0, 255, (3, n, n)).astype(np.float32))
+    cpyr = tuple(jax.device_put(x) for x in
+                 build_color_pyramid(colors, nlev, n))
+    ps = stack_params([make_params(n, zfar=300000.0, vz=1200.0, lat=34.0)
+                       ._replace(viewer_cell_i=jnp.float32(n / 2 + 13 * i))
+                       for i in range(64)])
+    fn = functools.partial(render_path, width=2048, height=512, nsteps=1,
+                           cells_per_deg=3600, sampler="lod",
+                           lat_hint_deg=34.0, lod_plan=plan, textured=True)
+    sec = timed(lambda pyr, cpyr, ps: fn(pyr, ps, color_planes=cpyr),
+                pyr, cpyr, ps, iters=iters)
+    return {"config": 9, "metric": "srtm1_300km_batch64_textured_lod",
+            "value": round(sec / 64 * 1e3, 3), "unit": "ms/viewpoint"}
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,3,4,5,6,7,8")
+    ap.add_argument("--configs", default="1,2,3,4,5,6,7,8,9")
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
     import jax
@@ -329,7 +363,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     log(f"device: {jax.devices()[0]}")
     fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
-           6: config6, 7: config7, 8: config8}
+           6: config6, 7: config7, 8: config8, 9: config9}
     for c in [int(x) for x in args.configs.split(",")]:
         t0 = time.perf_counter()
         out = fns[c](args.iters)

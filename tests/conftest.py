@@ -18,13 +18,18 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache across test runs/processes, HARDENED:
 # atomic entry publishes (jax's unlocked put tears under the suite's
-# concurrent CLI subprocesses -- the root cause of the intermittent
-# full-suite segfaults) + zlib compression (see compile_cache.py; the
-# dir is suffixed 2 because the compression choice is dir-wide and the
-# old dir holds zstd entries).
+# concurrent CLI subprocesses or when a writer is killed mid-put -- the
+# root cause of the intermittent full-suite segfaults, which crash the
+# native executable deserializer on READ) + zlib compression (see
+# compile_cache.py). The dir is suffixed 3: cache2 accumulated torn
+# entries from the pre-atomic era (a killed run's partial writes), and
+# the original dir holds zstd entries -- reads pick the decompressor by
+# a module global, so formats cannot mix. If a suite run ever segfaults
+# inside compilation_cache.get_executable_and_time again, wipe the dir:
+# only a file written WITHOUT the atomic put can be torn.
 from horizonator_tpu.compile_cache import harden_cache
 harden_cache()
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache2")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache3")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np

@@ -9,7 +9,7 @@ import pytest
 
 _CLI_ENV = {"PATH": "/usr/bin:/bin", "HOME": "/root",
             "JAX_PLATFORMS": "cpu",
-            "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_test_cache2"}
+            "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_test_cache3"}
 
 from horizonator_tpu import horizonator
 from horizonator_tpu.dem import hgt

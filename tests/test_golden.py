@@ -62,7 +62,7 @@ def _render_cli(tmp_path, view=CANONICAL):
     env = {"PATH": os.environ.get("PATH", "/usr/bin:/bin"),
            "HOME": os.environ.get("HOME", "/root"),
            "JAX_PLATFORMS": "cpu",
-           "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_test_cache2"}
+           "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_test_cache3"}
     cmd = [sys.executable, "-m", "horizonator_tpu.cli",
            "--image", str(out), "--dirdems", demdir] + view
     r = subprocess.run(cmd, env=env, capture_output=True, text=True,

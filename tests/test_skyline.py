@@ -27,7 +27,7 @@ D_CREST = (WALL_LAT - VLAT) * M_PER_DEG      # ~27.8 km due north
 
 _CLI_ENV = {"PATH": "/usr/bin:/bin", "HOME": "/root",
             "JAX_PLATFORMS": "cpu",
-            "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_test_cache2"}
+            "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_test_cache3"}
 
 
 def _wall(lat, lon):
