@@ -444,18 +444,19 @@ def _window_kernel(orig_ref, act_ref, cb_ref, fscal_ref,   # scalar prefetch
                    win: int, tile_w: int, tile_k: int,
                    k_limit: int, textured: bool, tex_scale: int = 1):
     tallc_ref = winc_ref = semc_ref = None
-    if textured and tex_scale == 2:
-        # split layout: elevation keeps the fast 2D window; half-cell
-        # colors get their own (3, 2*win, TK) window at origin 2*o
+    if textured:
+        # split layout for BOTH color resolutions: elevation keeps the
+        # fast 2D window; colors ride their own PACKED-int32 window of
+        # (tex_scale * win, TK) rows at origin tex_scale * o. One packed
+        # plane instead of three f32 planes: the textured march's extra
+        # cost is window DMA + table bytes, so packing cut the fused
+        # cell-res path (LOD levels, region bands, hillshade) from 4
+        # staged planes to 2 (measured ~2x on the textured LOD march).
         (tallc_ref, out_ref, outc_ref,
          win_ref, winc_ref, sem_ref, semc_ref) = rest
-    elif textured:
-        out_ref, outc_ref, win_ref, sem_ref = rest
     else:
         out_ref, win_ref, sem_ref = rest
         outc_ref = None
-    fused_tex = textured and tex_scale == 1
-    n_planes = 4 if fused_tex else 1
     wt = pl.program_id(0)
     kt = pl.program_id(1)
     d = pl.program_id(2)
@@ -472,18 +473,12 @@ def _window_kernel(orig_ref, act_ref, cb_ref, fscal_ref,   # scalar prefetch
         # lane offset: cb_ref carries the per-direction 128-aligned base
         # of the aligned-scene tables (0 for per-render-built tables)
         ck = pl.multiple_of(cb_ref[d] + kt * tile_k, 128)
-        if fused_tex:
-            src = tall_ref.at[d, pl.ds(0, n_planes), pl.ds(o, win),
-                              pl.ds(ck, tile_k)]
-        else:
-            # untextured keeps the plane-free 2D window (measurably faster
-            # than a leading size-1 plane axis)
-            src = tall_ref.at[d, pl.ds(o, win), pl.ds(ck, tile_k)]
+        src = tall_ref.at[d, pl.ds(o, win), pl.ds(ck, tile_k)]
         dma = pltpu.make_async_copy(src, win_ref, sem_ref)
         dma.start()
-        if tex_scale == 2 and textured:
-            oc = pl.multiple_of(o * 2, 16)           # 2x window origin
-            srcc = tallc_ref.at[d, pl.ds(oc, 2 * win),
+        if textured:
+            oc = pl.multiple_of(o * tex_scale, 8 * tex_scale)
+            srcc = tallc_ref.at[d, pl.ds(oc, tex_scale * win),
                                 pl.ds(ck, tile_k)]
             dmac = pltpu.make_async_copy(srcc, winc_ref, semc_ref)
             dmac.start()
@@ -536,12 +531,12 @@ def _window_kernel(orig_ref, act_ref, cb_ref, fscal_ref,   # scalar prefetch
                  & (mf >= 0.0) & (mf < float(k_limit)))
 
         dma.wait()
-        if tex_scale == 2 and textured:
+        if textured:
             dmac.wait()
 
         zero = jnp.zeros((tile_w, tile_k), jnp.float32)
         n_accs = 4 if textured else 1
-        pos2 = pos * 2.0 if (textured and tex_scale == 2) else None
+        posc = pos * float(tex_scale) if textured else None
 
         # NOTE (tried, measured, reverted): a second-difference rewrite
         # sum_r relu(1-|p-r|) z_r = z_0 + p*(z_1-z_0) + sum_{r<p} (p-r)*d2z_r
@@ -554,29 +549,27 @@ def _window_kernel(orig_ref, act_ref, cb_ref, fscal_ref,   # scalar prefetch
         def body(i, accs):
             base = i * 4
             basef = base.astype(jnp.float32)
-            if fused_tex:
-                w4 = [win_ref[p, pl.ds(base, 4), :] for p in range(n_planes)]
-            else:
-                w4 = [win_ref[pl.ds(base, 4), :]]
+            w4 = win_ref[pl.ds(base, 4), :]
             accs = list(accs)
             for r in range(4):                                 # unrolled
-                # the hat weight is SHARED across planes: color planes cost
-                # one extra FMA each, not an extra |pos-row| evaluation
                 hat = jnp.maximum(
                     1.0 - jnp.abs(pos - (basef + float(r))), 0.0)
-                for p in range(n_planes):
-                    accs[p] = accs[p] + hat * w4[p][r:r + 1, :]
-            if textured and tex_scale == 2:
-                # half-cell colors: 8 rows of the 2x window per elevation
-                # iteration, hats at 2*pos (their own finer support)
-                cbase = base * 2
+                accs[0] = accs[0] + hat * w4[r:r + 1, :]
+            if textured:
+                # colors: tex_scale * 4 rows of the packed window per
+                # elevation iteration, hats at tex_scale * pos (the 2x
+                # planes' finer support; at scale 1 these equal the
+                # elevation hats). The window is ONE int32 plane with
+                # 0x00RRGGBB texels -- unpack costs two shifts per
+                # channel, far cheaper than staging three f32 windows.
+                cbase = base * tex_scale
                 cbasef = cbase.astype(jnp.float32)
-                blk = winc_ref[pl.ds(cbase, 8), :]   # packed 0x00RRGGBB
+                blk = winc_ref[pl.ds(cbase, 4 * tex_scale), :]
                 c8 = [((blk >> sh) & 0xff).astype(jnp.float32)
                       for sh in (0, 8, 16)]          # B, G, R
-                for r in range(8):                             # unrolled
+                for r in range(4 * tex_scale):                 # unrolled
                     hat2 = jnp.maximum(
-                        1.0 - jnp.abs(pos2 - (cbasef + float(r))), 0.0)
+                        1.0 - jnp.abs(posc - (cbasef + float(r))), 0.0)
                     for p in range(3):
                         accs[1 + p] = accs[1 + p] + hat2 * c8[p][r:r + 1, :]
             return tuple(accs)
@@ -910,22 +903,28 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
 
     # --- inputs ------------------------------------------------------------
     tallc = None
-    n_planes = 1
     if aligned:
         tall = scene.elev                  # (4, cross_pad, n_padk), no build
         if textured:
             tallc = scene.colors
-    elif textured and tex_scale == 1:
-        planes = jnp.concatenate([dem.astype(jnp.float32)[None],
-                                  color_planes.astype(jnp.float32)])
-        n_planes = planes.shape[0]
-        tall = _build_tables_multi(planes, p, k_kernel,
-                                   j_offset=offs)      # (4, 4, n_pad, k)
     else:
         tall = _build_tables_multi(dem.astype(jnp.float32)[None], p,
                                    k_kernel,
                                    j_offset=offs)[:, 0]  # (4, n_pad, k)
-        if textured:
+        if textured and tex_scale == 1:
+            # cell-resolution colors pack into ONE int32 plane before the
+            # table build (0x00RRGGBB; exact for the integer-valued
+            # colors the atlas/hillshade pipelines emit after their own
+            # rounding, and a <=0.5/255-per-channel pre-lerp quantization
+            # otherwise -- the resolve rounds to u8 regardless): the
+            # textured march then stages 2 windows instead of 4, halving
+            # its dominant DMA+table cost (measured ~2x on textured LOD).
+            u8p = lambda x: jnp.clip(jnp.round(x), 0, 255).astype(jnp.int32)
+            cpk = ((u8p(color_planes[2]) << 16)
+                   | (u8p(color_planes[1]) << 8) | u8p(color_planes[0]))
+            tallc = _build_tables_multi(cpk[None], p, k_kernel,
+                                        j_offset=offs)[:, 0]   # int32
+        elif textured:
             tallc = _build_color_tables_2x(cp2x, p, k_kernel, nj, ni,
                                            j_offset=offs)
     pcol = jnp.stack([
@@ -958,14 +957,13 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
         pl.BlockSpec(memory_space=pl.ANY),       # tall (elevation [+1x col])
     ]
     scratch = [
-        pltpu.VMEM((n_planes, win, TILE_K) if (textured and tex_scale == 1)
-                   else (win, TILE_K), jnp.float32),
+        pltpu.VMEM((win, TILE_K), jnp.float32),
     ]
     inputs = [pcol, tall]
     if tallc is not None:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         inputs.append(tallc)
-        scratch.append(pltpu.VMEM((2 * win, TILE_K), jnp.int32))
+        scratch.append(pltpu.VMEM((tex_scale * win, TILE_K), jnp.int32))
     scratch.append(pltpu.SemaphoreType.DMA)
     if tallc is not None:
         scratch.append(pltpu.SemaphoreType.DMA)
