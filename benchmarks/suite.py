@@ -260,8 +260,11 @@ def config7(iters, method="auto"):
     Default = the gather-free contraction resampler (method='auto' ->
     'contract'; measured 6.6 -> ~2.0 ms on v5e -- the old gather path's
     640k random-indexed lookups were the raster's floor, see
-    benchmarks/profile_viewshed_contract.py). method='gather' times the
-    original path."""
+    benchmarks/profile_viewshed_contract.py). full_circle + the centered
+    window take the QUADRANT-split contraction (ops/viewshed._grid_quad):
+    1.11 -> 0.44 ms (pass 2, the one-hot column contraction, was 0.71 ms
+    of the 1.04 -- benchmarks/profile_viewshed_pass2.py). method='gather'
+    times the original path."""
     import functools
     import jax
     from horizonator_tpu.ops import viewshed_grid

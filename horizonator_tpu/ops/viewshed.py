@@ -106,10 +106,12 @@ def viewshed_grid(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
       angle against its polar column's running horizon via two separable
       masked-max contractions -- ZERO gathers (TPU gathers cost ~10 ns per
       element, which floored the 800^2 raster at ~6.5 ms; the contraction
-      runs it in ~2 ms, or ~1.2 ms under ``full_circle``). This is the
-      classic GIS semantics (the cell
-      center vs the terrain strictly nearer along its ray); see
-      _grid_contract for the derivation and its quantization class.
+      runs it in ~2 ms, ~1.2 ms under ``full_circle``, and ~0.44 ms for
+      the viewer-centered full-circle default, which takes the
+      quadrant-split path -- see _grid_quad). This is the classic GIS
+      semantics (the cell center vs the terrain strictly nearer along
+      its ray); see _grid_contract for the derivation and its
+      quantization class.
     - ``"gather"``: look up the visibility of the polar SAMPLE nearest
       each cell in (az, dist) -- the original path, kept as the
       cross-check oracle (the two agree except at visibility boundaries:
@@ -137,14 +139,17 @@ def viewshed_grid(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
     march (the fast TPU path). ``with_dropped=True`` appends the window
     kernel's dropped-sample counter (see viewshed_polar).
     ``row_chunk``: contract-path work granularity (output rows per fused
-    reduction dispatch; default 100 -- measured ~flat 25..100 on v5e).
+    reduction dispatch; default 100 for the half-arc path, min(hw, 200)
+    for the quadrant path -- both measured on v5e).
     ``full_circle``: a STATIC promise that the params' azimuth window
     spans exactly 360 degrees (params are traced, so this cannot be
     auto-detected). The contract path then restricts its column
-    contractions to the two W/4-wide arcs each region can actually
-    select (pass 2 is the dominant cost; measured 2.0 -> 1.2 ms end-to-end
-    at the 800^2 config-7 raster).
-    Do NOT set it for partial windows -- coverage silently breaks.
+    contractions to the arcs each region can actually select: two
+    W/4-wide arcs for fixed-frame (out_center_ij) rasters (measured
+    2.0 -> 1.2 ms at the 800^2 config-7 raster), and per-QUADRANT
+    W/8-wide arcs for the viewer-centered default (1.2 -> 0.44 ms; see
+    _grid_quad). Do NOT set it for partial windows -- coverage silently
+    breaks (the with_dropped guard counts such cells loudly).
     """
     p = params
     if method == "auto":
@@ -161,7 +166,7 @@ def viewshed_grid(dem, params: RenderParams, *, width, nsteps, cells_per_deg,
             surface=surface, out_halfwidth=out_halfwidth, sampler=sampler,
             lat_hint_deg=lat_hint_deg, znear_hint_m=znear_hint_m,
             with_dropped=with_dropped, aligned_scene=aligned_scene,
-            out_center_ij=out_center_ij, row_chunk=row_chunk or 100,
+            out_center_ij=out_center_ij, row_chunk=row_chunk,
             full_circle=full_circle)
     if sampler in ("crossing", "window"):
         visible, tanel, _, _, dists = _polar_with_dists(
@@ -481,9 +486,24 @@ def _grid_contract(dem, p, *, width, nsteps, cells_per_deg, surface,
     mask = in_az & in_r & ing
     region_a = jnp.abs(nn)[:, None] >= jnp.abs(ee)[None, :]
 
+    if full_circle and out_center_ij is None:
+        # Viewer-centered full-circle rasters take the QUADRANT-split
+        # contraction: the static output quadrant determines which
+        # quarter-arc a cell can select, shrinking both the T-table
+        # builds and the dominant one-hot pass ~2-3.6x (see _grid_quad).
+        # Default chunking is coarser than the half-arc path's: each
+        # half is one or two fused dispatches (measured 0.55 / 0.44 /
+        # 0.43 ms at rc 100 / 200 / 400 on the 800^2 config-7 raster).
+        return _grid_quad(
+            tanel, d, half_step, az_center,
+            cosx=cosx, sinx=sinx, xids=xids, xc=xc, t_cell=t_cell,
+            mask=mask, region_a=region_a, nn=nn, ee=ee, width=width,
+            hw=hw, row_chunk=row_chunk or min(hw, 200),
+            with_dropped=with_dropped, dists=dists)
+
     # pad the output rows/cols to a row_chunk multiple (pad rows carry
     # mask=False and a harmless geometry)
-    rc = row_chunk
+    rc = row_chunk or 100
     npad = (-P2) % rc
     nn_p = jnp.pad(nn, (0, npad), constant_values=1.0)
     ee_p = jnp.pad(ee, (0, npad), constant_values=1.0)
@@ -593,6 +613,144 @@ def _grid_contract(dem, p, *, width, nsteps, cells_per_deg, surface,
         if dists is not None and dists.truncated is not None:
             dropped = dropped + dists.truncated
         return vis, dropped + jnp.sum(uncovered)
+    return vis
+
+
+def _grid_quad(tanel, d, half_step, az_center, *, cosx, sinx, xids, xc,
+               t_cell, mask, region_a, nn, ee, width, hw, row_chunk,
+               with_dropped, dists):
+    """Quadrant-split full-circle contraction (the viewer-centered case).
+
+    With the output window centered on the viewer (out_center_ij=None),
+    the nn/ee signs are STATIC halves of the output grid: rows [0, hw)
+    look south (nn < 0), [hw, 2hw) north; columns [0, hw) west (ee < 0),
+    [hw, 2hw) east (offsets are half-integers, so no cell sits on an
+    axis). A cell's quadrant then pins its selectable polar columns to
+    ONE quarter-arc of static width W/8 + 8:
+
+      region A (|nn| >= |ee|): N rows see az in [-45, 45] deg, split at
+          0 by the ee sign; S rows [135, 225], split at 180;
+      region B (|ee| > |nn|): E cols see az in [45, 135], split at 90 by
+          the nn sign; W cols [-135, -45], split at -90.
+
+    vs the half-arc path this HALVES the pass-1 table builds (each row
+    chunk contracts over its row-half's two A quarters only; each column
+    half over its two B quarters) and cuts the dominant one-hot pass
+    from 2*(W/4+8) to 2*(W/8+8) columns per cell. Results are BITWISE
+    the full-width contraction's: the quarters cover every column a
+    quadrant's cells can round to (2-column slack both ends, same
+    argument as the half arcs), and a masked max that drops only
+    never-selected columns is the same max.
+    """
+    NEG = jnp.float32(-3.0e38)
+    W = width
+    P2 = 2 * hw
+    K = tanel.shape[1]
+    qa = math.pi / 4.0
+    SQ = min(W, W // 8 + 8)
+
+    # optimization_barrier: see the half-arc path for the XLA TPU
+    # miscompile (dynamic_slice of concatenate([x, x]) across the seam
+    # fused into a lax.map consumer reads garbage)
+    col2 = lambda a: jax.lax.optimization_barrier(
+        jnp.concatenate([a, a], axis=0))
+    cos2, sin2, half2 = col2(cosx), col2(sinx), col2(half_step)
+    tan2, d2 = col2(tanel), col2(d)
+    xid2 = col2(xids)
+
+    def arc(theta0):
+        # first column whose az >= theta0, minus 2 columns of slack
+        xf = ((theta0 - az_center + math.pi) * W / (2.0 * math.pi) - 0.5)
+        s = jnp.mod(jnp.floor(xf) - 2.0, W).astype(jnp.int32)
+        return dict(
+            cos=jax.lax.dynamic_slice(cos2, (s,), (SQ,)),
+            sin=jax.lax.dynamic_slice(sin2, (s,), (SQ,)),
+            half=jax.lax.dynamic_slice(half2, (s,), (SQ,)),
+            tan=jax.lax.dynamic_slice(tan2, (s, 0), (SQ, K)),
+            dd=jax.lax.dynamic_slice(d2, (s, 0), (SQ, K)),
+            xid=jax.lax.dynamic_slice(xid2, (s,), (SQ,)))
+
+    def cat(arcs):
+        return {k: jnp.concatenate([a[k] for a in arcs], axis=0)
+                for k in arcs[0]}
+
+    # quarter-arc tables in [W-half, E-half] column order (A) and
+    # [S-quarter, N-quarter] order (B), so pass 2's slices are static
+    A_by_row = {"S": cat([arc(math.pi), arc(math.pi - qa)]),
+                "N": cat([arc(-qa), arc(0.0)])}
+    B_by_col = {"W": cat([arc(-3.0 * qa), arc(-math.pi / 2.0)]),
+                "E": cat([arc(math.pi / 2.0), arc(qa)])}
+
+    rc = row_chunk
+    hpad = (-hw) % rc
+    nh = (hw + hpad) // rc
+
+    # pass 1 region B: one table per column half -- rows = that half's
+    # output columns, columns = its two quarter-arcs
+    def tb_for(colhalf, ee_half):
+        B = B_by_col[colhalf]
+        ee_p = jnp.pad(ee_half, (0, hpad), constant_values=1.0)
+
+        def tb_chunk(ee_c):
+            r = ee_c[:, None] / B["sin"][None, :] - B["half"][None, :]
+            msk = B["dd"][None] < r[:, :, None]
+            return jnp.max(jnp.where(msk, B["tan"][None], NEG), axis=-1)
+        TB = jax.lax.map(tb_chunk, ee_p.reshape(nh, rc))
+        return TB.reshape(-1, TB.shape[-1])[:hw]        # (hw, 2*SQ)
+
+    TB = {"W": tb_for("W", ee[:hw]), "E": tb_for("E", ee[hw:])}
+
+    def half_rows(rowhalf, rsl, qb):
+        # qb: the SQ-slice of the B tables this row half selects
+        A = A_by_row[rowhalf]
+        nn_p = jnp.pad(nn[rsl], (0, hpad), constant_values=1.0)
+        pad2 = ((0, hpad), (0, 0))
+        chunked = {
+            "nn": nn_p.reshape(nh, rc),
+            "xc": jnp.pad(xc[rsl], pad2).reshape(nh, rc, P2),
+            "ra": jnp.pad(region_a[rsl], pad2).reshape(nh, rc, P2),
+            "t": jnp.pad(t_cell[rsl], pad2).reshape(nh, rc, P2),
+            "m": jnp.pad(mask[rsl], pad2).reshape(nh, rc, P2)}
+
+        def rows(c):
+            r = c["nn"][:, None] / A["cos"][None, :] - A["half"][None, :]
+            TA = jnp.max(jnp.where(A["dd"][None] < r[:, :, None],
+                                   A["tan"][None], NEG), axis=-1)  # (m,2SQ)
+            outs, uncov = [], jnp.int32(0)
+            for ci, ch in ((0, "W"), (1, "E")):
+                csl = slice(ci * hw, (ci + 1) * hw)
+                qsl = slice(ci * SQ, (ci + 1) * SQ)
+                xcq = c["xc"][:, csl, None]
+                eqA = xcq == A["xid"][None, None, qsl]       # (m, hw, SQ)
+                thA = jnp.max(jnp.where(eqA, TA[:, None, qsl], NEG),
+                              axis=-1)
+                eqB = xcq == B_by_col[ch]["xid"][qb][None, None, :]
+                thB = jnp.max(jnp.where(eqB, TB[ch][:, qb][None], NEG),
+                              axis=-1)
+                th = jnp.where(c["ra"][:, csl], thA, thB)
+                outs.append((c["t"][:, csl] >= th) & c["m"][:, csl])
+                if with_dropped:
+                    # arc-coverage self-guard, per quadrant (see the
+                    # half-arc path)
+                    hitA = jnp.max(eqA, axis=-1)
+                    hitB = jnp.max(eqB, axis=-1)
+                    un = c["m"][:, csl] & ~jnp.where(c["ra"][:, csl],
+                                                     hitA, hitB)
+                    uncov = uncov + jnp.sum(un.astype(jnp.int32))
+            return jnp.concatenate(outs, axis=1), uncov
+
+        vis, uncov = jax.lax.map(rows, chunked)
+        return vis.reshape(-1, P2)[:hw], jnp.sum(uncov)
+
+    vis_s, un_s = half_rows("S", slice(0, hw), slice(0, SQ))
+    vis_n, un_n = half_rows("N", slice(hw, P2), slice(SQ, 2 * SQ))
+    vis = jnp.concatenate([vis_s, vis_n], axis=0)
+    if with_dropped:
+        dropped = (dists.dropped if dists is not None
+                   and dists.dropped is not None else jnp.int32(0))
+        if dists is not None and dists.truncated is not None:
+            dropped = dropped + dists.truncated
+        return vis, dropped + un_s + un_n
     return vis
 
 

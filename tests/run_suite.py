@@ -49,6 +49,7 @@ def main() -> int:
         print(f"=== group {i + 1}/{len(GROUPS)}: {len(group)} files",
               flush=True)
         rc = subprocess.call([sys.executable, "-m", "pytest", "-q",
+                              "--durations=10", "--durations-min=5.0",
                               *extra, *group])
         print(f"=== group {i + 1} exit {rc} "
               f"({time.time() - t:.0f} s)", flush=True)
