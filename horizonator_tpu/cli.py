@@ -291,6 +291,9 @@ def main(argv=None) -> int:
         width = args.width if args.width > 0 else 1024
         az_radius = args.az_radius_deg
         az_radius += az_radius / (width - 1)
+        if args.az_radius_deg <= 180.0:
+            # keep a 360-deg request a full circle (see the --image path)
+            az_radius = min(az_radius, 180.0)
         from .api import horizonator
         h = horizonator(
             args.lat, args.lon, width,
@@ -351,6 +354,15 @@ def main(argv=None) -> int:
     az_radius = args.az_radius_deg
     az_per_pixel = 2.0 * az_radius / (args.width - 1)
     az_radius += az_per_pixel / 2.0
+    # AZ_RADIUS_DEG == 180 must stay a FULL circle: the half-pixel widening
+    # pushes the span past 360 deg, which az_window_rad rewraps to a
+    # half-pixel-wide window facing az_center+180 (the reference
+    # degenerates identically -- unwrap_near_rad at horizonator-lib.c:1076
+    # on the standalone.c:403-404 widened span -- but a 360-deg panorama
+    # is first-class here, so clamp the widened span at exactly 360).
+    # Radii > 180 keep the reference's rewrap quirk untouched.
+    if args.az_radius_deg <= 180.0:
+        az_radius = min(az_radius, 180.0)
 
     height = args.height
     if height <= 0:

@@ -145,6 +145,33 @@ def test_cli_png(dem_dir, tmp_path):
     assert im.size == (300, 100)
 
 
+def test_cli_full_circle_radius_180(dem_dir, tmp_path):
+    """AZ_RADIUS_DEG=180 must render a full 360-deg panorama: the
+    pixel-center widening (standalone.c:400-404) used to push the span past
+    360 deg, which az_window_rad rewraps into a half-pixel-wide window
+    facing az_center+180 -- a flat backwards sliver instead of the circle
+    (the reference degenerates the same way; a 360 panorama is first-class
+    here, so the CLI clamps the widened span at exactly 360)."""
+    out = tmp_path / "full.png"
+    r = subprocess.run(
+        [sys.executable, "-m", "horizonator_tpu.cli",
+         "--width", "400", "--height", "120",
+         "--image", str(out), "--dirdems", dem_dir,
+         "--zfar", "25000", "--nsteps", "512",
+         "34.40", "-117.45", "0", "180"],
+        capture_output=True, text=True, cwd="/root/repo", env=_CLI_ENV)
+    assert r.returncode == 0, r.stderr
+    from PIL import Image
+    img = np.asarray(Image.open(out))
+    sky = (img[:, :, 2] > 200) & (img[:, :, 0] < 50)     # RGB file order
+    horizon = sky.sum(axis=0)
+    # the two Gaussian peaks sit NNE/ENE of the viewer: the horizon must
+    # rise there (not the flat backwards sliver the rewrap produced)
+    assert horizon.max() - horizon.min() > 10
+    # full circle: the seam columns are neighbors on the circle
+    assert abs(int(horizon[0]) - int(horizon[-1])) <= 2
+
+
 def test_cli_svg_annotated(dem_dir, tmp_path):
     pois = [{"name": "Big Peak", "lat": 34.48, "lon": -117.38, "ele_m": 3000},
             {"name": "Round Top", "lat": 34.55, "lon": -117.45, "ele_m": 2400}]
