@@ -11,7 +11,19 @@ import jax
 import jax.numpy as jnp
 
 from horizonator_tpu.render.raymarch import (_first_crossing, _resolve_merge,
-                                             _resolve_merge2, _resolve_rows)
+                                             _resolve_merge2)
+from horizonator_tpu.render import raymarch as _rm
+
+# jit the eager helpers ONCE at module level: in production they run inside
+# jitted render paths, but called eagerly from tests each jnp op dispatches
+# separately (~6 s/shape for _resolve_rows' bitonic merge vs 0.3 s jitted
+# with the persistent cache -- the suite-time diet's single biggest lever)
+_first_crossing = jax.jit(_first_crossing)
+_resolve_merge = jax.jit(_resolve_merge)
+_resolve_merge2 = jax.jit(_resolve_merge2)
+_resolve_rows = jax.jit(_rm._resolve_rows, static_argnames=("height",))
+_resolve_scatter = jax.jit(_rm._resolve_scatter,
+                           static_argnames=("height", "monotone"))
 
 
 def _data(w=48, k=90, h=36, seed=0):
@@ -138,7 +150,6 @@ def test_wide_image_fallback_path_matches_packed():
 def test_scatter_resolve_matches_rows_resolve():
     # the production scatter+fill resolve == the merge-based resolve:
     # idx bit-identical, alpha within the packed path's 9-bit quantization
-    from horizonator_tpu.render.raymarch import _resolve_scatter
     m, _, aspect, _ = _data(w=16, k=70, h=48, seed=7)
     el_k = jnp.arctan(m)
     y_k = (1.0 - el_k * aspect) * (48 * 0.5) - 0.5
@@ -152,7 +163,6 @@ def test_scatter_resolve_matches_rows_resolve():
 
 
 def test_scatter_resolve_huge_rows_and_clamps():
-    from horizonator_tpu.render.raymarch import _resolve_scatter
     k, h = 64, 32
     base = np.linspace(40.0, -10.0, k, dtype=np.float32)
     rows = np.stack([
@@ -173,7 +183,6 @@ def test_scatter_resolve_huge_rows_and_clamps():
 def test_scatter_resolve_nonmonotone_input():
     # monotone=False runs the row-space running min internally == resolving
     # the running max of tanel
-    from horizonator_tpu.render.raymarch import _resolve_scatter
     rng = np.random.default_rng(5)
     y = (rng.normal(size=(8, 100)) * 30 + 40).astype(np.float32)
     ym = np.minimum.accumulate(y, axis=1)
@@ -186,7 +195,6 @@ def test_scatter_resolve_nonmonotone_input():
 
 def test_scatter_resolve_tex_payload_routing():
     # each pixel row gets exactly its first-crossing sample's payload
-    from horizonator_tpu.render.raymarch import _resolve_scatter
     rng = np.random.default_rng(9)
     w, k, h = 6, 50, 40
     y = np.minimum.accumulate(
@@ -385,11 +393,12 @@ def test_textured_plateau_delivers_first_crossing_color():
     assert (idx[:, covered] == 10).all()
     assert (tex_hw[:, covered] == 11).all()       # color of sample 10
 
-    # XLA fallback path: run-max rows + pre-propagated colors
-    from horizonator_tpu.render.raymarch import _resolve_rows, _scan_shift
+    # XLA fallback path: run-max rows + pre-propagated colors (jitted --
+    # the module-level _resolve_rows wrapper; eager these cost ~10 s)
     tanel = -yj                                   # any order-reversing map
-    run = _scan_shift(tanel, jnp.maximum, -3.0e38)
-    _, tex_eff = _scan_shift_argmax(tanel, texj, -3.0e38)
+    run = jax.jit(lambda x: _rm._scan_shift(x, jnp.maximum, -3.0e38))(tanel)
+    tex_eff = jax.jit(
+        lambda x, t: _scan_shift_argmax(x, t, -3.0e38)[1])(tanel, texj)
     i_r, _, ok_r, tex_r = _resolve_rows(-run, h, tex=tex_eff)
     assert (np.asarray(i_r)[:, covered] == 10).all()
     assert (np.asarray(tex_r)[:, covered] == 11).all()

@@ -264,6 +264,37 @@ def test_full_circle_arcs_bitwise():
         assert a.any()
 
 
+@pytest.mark.slow
+def test_quadrant_split_fuzz_bitwise():
+    """Randomized sweep of the viewer-centered quadrant path (_grid_quad):
+    any full-circle geometry -- off-grid-center viewers, near-edge viewers,
+    fractional cells, varying polar width / raster size / latitude / chunk
+    -- must be BITWISE the full-width contraction, with a zero coverage
+    guard (the quarter-arc restriction is a pure work optimization)."""
+    rng = np.random.default_rng(11)
+    n = 300
+    dem = jnp.asarray(smooth_dem(n))
+    for _ in range(6):
+        vi = float(rng.uniform(30.0, n - 30.0))
+        vj = float(rng.uniform(30.0, n - 30.0))
+        W = int(rng.choice([256, 384, 512]))
+        hw = int(rng.integers(40, 110))
+        lat = float(rng.uniform(-60.0, 60.0))
+        th0 = float(rng.uniform(-math.pi, math.pi))   # rotated window origin
+        p = params(vi, vj, float(rng.uniform(800.0, 2000.0)), zfar=8000.0,
+                   az0=th0, az1=th0 + 2.0 * math.pi,
+                   cos_lat=math.cos(math.radians(lat)))
+        kw = dict(width=W, nsteps=256, cells_per_deg=CPD,
+                  out_halfwidth=hw, sampler="crossing", method="contract",
+                  row_chunk=int(rng.choice([32, 100, 256])))
+        a = np.asarray(viewshed_grid(dem, p, full_circle=False, **kw))
+        b, dropped = viewshed_grid(dem, p, full_circle=True,
+                                   with_dropped=True, **kw)
+        np.testing.assert_array_equal(a, np.asarray(b))
+        assert int(dropped) == 0
+        assert a.any()
+
+
 def test_full_circle_coverage_guard():
     """The arc path's self-guard: with_dropped counts unmasked cells whose
     column matched no arc -- 0 on an honest full circle, LOUDLY nonzero

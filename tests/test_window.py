@@ -4,6 +4,7 @@ Both implement the same supercover-DDA geometry (crossing.CrossingGeom);
 the kernel must agree everywhere up to the crossing path's 0.5 m int16
 elevation quantization. Runs on the CPU backend (Pallas CPU lowering)."""
 
+import functools
 import math
 
 import numpy as np
@@ -17,13 +18,28 @@ from horizonator_tpu.render.window import march_window, window_size
 from tests.test_crossing import make_dem, params_for, CPD
 
 
+# jitted march wrappers: eagerly these dispatch ~180 per-op XLA:CPU
+# compiles per shape (~7 s); jitted it is ONE compile per shape, shared
+# through the persistent cache across tests and runs (suite-time diet)
+import jax as _jax
+
+
+@functools.partial(_jax.jit, static_argnames=("width", "k"))
+def _march_c(scene, p, width, k):
+    return march_crossing(scene, p, width=width, k_cross=k,
+                          cells_per_deg=CPD)[1][:, -1]
+
+
+@functools.partial(_jax.jit, static_argnames=("width", "k"))
+def _march_w(dem, p, width, k):
+    return march_window(dem, p, width=width, k_cross=k,
+                        cells_per_deg=CPD, lat_hint_deg=34.0)[1][:, -1]
+
+
 def _horizons(dem, p, width, k):
     scene = pack_scene(dem)
-    _, rm_c, _, _ = march_crossing(scene, p, width=width, k_cross=k,
-                                   cells_per_deg=CPD)
-    _, rm_w, _, _ = march_window(dem, p, width=width, k_cross=k,
-                                 cells_per_deg=CPD, lat_hint_deg=34.0)
-    return np.asarray(rm_c[:, -1]), np.asarray(rm_w[:, -1])
+    return (np.asarray(_march_c(scene, p, width, k)),
+            np.asarray(_march_w(dem, p, width, k)))
 
 
 class TestWindowKernel:
@@ -188,10 +204,16 @@ class TestWindowKernel:
 class TestWindowGuard:
     """The static-VMEM-window self-guard (dists.dropped)."""
 
-    def _march(self, dem, p, width, k, hint):
+    @staticmethod
+    @functools.partial(_jax.jit, static_argnames=("width", "k", "hint"))
+    def _march_jit(dem, p, width, k, hint):
         _, rm, dists, _ = march_window(dem, p, width=width, k_cross=k,
                                        cells_per_deg=CPD, lat_hint_deg=hint)
-        return np.asarray(rm[:, -1]), int(dists.dropped)
+        return rm[:, -1], dists.dropped
+
+    def _march(self, dem, p, width, k, hint):
+        rm, dropped = self._march_jit(dem, p, width, k, hint)
+        return np.asarray(rm), int(dropped)
 
     def test_correct_hint_drops_nothing(self):
         dem = make_dem(256)
@@ -226,9 +248,7 @@ class TestWindowGuard:
         # the correct hint covers everything and matches the gather oracle
         h_good, dropped_good = self._march(dem, p, 1024, k, 85.0)
         assert dropped_good == 0
-        _, rm_c, _, _ = march_crossing(pack_scene(dem), p, width=1024,
-                                       k_cross=k, cells_per_deg=CPD)
-        hc = np.asarray(rm_c[:, -1])
+        hc = np.asarray(_march_c(pack_scene(dem), p, 1024, k))
         vis = hc > -1e30
         assert ((hc > -1e30) == (h_good > -1e30)).all()
         assert np.abs(hc[vis] - h_good[vis]).max() < 6e-3
