@@ -241,27 +241,39 @@ class horizonator:
         grid = np.asarray(self._dem, np.float32)
         if n_pad != n:
             grid = np.pad(grid, ((0, n_pad - n), (0, 0)))
-        self._dem = jax.device_put(jnp.asarray(grid),
+        # device_put of HOST numpy with a NamedSharding is a sharded host
+        # transfer: each device receives only its band. (jnp.asarray first
+        # would materialize the full array unsharded on the default device
+        # -- an OOM at exactly the >HBM scales region_mesh exists for.)
+        self._dem = jax.device_put(grid,
                                    NamedSharding(mesh, P("region", None)))
         colors = None
         tex_scale = 0
         if self._color_planes is not None:
-            planes = jnp.asarray(self._color_planes)   # raw (3, s*n, s*n)
             s = self._color_scale
-            if n_pad != n:
-                planes = jnp.pad(planes,
-                                 ((0, 0), (0, s * (n_pad - n)), (0, 0)))
             if s == 2:
-                from .render.texture import prepare_color_planes
-                cp = prepare_color_planes(planes)
+                # half-cell planes: pack + stride on HOST (numpy views are
+                # free; device_put copies only each device's slice), same
+                # math as texture.prepare_color_planes
+                ci = np.clip(np.round(self._color_planes), 0,
+                             255).astype(np.int32)          # (3, 2n, 2n)
+                packed = (ci[2] << 16) | (ci[1] << 8) | ci[0]
+                if n_pad != n:
+                    packed = np.pad(packed, ((0, 2 * (n_pad - n)), (0, 0)))
+                ns = np.ascontiguousarray(packed[::2, :].T)  # (2n, n_pad)
+                ew = np.ascontiguousarray(packed[:, ::2])    # (2n_pad, n)
                 colors = (
-                    jax.device_put(cp.ns,
+                    jax.device_put(ns,
                                    NamedSharding(mesh, P(None, "region"))),
-                    jax.device_put(cp.ew,
+                    jax.device_put(ew,
                                    NamedSharding(mesh, P("region", None))),
-                    jax.device_put(cp.full_packed,
+                    jax.device_put(packed,
                                    NamedSharding(mesh, P("region", None))))
             else:
+                planes = np.asarray(self._color_planes, np.float32)
+                if n_pad != n:
+                    planes = np.pad(planes,
+                                    ((0, 0), (0, n_pad - n), (0, 0)))
                 colors = jax.device_put(
                     planes, NamedSharding(mesh, P(None, "region", None)))
             tex_scale = s
@@ -291,7 +303,8 @@ class horizonator:
                 atlas_params=(self._atlas_params if R["atlas"] is not None
                               else None),
                 exact_near_m=(self._exact_near_m
-                              if R["atlas"] is not None else None))
+                              if R["atlas"] is not None else None),
+                with_guard=True)
             R["fns"][key] = fn
         if R["tex_scale"] > 0:
             return fn(self._dem, R["colors"], params, R["atlas"])
@@ -299,29 +312,51 @@ class horizonator:
 
     @staticmethod
     def _guard_of(dists):
-        """dropped + truncated as one device scalar (None if neither)."""
-        parts = [x for x in (getattr(dists, "dropped", None),
-                             getattr(dists, "truncated", None))
-                 if x is not None]
-        if not parts:
+        """(2,) int32 [dropped, truncated] device array (None if neither):
+        the march's two coverage counters, kept apart because their causes
+        and fixes differ (see _check_dropped)."""
+        dropped = getattr(dists, "dropped", None)
+        truncated = getattr(dists, "truncated", None)
+        if dropped is None and truncated is None:
             return None
-        return parts[0] if len(parts) == 1 else parts[0] + parts[1]
+        z = jnp.int32(0)
+        return jnp.stack([dropped if dropped is not None else z,
+                          truncated if truncated is not None else z])
 
-    def _check_dropped(self, dropped, what="render"):
-        """Surface the march's dropped-sample counter (one device int32
-        pull -- callers invoke this alongside an existing D2H sync)."""
-        if dropped is None:
+    def _check_dropped(self, guard, what="render"):
+        """Surface the march's coverage self-guard (one device pull --
+        callers invoke this alongside an existing D2H sync). The guard is
+        a (2,) int32 [dropped, truncated] (or a legacy scalar = the sum):
+        ``dropped`` counts valid samples masked by an undersized STATIC
+        WINDOW/near-patch (wrong lat_hint_deg/znear_hint_m); ``truncated``
+        counts image columns whose march stopped short of zfar/the grid
+        edge (a manual nsteps= below k_cross_for's latitude-scaled
+        budget). Both are 0 under auto budgets/hints; out-of-grid masking
+        is NOT counted by either (it is exact behavior, not a failure)."""
+        if guard is None:
             return
-        n = int(dropped)
-        if n:
-            msg = (f"{what}(): {n} march samples exceeded the static "
-                   f"window/step budget and were masked -- horizons may be "
-                   f"silently low. Usual cause: a manual nsteps= below "
-                   f"k_cross_for's latitude-scaled budget, or a wrong "
-                   f"lat_hint. Raise nsteps or drop the override.")
-            if self.strict_coverage:
-                raise RuntimeError(msg)
-            warnings.warn(msg, RuntimeWarning, stacklevel=3)
+        g = np.asarray(guard).reshape(-1)
+        n_drop = int(g[0])
+        n_trunc = int(g[1]) if g.size > 1 else 0
+        if not (n_drop or n_trunc):
+            return
+        parts = []
+        if n_drop:
+            parts.append(
+                f"{n_drop} march samples exceeded the static window/patch "
+                f"and were masked (undersized lat_hint_deg/znear_hint_m "
+                f"for this scene)")
+        if n_trunc:
+            parts.append(
+                f"{n_trunc} image columns stopped marching short of zfar/"
+                f"the grid edge, so their far samples were masked (manual "
+                f"nsteps= below k_cross_for's latitude-scaled budget -- "
+                f"raise nsteps or drop the override)")
+        msg = (f"{what}(): " + "; ".join(parts)
+               + " -- horizons may be silently low.")
+        if self.strict_coverage:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=3)
 
     def _put_color_planes(self, planes, scale, device):
         """Shared tail of the texture/hillshade plane prep: camera-
@@ -510,7 +545,12 @@ class horizonator:
             curv=f(self._curv))
 
         if self._region is not None:
-            image, ranges = self._render_region(params, znear, zfar)
+            if debug_fill is not None:
+                raise NotImplementedError(
+                    "debug_fill is not supported on region_mesh instances "
+                    "(the debug lattice planes are not region-sharded); "
+                    "construct an unsharded horizonator for debug views")
+            image, ranges, guard = self._render_region(params, znear, zfar)
             ranges_np = np.asarray(ranges) if return_range else None
             self._last = dict(ranges=ranges_np, ranges_dev=ranges,
                               az_deg0=az_deg0, az_deg1=az_deg1,
@@ -520,6 +560,7 @@ class horizonator:
                 out.append(np.asarray(image))
             if return_range:
                 out.append(ranges_np)
+            self._check_dropped(guard, "render")
             return tuple(out) if len(out) > 1 else out[0]
 
         dem, sampler, nsteps, lod_plan, cp = self._batch_render_plan(znear,

@@ -196,7 +196,8 @@ def make_region_sharded_renderer(mesh: Mesh, *, width, height, k_cross,
                                  az_axis=None, sampler="window",
                                  lat_hint_deg=45.0, textured=False,
                                  texture_scale=1, n_valid_rows=None,
-                                 atlas_params=None, exact_near_m=None):
+                                 atlas_params=None, exact_near_m=None,
+                                 with_guard=False):
     """Region-sharded FULL panorama (SURVEY.md 5.8c complete): fn(dem
     (n, n) f32 [n % R == 0], params) -> (image (H, W, 3) u8 BGR, ranges
     (H, W) f32) equal to the single-device crossing render.
@@ -247,13 +248,27 @@ def make_region_sharded_renderer(mesh: Mesh, *, width, height, k_cross,
             # delivers (their keys sort after every threshold)
             tex = jax.lax.pmax(jnp.where(valid, tex, -1), axis)
         run_max = _scan_shift(tanel, jnp.maximum, NEG_BIG)
-        return resolve_to_image(
+        out = resolve_to_image(
             tanel, run_max, dists.d_of, az, p_img, width=w_local,
             height=height, cells_per_deg=cells_per_deg, refine=refine,
             textured=tex is not None, tex_samples=tex)
+        if with_guard:
+            # per-band coverage self-guard, summed across the whole mesh:
+            # (2,) int32 [dropped, truncated] matching the single-device
+            # render_panorama(with_dropped=True) contract so
+            # api._check_dropped covers region renders too
+            z = jnp.int32(0)
+            g = jnp.stack([dists.dropped if dists.dropped is not None
+                           else z,
+                           dists.truncated if dists.truncated is not None
+                           else z])
+            g = jax.lax.psum(g, (axis,) + ((az_axis,) if az_axis else ()))
+            return out + (g,)
+        return out
 
     img_spec = P(None, az_axis, None) if az_axis else P(None, None, None)
     rng_spec = P(None, az_axis) if az_axis else P(None, None)
+    guard_spec = (P(None),) if with_guard else ()
     if textured and texture_scale == 2:
         # (ns [x2, j], ew [J2, i], full_packed [J2, I2]): ns shards its
         # STEP columns (DEM rows), the other two their 2x cross rows
@@ -265,7 +280,7 @@ def make_region_sharded_renderer(mesh: Mesh, *, width, height, k_cross,
     sharded = shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(axis, None), col_spec, P(), P()),
-        out_specs=(img_spec, rng_spec),
+        out_specs=(img_spec, rng_spec) + guard_spec,
         check_vma=False)   # pallas resolve body under shard_map
     jitted = jax.jit(sharded)
     if textured:

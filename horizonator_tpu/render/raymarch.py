@@ -196,7 +196,11 @@ def _resolve_merge(m, t_y):
     return cnt_u[:, :h], mlo_u[:, :h], mhi_u[:, :h]
 
 
-_IMIN32 = jnp.int32(-2147483648)
+# a plain Python int, NOT jnp.int32(...): a module-level jnp scalar would
+# initialize the jax backend at IMPORT time, which pins the platform before
+# cli.main/_honor_jax_platforms_env can force CPU (the axon plugin ignores
+# the JAX_PLATFORMS env var; only a pre-initialization config.update works)
+_IMIN32 = -2147483648
 
 
 def _monotone_i32(f):
@@ -920,11 +924,19 @@ def render_panorama(dem, params: RenderParams, *, width, height, nsteps,
         cells_per_deg=cells_per_deg, refine=refine, textured=textured,
         atlas=atlas, atlas_params=atlas_params, tex_samples=tex_samples)
     if with_dropped:
-        parts = [x for x in (getattr(dists, "dropped", None),
-                             getattr(dists, "truncated", None))
-                 if x is not None]
-        guard = parts[0] if len(parts) == 1 else (
-            parts[0] + parts[1] if parts else None)
+        dropped = getattr(dists, "dropped", None)
+        truncated = getattr(dists, "truncated", None)
+        if dropped is None and truncated is None:
+            guard = None
+        else:
+            # (2,) int32 [dropped, truncated]: the two failure classes are
+            # actionable differently (undersized static WINDOW/patch from a
+            # wrong lat_hint/znear_hint vs a step BUDGET below zfar/grid
+            # reach from a manual nsteps), so keep them apart -- still one
+            # D2H pull for the caller.
+            z = jnp.int32(0)
+            guard = jnp.stack([dropped if dropped is not None else z,
+                               truncated if truncated is not None else z])
         return out + (guard,)
     return out
 

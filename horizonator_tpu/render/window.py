@@ -1174,7 +1174,22 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
         # the grid2x render's.
         k_x, p_at = exact_near_sizes(exact_near_m, cells_per_deg,
                                      lat_hint_deg, atlas_params.zoom)
-        if p_at <= EXACT_PATCH_CAP and k_x <= TILE_K:
+        if p_at > EXACT_PATCH_CAP or k_x > TILE_K:
+            # static-cap fallback must be LOUD (fires once per trace, not
+            # per frame): the render still succeeds at grid2x fidelity,
+            # but the caller asked for atlas-true near texels and isn't
+            # getting them (huge exact_near_m, or |lat| high enough that
+            # the z12 texel fan blows the patch cap)
+            import warnings
+            warnings.warn(
+                f"hybrid near-field texture disabled for this render: "
+                f"exact_near_m={exact_near_m:g} at lat_hint="
+                f"{lat_hint_deg:g} needs an atlas patch of {p_at} px "
+                f"(cap {EXACT_PATCH_CAP}) over {k_x} crossing steps "
+                f"(cap {TILE_K}); falling back to half-cell grid2x "
+                f"colors. Reduce exact_near_m to restore atlas-true "
+                f"near texels.", RuntimeWarning, stacklevel=2)
+        else:
             packed_ex, rep = _exact_near_colors(
                 atlas, atlas_params, geo, p, n_near=n_near, k_x=k_x,
                 p_at=p_at, cells_per_deg=cells_per_deg,

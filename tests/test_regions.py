@@ -325,6 +325,17 @@ def test_api_region_mesh_one_knob(tmp_path):
     np.testing.assert_array_equal(i0, i1)
     np.testing.assert_array_equal(r0, r1)
 
+    # coverage guard covers the region path (ADVICE r4): a manual nsteps
+    # below the latitude-scaled budget warns here exactly like the
+    # unsharded render (the per-band counters psum through shard_map)
+    hw = horizonator(34.40, -117.45, 64, 32, region_mesh="auto",
+                     nsteps=64, **kw)
+    with pytest.warns(RuntimeWarning, match="masked"):
+        hw.render(-60, 60, zfar=20000.0)
+    # debug_fill is an explicit non-feature on region instances
+    with pytest.raises(NotImplementedError):
+        hr.render(-30, 30, debug_fill="wireframe")
+
 
 @pytest.mark.parametrize("viewer_j", [127.6, 2.5, 253.4])
 def test_region_grid2x_panorama_bitwise(viewer_j):

@@ -339,6 +339,17 @@ def test_halfcell_texture_beats_grid_on_checkerboard(tmp_path):
     far = vis & (rng_e >= 2500.0 / np.cos(np.radians(31)))
     np.testing.assert_array_equal(img_h[far], img_2[far])
 
+    # static-cap fallback is LOUD, not silent (ADVICE r4): an exact_near_m
+    # whose atlas patch / crossing-step fan exceeds the static caps warns
+    # once and renders at grid2x fidelity (bitwise the grid2x image)
+    import pytest as _pytest
+    h_big = horizonator(lat, lon, 256, 128, texture_quality="hybrid",
+                        exact_near_m=60000.0, **kw)
+    with _pytest.warns(RuntimeWarning, match="hybrid near-field"):
+        img_b, rng_b = h_big.render(-60, 60, zfar=9000.0)
+    np.testing.assert_array_equal(rng_b, rng_e)
+    np.testing.assert_array_equal(img_b, img_2)
+
 
 def test_textured_render_batch_auto_lod(tmp_path):
     """A textured long-clip BATCH must survive the auto-LOD switch (it
