@@ -48,10 +48,10 @@ def main():
     # graph are expensive (minutes through a remote-compile service); cache
     # them across runs.
     from horizonator_tpu.compile_cache import harden_cache
-    harden_cache()   # atomic cache puts + zlib (compile_cache.py)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                     "/tmp/jax_bench_cache2"))
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/jax_bench_cache2")
+    harden_cache(cache_dir)   # atomic puts + zlib + era sweep
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from horizonator_tpu.render import RenderParams, render_panorama

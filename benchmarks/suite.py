@@ -361,7 +361,7 @@ def main():
     args = ap.parse_args()
     import jax
     from horizonator_tpu.compile_cache import harden_cache
-    harden_cache()   # atomic cache puts + zlib (compile_cache.py)
+    harden_cache("/tmp/jax_bench_cache2")   # atomic puts + zlib + sweep
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache2")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     log(f"device: {jax.devices()[0]}")

@@ -148,7 +148,7 @@ def _honor_jax_platforms_env():
     # configured (JAX_COMPILATION_CACHE_DIR), make its writes zlib -- the
     # zstandard serializer segfaults under bursts (compile_cache.py).
     from .compile_cache import harden_cache
-    harden_cache()
+    harden_cache(os.environ.get("JAX_COMPILATION_CACHE_DIR"))
 
 
 def _run_viewshed(args) -> int:

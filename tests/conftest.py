@@ -28,7 +28,7 @@ jax.config.update("jax_platforms", "cpu")
 # inside compilation_cache.get_executable_and_time again, wipe the dir:
 # only a file written WITHOUT the atomic put can be torn.
 from horizonator_tpu.compile_cache import harden_cache
-harden_cache()
+harden_cache("/tmp/jax_test_cache3")   # incl. era sweep of the dir
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache3")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

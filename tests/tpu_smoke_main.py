@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     import jax
     from horizonator_tpu.compile_cache import harden_cache
-    harden_cache()   # atomic cache puts + zlib (compile_cache.py)
+    harden_cache("/tmp/jax_bench_cache2")   # atomic puts + zlib + sweep
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache2")
     import jax.numpy as jnp
     from horizonator_tpu.render import RenderParams, render_panorama
