@@ -18,6 +18,21 @@ two atlas types:
   - 'noise': independent random texels -- the adversarial resampling worst
     case (no real map looks like this; it bounds the error from above).
 
+TWO oracle comparisons per variant, because the total error has two
+independent terms:
+
+  refine=True  (the production default): the oracle samples the atlas at
+    the REFINED per-pixel hit position while the in-kernel paths color at
+    the march's CROSSING position (quantized ~1 cell along-ray) -- so this
+    row measures position-quantization + texel-resolution together. On
+    this scene (synth_dem carries 30 m/cell white noise, adversarially
+    rough) the position term dominates every band.
+  refine=False: the oracle's d_hit IS the crossing distance, so oracle
+    and in-kernel paths sample the SAME surface positions and the
+    difference is PURE texel resolution -- the number VERDICT r4 missing
+    #2 asks to bound by band. The hybrid rows must read ~0 inside their
+    exact_near_m (proof the exact-near path engages and is atlas-true).
+
 Also times each variant at the config-6 frame setup so the fidelity/cost
 trade is on one page. Run on the real TPU:
     python benchmarks/profile_texture_bands.py
@@ -89,35 +104,45 @@ def main():
         colors = jax.tree.map(jax.device_put, colors)
         scene = prepare_aligned_scene(dem, k, color_planes=colors)
 
-        img_ex, rng_ex = base(dem, p, atlas=atlas, atlas_params=ap)
-        img_ex = np.asarray(img_ex).astype(np.int32)
-        ranges = np.asarray(rng_ex)
-        vis = ranges > 0
+        for refine in (True, False):
+            rbase = functools.partial(base, refine=refine)
+            img_ex, rng_ex = rbase(dem, p, atlas=atlas, atlas_params=ap)
+            img_ex = np.asarray(img_ex).astype(np.int32)
+            ranges = np.asarray(rng_ex)
+            vis = ranges > 0
 
-        variants = [("grid2x", None)] + [
-            (f"hybrid@{int(e)}m", e) for e in (1200.0, 2500.0, 3500.0)]
-        for name, e in variants:
-            img, rr = base(dem, p, color_planes=colors, aligned_scene=scene,
-                           atlas=atlas if e else None,
-                           atlas_params=ap if e else None, exact_near_m=e)
-            assert np.array_equal(np.asarray(rr), ranges)
-            d = np.abs(np.asarray(img).astype(np.int32) - img_ex)
-            cols = []
-            for lo, hi in bands:
-                m = vis & (ranges >= lo) & (ranges < hi)
-                if m.sum() < 100:
-                    cols.append("       --")
-                    continue
-                mse = float((d[m].astype(np.float64) ** 2).mean())
-                psnr = 10 * math.log10(255.0 ** 2 / max(mse, 1e-9))
-                cols.append(f"{psnr:5.1f}dB/{d[m].mean():5.2f}")
-            fn = lambda dem, colors, scene, atlas_, pp, e=e: base(
-                dem, pp, color_planes=colors, aligned_scene=scene,
-                atlas=atlas_ if e else None,
-                atlas_params=ap if e else None, exact_near_m=e)
-            t = timed_chain(fn, dem, colors, scene, atlas, p, iters=10)
-            print(f"{kind:6s} {name:13s} {t*1e3:6.2f} ms | "
-                  + " | ".join(cols), flush=True)
+            variants = [("grid2x", None)] + [
+                (f"hybrid@{int(e)}m", e) for e in (1200.0, 2500.0, 3500.0)]
+            for name, e in variants:
+                img, rr = rbase(dem, p, color_planes=colors,
+                                aligned_scene=scene,
+                                atlas=atlas if e else None,
+                                atlas_params=ap if e else None,
+                                exact_near_m=e)
+                assert np.array_equal(np.asarray(rr), ranges)
+                d = np.abs(np.asarray(img).astype(np.int32) - img_ex)
+                cols = []
+                for lo, hi in bands:
+                    m = vis & (ranges >= lo) & (ranges < hi)
+                    if m.sum() < 100:
+                        cols.append("       --")
+                        continue
+                    mse = float((d[m].astype(np.float64) ** 2).mean())
+                    psnr = 10 * math.log10(255.0 ** 2 / max(mse, 1e-9))
+                    cols.append(f"{psnr:5.1f}dB/{d[m].mean():5.2f}")
+                if refine:
+                    fn = lambda dem, colors, scene, atlas_, pp, e=e: base(
+                        dem, pp, color_planes=colors, aligned_scene=scene,
+                        atlas=atlas_ if e else None,
+                        atlas_params=ap if e else None, exact_near_m=e)
+                    t = timed_chain(fn, dem, colors, scene, atlas, p,
+                                    iters=10)
+                    tcol = f"{t*1e3:6.2f} ms"
+                else:
+                    tcol = "   --   "
+                rtag = "pos+tex" if refine else "tex-only"
+                print(f"{kind:6s} {rtag:8s} {name:13s} {tcol} | "
+                      + " | ".join(cols), flush=True)
         print(f"{kind:6s} bands: " + " | ".join(
             f"{lo/1e3:g}-{hi/1e3:g}km" for lo, hi in bands), flush=True)
 
