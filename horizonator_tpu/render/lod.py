@@ -66,13 +66,18 @@ def build_pyramid(dem, levels: int):
 def build_color_pyramid(color_planes, levels: int, n0: int):
     """Mip chain of texture/hillshade color planes for the LOD march.
 
-    Level 0 is the input itself (a texture.ColorPlanes2x or (3, s*n0, s*n0)
-    float planes, s in {1, 2}); level L >= 1 is (3, n_L, n_L) float32
-    CELL-resolution planes matching build_pyramid's level-L grid
-    (n_L = ceil(n_{L-1} / 2), average-pooled with edge padding -- the same
+    Level 0 is the input itself when it is a texture.ColorPlanes2x or
+    (3, 2*n0, 2*n0) half-cell planes; cell-resolution levels -- level 0
+    when s == 1, and every level L >= 1 -- are emitted PRE-PACKED as
+    (n_L, n_L) int32 0x00RRGGBB planes (texture.pack_cell_colors)
+    matching build_pyramid's level-L grid (n_L = ceil(n_{L-1} / 2),
+    average-pooled in float with edge padding -- the same
     antialiased-limit filter, so far-field texels are prefiltered instead
-    of aliased). Each level then rides march_window's in-kernel color path
-    (the fused tex_scale=1 tables), keeping textured AND hillshade
+    of aliased; packing happens once per level HERE because a per-render
+    pack fuses into the directional table builds and XLA rematerializes
+    the full-grid conversion per view, measured ~+1.0 ms/frame at the
+    SRTM1 level 0). Each level then rides march_window's in-kernel color
+    path (the fused tex_scale=1 tables), keeping textured AND hillshade
     long-clip renders gather-free -- the resolve-time atlas fallback
     (tens of ms of per-pixel gathers at headline sizes) becomes dead code
     for API renders. The reference lists LOD itself as future work
@@ -83,7 +88,8 @@ def build_color_pyramid(color_planes, levels: int, n0: int):
     centered 1/4-1/2-1/4 tent along each axis (texel 2J sits exactly at
     grid J, so the tent is centered on the cell -- plain 2x2 pooling would
     shift colors a quarter cell off the DEM pyramid's cell centers)."""
-    from .texture import ColorPlanes2x, unpack_color_planes
+    from .texture import (ColorPlanes2x, pack_cell_colors,
+                          unpack_color_planes)
     if isinstance(color_planes, ColorPlanes2x):
         base = unpack_color_planes(color_planes.full_packed)   # (3, 2n, 2n)
         s = 2
@@ -107,11 +113,13 @@ def build_color_pyramid(color_planes, levels: int, n0: int):
         return (0.25 * rows[:, :, 0:-2:2] + 0.5 * rows[:, :, 1:-1:2]
                 + 0.25 * rows[:, :, 2::2])
 
-    out = [color_planes]
+    # level 0: half-cell inputs stay as-is (they march at tex_scale=2);
+    # cell-resolution inputs are pre-packed like every other level
+    out = [color_planes if s == 2 else pack_cell_colors(base)]
     cur = tent_half(base) if s == 2 else base                # (3, n0, n0)
     for _ in range(1, levels):
-        cur = pool2(cur)
-        out.append(cur)
+        cur = pool2(cur)                 # pooled in float (exact averages)
+        out.append(pack_cell_colors(cur))
     return tuple(out)
 
 

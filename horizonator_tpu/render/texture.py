@@ -103,6 +103,24 @@ def unpack_color_planes(full_packed) -> jnp.ndarray:
                       ((v >> 16) & 0xff).astype(jnp.float32)])
 
 
+def pack_cell_colors(planes) -> jnp.ndarray:
+    """(3, nj, ni) float32 B/G/R CELL-resolution planes -> (nj, ni) packed
+    int32 0x00RRGGBB (B low). Rounds/clips to u8 first (exact for the
+    integer-valued colors the atlas/hillshade pipelines emit after their
+    own rounding; a <=0.5/255-per-channel pre-lerp quantization otherwise
+    -- the resolve rounds to u8 regardless).
+
+    Run ONCE per scene / pyramid level, never per render: a pack inside
+    the render fuses into the four directional crossing-table builds and
+    XLA rematerializes the full-grid conversion per view (the same
+    astype-then-gather rematerialization trap as the 2x planes; measured
+    ~+1.0 ms/frame at the SRTM1 LOD level 0 before
+    lod.build_color_pyramid pre-packed its levels)."""
+    ci = jnp.clip(jnp.round(jnp.asarray(planes, jnp.float32)),
+                  0, 255).astype(jnp.int32)
+    return (ci[2] << 16) | (ci[1] << 8) | ci[0]
+
+
 def prepare_color_planes(color2x) -> ColorPlanes2x:
     """(3, 2n, 2n) half-cell planes (atlas_to_grid_colors(scale=2)) ->
     ColorPlanes2x. Rounds to integers first so bf16 storage is exact.

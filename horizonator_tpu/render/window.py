@@ -626,14 +626,17 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
     samples were masked out (tests and the TPU smoke assert it is 0 --
     pass the real viewer latitude).
 
-    color_planes: optional float32 B/G/R texture colors resampled onto the
-    DEM grid (texture.atlas_to_grid_colors): (3, n, n) cell-resolution
-    planes share elevation's VMEM windows and hat weights; (3, 2n, 2n)
-    HALF-CELL planes (scale=2, the API's default textured path -- z12
-    fidelity class) ride their own 2x windows with hats at 2*pos. Either
-    way the sampling is gather-free and a fifth value is returned: tex
-    (W, n_near+K) int32, each sample's packed 0x00RRGGBB color at its
-    crossing position.
+    color_planes: optional texture colors resampled onto the DEM grid
+    (texture.atlas_to_grid_colors): (3, n, n) float32 B/G/R
+    cell-resolution planes -- or, preferred, their (n, n) PRE-PACKED
+    int32 0x00RRGGBB form (texture.pack_cell_colors; packing at scene
+    prep avoids a per-render full-grid conversion that XLA
+    rematerializes per directional table view) -- share elevation's VMEM
+    windows and hat weights; (3, 2n, 2n) HALF-CELL planes (scale=2, the
+    API's default textured path -- z12 fidelity class) ride their own 2x
+    windows with hats at 2*pos. Either way the sampling is gather-free
+    and a fifth value is returned: tex (W, n_near+K) int32, each
+    sample's packed 0x00RRGGBB color at its crossing position.
 
     Rectangular (nj, ni) grids -- region-sharding row bands -- are
     supported via ``j_hi``/``j_offset`` with march_crossing's exact
@@ -664,6 +667,17 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
     from .texture import ColorPlanes2x, prepare_color_planes
     p = params
     textured = color_planes is not None
+    # PRE-PACKED cell-resolution colors: a 2D int32 0x00RRGGBB plane
+    # (texture.pack_cell_colors / lod.build_color_pyramid levels). Packing
+    # belongs to scene prep -- done per render it fuses into the four
+    # directional table builds and XLA rematerializes the full-grid
+    # conversion per view (measured ~+1.0 ms at the SRTM1 LOD level 0).
+    packed_cells = (textured and not isinstance(color_planes, ColorPlanes2x)
+                    and color_planes.ndim == 2)
+    if packed_cells and color_planes.dtype != jnp.int32:
+        raise ValueError(
+            f"2D color_planes must be packed int32 0x00RRGGBB "
+            f"(texture.pack_cell_colors), got {color_planes.dtype}")
     nj_real, ni_real = dem.shape
     n_real = ni_real                     # square-path alias
     banded = (nj_real != ni_real) or (j_hi is not None) \
@@ -683,11 +697,12 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
                     f"{color_planes.ew.shape} do not match the "
                     f"({nj_real}, {ni_real}) band (want (2*ni, nj)/"
                     f"(2*nj, ni))")
-        elif color_planes.shape[1] != nj_real:
+        elif color_planes.shape[0 if packed_cells else 1] != nj_real:
             raise ValueError(
                 "region-sharded textured marches take color planes "
-                "matching the band: CELL-resolution (3, nj, ni) arrays "
-                "or a band-local half-cell ColorPlanes2x")
+                "matching the band: CELL-resolution (3, nj, ni) float or "
+                "(nj, ni) packed-int32 arrays, or a band-local half-cell "
+                "ColorPlanes2x")
     if j_hi is None:
         j_hi = nj_real - 1
     j_hi_f = jnp.asarray(j_hi, jnp.float32)
@@ -701,6 +716,11 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
                 raise ValueError(
                     f"ColorPlanes2x views {color_planes.ns.shape} do not "
                     f"match the ({nj_real}, {ni_real}) grid")
+        elif packed_cells:
+            if color_planes.shape != (nj_real, ni_real):
+                raise ValueError(
+                    f"packed color plane shape {color_planes.shape} does "
+                    f"not match the ({nj_real}, {ni_real}) grid")
         else:
             tex_scale = color_planes.shape[1] // nj_real
             if tex_scale not in (1, 2) or color_planes.shape[1:] != (
@@ -715,13 +735,17 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
     if pad_j or pad_i:
         dem = jnp.pad(dem, ((0, pad_j), (0, pad_i)))
         if textured:
-            if isinstance(color_planes, ColorPlanes2x):
-                from .texture import unpack_color_planes
-                color_planes = unpack_color_planes(
-                    color_planes.full_packed)     # re-prepared below
-            color_planes = jnp.pad(
-                color_planes, ((0, 0), (0, tex_scale * pad_j),
-                               (0, tex_scale * pad_i)))
+            if packed_cells:
+                color_planes = jnp.pad(
+                    color_planes, ((0, pad_j), (0, pad_i)))
+            else:
+                if isinstance(color_planes, ColorPlanes2x):
+                    from .texture import unpack_color_planes
+                    color_planes = unpack_color_planes(
+                        color_planes.full_packed)     # re-prepared below
+                color_planes = jnp.pad(
+                    color_planes, ((0, 0), (0, tex_scale * pad_j),
+                                   (0, tex_scale * pad_i)))
     nj, ni = dem.shape
     n = ni                               # square-path alias
     cp2x = None
@@ -912,16 +936,19 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
                                    k_kernel,
                                    j_offset=offs)[:, 0]  # (4, n_pad, k)
         if textured and tex_scale == 1:
-            # cell-resolution colors pack into ONE int32 plane before the
-            # table build (0x00RRGGBB; exact for the integer-valued
-            # colors the atlas/hillshade pipelines emit after their own
-            # rounding, and a <=0.5/255-per-channel pre-lerp quantization
-            # otherwise -- the resolve rounds to u8 regardless): the
-            # textured march then stages 2 windows instead of 4, halving
-            # its dominant DMA+table cost (measured ~2x on textured LOD).
-            u8p = lambda x: jnp.clip(jnp.round(x), 0, 255).astype(jnp.int32)
-            cpk = ((u8p(color_planes[2]) << 16)
-                   | (u8p(color_planes[1]) << 8) | u8p(color_planes[0]))
+            # cell-resolution colors ride ONE packed int32 plane
+            # (0x00RRGGBB; exact for the integer-valued colors the
+            # atlas/hillshade pipelines emit after their own rounding,
+            # and a <=0.5/255-per-channel pre-lerp quantization otherwise
+            # -- the resolve rounds to u8 regardless): the textured march
+            # then stages 2 windows instead of 4, halving its dominant
+            # DMA+table cost (measured ~2x on textured LOD). Prefer
+            # PRE-PACKED planes (texture.pack_cell_colors at scene prep):
+            # packing here fuses into the table build and rematerializes
+            # the full-grid conversion per directional view.
+            from .texture import pack_cell_colors
+            cpk = color_planes if packed_cells \
+                else pack_cell_colors(color_planes)
             tallc = _build_tables_multi(cpk[None], p, k_kernel,
                                         j_offset=offs)[:, 0]   # int32
         elif textured:
@@ -1092,9 +1119,9 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
                 val = jnp.sum(accc * hjc, axis=-1)
                 return jnp.clip(jnp.round(val), 0, 255).astype(jnp.int32)
 
-            if cp2x is not None:
-                pc = jax.lax.dynamic_slice(cp2x.full_packed,
-                                           (s * oj, s * oi), (sp, sp))
+            if cp2x is not None or packed_cells:
+                src = cp2x.full_packed if cp2x is not None else full_planes
+                pc = jax.lax.dynamic_slice(src, (s * oj, s * oi), (sp, sp))
                 chans = [contract(((pc >> sh) & 0xff).astype(jnp.float32))
                          for sh in (16, 8, 0)]               # R, G, B
                 tex_q = (chans[0] << 16) | (chans[1] << 8) | chans[2]
@@ -1118,12 +1145,13 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
                            s * nj_real - 2).astype(jnp.int32)
             fic = jnp.clip(iqs - i0c, 0.0, 1.0)
             fjc = jnp.clip(jqs - j0c, 0.0, 1.0)
-            if cp2x is not None:
-                # s=2: ONE packed 0xRRGGBB fetch per bilinear corner (4
-                # takes total; the 12-take 3-plane form measured
+            if cp2x is not None or packed_cells:
+                # packed sources (s=2 ColorPlanes2x, s=1 pre-packed cell
+                # planes): ONE packed 0xRRGGBB fetch per bilinear corner
+                # (4 takes total; the 12-take 3-plane form measured
                 # 2.4 ms/frame at the headline), channels unpacked on the
                 # tiny gathered results
-                fp = cp2x.full_packed
+                fp = cp2x.full_packed if cp2x is not None else full_planes
                 ncp = fp.shape[1]
                 flatp = fp.reshape(-1)
                 base = j0c * ncp + i0c

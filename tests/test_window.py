@@ -179,6 +179,38 @@ class TestWindowKernel:
         assert (np.asarray(tex1)[vis] == 0x4D4D4D).all()
         assert (np.asarray(tex2)[vis] == 0x4D4D4D).all()
 
+    def test_packed_cell_planes_bitwise(self):
+        # pre-packed (n, n) int32 cell-res planes (texture.pack_cell_colors,
+        # what lod.build_color_pyramid now emits) must be BITWISE the
+        # (3, n, n) float path -- both through the patch-contraction near
+        # band (default znear hint) and the bilinear fallback
+        # (znear_hint_m=None), the two branches that fetch s=1 colors
+        import jax.numpy as jnp
+        from horizonator_tpu.render.texture import pack_cell_colors
+        n = 192
+        dem = make_dem(n, rough=4.0)
+        vz = float(np.asarray(dem)[95:97, 96:98].max()) + 5.0
+        p = params_for(dem, 96.3, 95.7, vz, zfar=8000.0)
+        k = k_cross_for(8000.0, CPD, 34.0, n=n)
+        rng = np.random.default_rng(3)
+        c1 = jnp.asarray(rng.integers(0, 256, (3, n, n)).astype(np.float32))
+        cpk = pack_cell_colors(c1)
+        assert cpk.shape == (n, n) and cpk.dtype == jnp.int32
+        for hint in (100.0, None):
+            tf, _, _, _, texf = march_window(
+                dem, p, width=256, k_cross=k, cells_per_deg=CPD,
+                lat_hint_deg=34.0, color_planes=c1, znear_hint_m=hint)
+            tp, _, _, _, texp = march_window(
+                dem, p, width=256, k_cross=k, cells_per_deg=CPD,
+                lat_hint_deg=34.0, color_planes=cpk, znear_hint_m=hint)
+            np.testing.assert_array_equal(np.asarray(tf), np.asarray(tp))
+            np.testing.assert_array_equal(np.asarray(texf),
+                                          np.asarray(texp))
+        with pytest.raises(ValueError, match="packed int32"):
+            march_window(dem, p, width=256, k_cross=k, cells_per_deg=CPD,
+                         lat_hint_deg=34.0,
+                         color_planes=cpk.astype(jnp.float32))
+
     def test_textured_2x_resolves_finer_detail(self):
         # a half-cell checker on the color planes: the 2x path must carry
         # both phases of the pattern; the 1x plane cannot even represent it

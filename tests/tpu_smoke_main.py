@@ -158,6 +158,22 @@ def main():
                   f"(err {err}, tex_eq {tex_eq})")
             return 1
         print(f"textured march s={s}: Mosaic == interpreter", file=sys.stderr)
+        if s == 1:
+            # pre-packed (n, n) int32 planes (texture.pack_cell_colors,
+            # the lod.build_color_pyramid level format): on-chip bitwise
+            # vs the float-plane path, including the near-band fetches
+            from horizonator_tpu.render.texture import pack_cell_colors
+            cpk = jax.device_put(pack_cell_colors(colors), dev)
+            _, rm_p, _, _, tex_p = march_window(
+                dem, p, width=512, k_cross=k, cells_per_deg=1200,
+                lat_hint_deg=34.0, interpret=False, color_planes=cpk)
+            if not (np.array_equal(np.asarray(rm_p), np.asarray(rm_m))
+                    and np.array_equal(np.asarray(tex_p),
+                                       np.asarray(tex_m))):
+                print("TPU_SMOKE_FAIL: pre-packed s=1 march != float path")
+                return 1
+            print("pre-packed s=1 march: Mosaic bitwise == float planes",
+                  file=sys.stderr)
         if s == 2:
             # textured aligned scene: the 2x color window DMA now uses the
             # dynamic 128-aligned lane base too
