@@ -171,6 +171,80 @@ def lod_plan(zfar_m: float, width: int, cells_per_deg: float, lat_deg: float,
     return tuple(specs)
 
 
+def level_crop_size(spec: LevelSpec, cells_per_deg_l: float,
+                    lat_hint_deg: float) -> int:
+    """Static viewer-centered crop edge (cells) for one LOD level.
+
+    A level's march only produces samples with d <= spec.d_hi (the band is
+    the kernel's clip interval), and every such sample lies within
+    d_hi / min(cell_n, cell_e) cells of the viewer on either axis (the
+    crossing geometry is translation-covariant: positions are
+    viewer + d*trig/cell with cell sizes constant per render,
+    crossing.py:121-131). So the march never needs the full level grid --
+    a crop of this edge length centered on the viewer carries every
+    reachable crossing plus bilinear slack, making per-level march cost
+    independent of the mosaic size (the per-render crossing-table builds
+    previously scaled with the FULL level grid: at the 300 km SRTM1
+    config the level-0 tables alone re-materialized ~10800x384 lanes per
+    direction per frame). Latitude margin mirrors window_size: +5 deg of
+    cos shrink over the hint, so the same "pass the real viewer latitude"
+    contract applies (a beyond-margin true latitude pushes samples out of
+    the crop, which masks them exactly like the DEM edge -- the
+    wrong-lat-hint failure mode the guard tests document)."""
+    cell_n = geometry.EARTH_RADIUS_M * DEG / cells_per_deg_l
+    cos_m = max(0.05, abs(math.cos(math.radians(
+        min(abs(lat_hint_deg) + 5.0, 85.0)))))
+    r = int(math.ceil(spec.d_hi / (cell_n * cos_m))) + 2
+    half = max(spec.k_lo + spec.k_len, r) + 4
+    return -(-(2 * half + 2) // 128) * 128
+
+
+def _crop_level(dem_l, p_l, colors_l, spec: LevelSpec,
+                cells_per_deg_l: float, lat_hint_deg: float):
+    """Viewer-centered square crop of one level's grid (+ colors), with the
+    viewer cell rebased into crop coordinates. The integer origin shift is
+    EXACT in f32 (viewer_cell and the origin are both multiples of
+    ulp(viewer_cell) < 1, and the local value is smaller in magnitude), so
+    frac(viewer) -- and with it every crossing DISTANCE -- is bitwise the
+    uncropped march's; sample positions differ only by add-rounding ulps.
+    No crop (returned unchanged) when the level grid is rectangular (region
+    bands never take the LOD path anyway) or already within ~one crop."""
+    nj_l, ni_l = dem_l.shape
+    c = level_crop_size(spec, cells_per_deg_l, lat_hint_deg)
+    if nj_l != ni_l or c >= ni_l:
+        return dem_l, p_l, colors_l
+    from .texture import ColorPlanes2x
+    oj = jnp.clip(jnp.floor(p_l.viewer_cell_j).astype(jnp.int32) - c // 2,
+                  0, nj_l - c)
+    oi = jnp.clip(jnp.floor(p_l.viewer_cell_i).astype(jnp.int32) - c // 2,
+                  0, ni_l - c)
+    dem_c = jax.lax.dynamic_slice(dem_l, (oj, oi), (c, c))
+    colors_c = None
+    if colors_l is None:
+        pass
+    elif isinstance(colors_l, ColorPlanes2x):
+        # crop the prestrided views directly (ns [2x col, row],
+        # ew [2x row, col], texture.py:78-84); reversals are LOCAL like
+        # parallel/regions.py's band-local views -- the kernel treats the
+        # crop as the whole grid
+        ns_c = jax.lax.dynamic_slice(colors_l.ns, (2 * oi, oj), (2 * c, c))
+        ew_c = jax.lax.dynamic_slice(colors_l.ew, (2 * oj, oi), (2 * c, c))
+        fp_c = jax.lax.dynamic_slice(colors_l.full_packed,
+                                     (2 * oj, 2 * oi), (2 * c, 2 * c))
+        colors_c = ColorPlanes2x(ns=ns_c, ns_rev=ns_c[:, ::-1],
+                                 ew=ew_c, ew_rev=ew_c[:, ::-1],
+                                 full_packed=fp_c)
+    elif colors_l.ndim == 2:               # pre-packed int32 cell-res
+        colors_c = jax.lax.dynamic_slice(colors_l, (oj, oi), (c, c))
+    else:                                  # (3, n, n) float cell-res
+        colors_c = jax.lax.dynamic_slice(colors_l, (jnp.int32(0), oj, oi),
+                                         (3, c, c))
+    p_c = p_l._replace(
+        viewer_cell_j=p_l.viewer_cell_j - oj.astype(jnp.float32),
+        viewer_cell_i=p_l.viewer_cell_i - oi.astype(jnp.float32))
+    return dem_c, p_c, colors_c
+
+
 class LodDists(NamedTuple):
     """Distance-from-index mapping across the near band + level segments."""
     e: jax.Array         # (L, W) per-level first-crossing offsets
@@ -247,12 +321,18 @@ def march_lod(pyramid, params: RenderParams, *, width, plan, cells_per_deg,
         p_l = p_l._replace(znear=jnp.maximum(p.znear, jnp.float32(spec.d_lo)),
                            zfar=jnp.minimum(p.zfar, jnp.float32(spec.d_hi)))
         is_first = si == 0
+        colors_l = color_pyramid[spec.level] if textured else None
+        # viewer-centered crop: per-level cost stops scaling with the
+        # mosaic (the crossing-table builds re-materialize O(grid rows)
+        # lanes per frame; the band only ever reaches d_hi)
+        dem_l, p_l, colors_l = _crop_level(dem_l, p_l, colors_l, spec,
+                                           cpd_l, lat_hint_deg)
         outs = march_window(
             dem_l, p_l, width=width, k_cross=spec.k_lo + spec.k_len,
             cells_per_deg=cpd_l, lat_hint_deg=lat_hint_deg,
             n_near=n_near if is_first else 0, interpret=interpret,
             znear_hint_m=znear_hint_m if is_first else None,
-            color_planes=color_pyramid[spec.level] if textured else None)
+            color_planes=colors_l)
         if textured:
             tanel_l, _, dists_l, az, tex_l = outs
         else:

@@ -101,6 +101,67 @@ class TestLodMarch:
         assert np.median(err) < 5e-4
         assert np.percentile(err, 99) < 5e-3
 
+    def test_viewer_crop_matches_uncropped(self, monkeypatch):
+        # the per-level viewer-centered crop (lod._crop_level) must match
+        # the uncropped march: crossing DISTANCES bitwise (the integer
+        # origin shift keeps frac(viewer) exact), tangents to add-rounding
+        # ulps, colors near-exactly (a position ulp can flip a hat-boundary
+        # texel on at most a trace of samples). Center and clamped
+        # edge-viewer placements both covered.
+        import horizonator_tpu.render.lod as lod_mod
+        from horizonator_tpu.render.texture import (atlas_to_grid_colors,
+                                                    prepare_color_planes)
+        n = 512
+        dem = make_dem(n, rough=4.0)
+        d_np = np.asarray(dem)
+        zfar = 30000.0
+        width = 256
+        plan = lod_plan(zfar, width, CPD, 34.0, n,
+                        span_hint_rad=2 * math.pi)
+        # level 0 must actually crop (else this test is vacuous)
+        assert lod_mod.level_crop_size(plan[0], CPD, 34.0) < n
+        pyr = build_pyramid(dem, 1 + max(s.level for s in plan))
+        rng_c = np.random.default_rng(11)
+        cp2 = jnp.asarray(
+            rng_c.integers(0, 256, (3, 2 * n, 2 * n)).astype(np.float32))
+        from horizonator_tpu.render.lod import build_color_pyramid
+        cpyr = build_color_pyramid(prepare_color_planes(cp2),
+                                   1 + max(s.level for s in plan), n)
+        for vj, vi in ((256.3, 255.8), (40.2, 470.6)):
+            vz = float(d_np[int(vj) - 1:int(vj) + 2,
+                            int(vi) - 1:int(vi) + 2].max()) + 5.0
+            p = params_for(dem, vi, vj, vz, zfar=zfar)
+            out_c = march_lod(pyr, p, width=width, plan=plan,
+                              cells_per_deg=CPD, lat_hint_deg=34.0,
+                              color_pyramid=cpyr)
+            monkeypatch.setattr(lod_mod, "level_crop_size",
+                                lambda *a: 10 ** 6)
+            out_u = march_lod(pyr, p, width=width, plan=plan,
+                              cells_per_deg=CPD, lat_hint_deg=34.0,
+                              color_pyramid=cpyr)
+            monkeypatch.undo()
+            tc, tu = np.asarray(out_c[0]), np.asarray(out_u[0])
+            vis_c, vis_u = tc > -1e30, tu > -1e30
+            # masks may differ only where a position ulp crosses a bound
+            assert np.mean(vis_c == vis_u) > 0.9999
+            both = vis_c & vis_u
+            assert both.any()
+            np.testing.assert_allclose(tc[both], tu[both],
+                                       rtol=0, atol=1e-4)
+            # crossing distances bitwise: e/scale from frac(viewer)
+            np.testing.assert_array_equal(np.asarray(out_c[2].e),
+                                          np.asarray(out_u[2].e))
+            np.testing.assert_array_equal(np.asarray(out_c[2].scale),
+                                          np.asarray(out_u[2].scale))
+            texc, texu = np.asarray(out_c[4]), np.asarray(out_u[4])
+            assert np.mean(texc[both] == texu[both]) > 0.99
+            # where they differ, it is the final u8 rounding of the
+            # bilinear flipping under a position ulp: <= 1/channel
+            for sh in (16, 8, 0):
+                dch = ((texc[both] >> sh) & 0xff).astype(int) \
+                    - ((texu[both] >> sh) & 0xff).astype(int)
+                assert np.abs(dch).max() <= 1
+
     def test_lod_render_ranges_sane(self):
         dem = make_dem(512, rough=3.0)
         d_np = np.asarray(dem)
