@@ -417,7 +417,12 @@ def _exact_near_colors(atlas, ap, geo, p, *, n_near, k_x, p_at,
     hy = jnp.maximum(1.0 - jnp.abs(yr[..., None] - u), 0.0)
 
     def contract(plane):       # (p_at, p_at) f32 [y, x] -> (W, q_tot) u8
-        acc = jnp.einsum("wqu,vu->wqv", hx, plane)
+        # HIGHEST: the TPU's DEFAULT dot precision is bf16 MXU multiplies
+        # (measured: up to 6 m absolute on 1200 m-scale operands, ~1 count
+        # on 255-scale colors). The hat weights make every non-stencil
+        # term an exact +0.0, but only at f32 multiply precision.
+        acc = jnp.einsum("wqu,vu->wqv", hx, plane,
+                         precision=jax.lax.Precision.HIGHEST)
         val = jnp.sum(acc * hy, axis=-1)
         return jnp.clip(jnp.round(val), 0, 255).astype(jnp.int32)
 
@@ -1070,8 +1075,14 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
             # zq[w,q] = sum_v hj[w,q,v] * (sum_u patch[v,u] * hi[w,q,u]):
             # <= 4 cells carry weight, every other term is an exact +0.0
             # (any reduction tree preserves the value bitwise -- the
-            # region-sharding parity rests on this)
-            acc = jnp.einsum("wqu,vu->wqv", hi_w, patch)
+            # region-sharding parity rests on this). HIGHEST is required
+            # for that argument: the TPU's DEFAULT dot precision is bf16
+            # MXU multiplies -- measured up to ~6 m absolute error on
+            # 1200 m-scale elevations (tanel off by ~0.02 at d ~ 100 m),
+            # invisible to Mosaic-vs-interpreter or sharded-vs-unsharded
+            # comparisons because both sides shared the same dot.
+            acc = jnp.einsum("wqu,vu->wqv", hi_w, patch,
+                             precision=jax.lax.Precision.HIGHEST)
             zq = jnp.sum(acc * hj_w, axis=-1)
             # self-guard (same loud-failure contract as the window): a
             # valid sample outside the patch means znear > znear_hint_m.
@@ -1115,7 +1126,10 @@ def march_window(dem, params: RenderParams, *, width, k_cross, cells_per_deg,
             hjc = jnp.maximum(1.0 - jnp.abs(jrc[..., None] - uc), 0.0)
 
             def contract(plane):           # (sP, sP) f32 -> (W, q) u8
-                accc = jnp.einsum("wqu,vu->wqv", hic, plane)
+                # HIGHEST: DEFAULT TPU dot = bf16 multiplies (see the
+                # elevation patch einsum above)
+                accc = jnp.einsum("wqu,vu->wqv", hic, plane,
+                                  precision=jax.lax.Precision.HIGHEST)
                 val = jnp.sum(accc * hjc, axis=-1)
                 return jnp.clip(jnp.round(val), 0, 255).astype(jnp.int32)
 

@@ -364,6 +364,47 @@ def main():
         return 1
     print("region-sharded render: bitwise == unsharded", file=sys.stderr)
 
+    # LOD viewer-centered crop on the real chip: the crop is a
+    # dynamic_slice feeding the table builds / Pallas windows -- the same
+    # fusion family as the documented XLA TPU miscompile
+    # (ops/viewshed.py's dynamic_slice-of-concatenate). Cropped vs
+    # uncropped march_lod must agree: crossing distances bitwise, masks
+    # equal except ulp-boundary flips, tangents to add-rounding ulps.
+    import horizonator_tpu.render.lod as lod_mod
+    plan = lod_mod.lod_plan(15000.0, 512, 1200, 34.0, n)
+    c0 = lod_mod.level_crop_size(plan[0], 1200, 34.0)
+    if c0 < n:
+        pyr = lod_mod.build_pyramid(dem, 1 + max(s.level for s in plan))
+        out_c = lod_mod.march_lod(pyr, p, width=512, plan=plan,
+                                  cells_per_deg=1200, lat_hint_deg=34.0,
+                                  interpret=False)
+        orig_crop = lod_mod.level_crop_size
+        lod_mod.level_crop_size = lambda *a: 10 ** 6
+        try:
+            out_u = lod_mod.march_lod(pyr, p, width=512, plan=plan,
+                                      cells_per_deg=1200,
+                                      lat_hint_deg=34.0, interpret=False)
+        finally:
+            lod_mod.level_crop_size = orig_crop
+        tc, tu = np.asarray(out_c[0]), np.asarray(out_u[0])
+        vc, vu = tc > -1e30, tu > -1e30
+        both = vc & vu
+        err = float(np.abs(tc[both] - tu[both]).max()) if both.any() else 0.0
+        e_eq = np.array_equal(np.asarray(out_c[2].e), np.asarray(out_u[2].e))
+        s_eq = np.array_equal(np.asarray(out_c[2].scale),
+                              np.asarray(out_u[2].scale))
+        if (np.mean(vc == vu) < 0.9999 or err > 1e-4
+                or not e_eq or not s_eq):
+            print(f"TPU_SMOKE_FAIL: LOD crop != uncropped (mask agree "
+                  f"{np.mean(vc == vu):.5f}, err {err}, e_eq {e_eq}, "
+                  f"s_eq {s_eq})")
+            return 1
+        print(f"LOD viewer crop (c={c0} of {n}): == uncropped on-chip",
+              file=sys.stderr)
+    else:
+        print("TPU_SMOKE_WARN: LOD crop section vacuous (crop >= grid)",
+              file=sys.stderr)
+
     print("TPU_SMOKE_OK")
     return 0
 
