@@ -248,6 +248,45 @@ def main():
         return 1
     print(f"render visible fraction {vis_frac:.3f}", file=sys.stderr)
 
+    # absolute-accuracy oracle on a planar DEM: z = z0 + a*i + b*j is
+    # reproduced exactly by bilinear/hat sampling, so every valid sample
+    # has the closed-form tangent g(az) - dz0/d. This catches precision
+    # corruption that CORRELATED comparisons (Mosaic vs interpreter,
+    # cropped vs uncropped, sharded vs unsharded) cannot: both sides of
+    # those share each dot/fusion. It pins the DEFAULT-precision bf16 MXU
+    # einsum bug this smoke caught in round 5 (~5 m error on km-scale
+    # near-band elevations, tanel off ~0.02-0.05) at >10x the tolerance.
+    from horizonator_tpu import geometry
+    z0, a_sl, b_sl = 1200.0, 0.6, -0.35
+    demp = jax.device_put(jnp.asarray(z0 + a_sl * ii + b_sl * jj,
+                                      jnp.float32), dev)
+    dz0 = 25.0
+    pp = p._replace(viewer_z=f(z0 + a_sl * 255.3 + b_sl * 257.6 + dz0),
+                    zfar=f(6000.0))
+    kp = k_cross_for(6000.0, 1200, 34.0, n=n)
+    tanp, _, dists_p, az_p = march_window(
+        demp, pp, width=512, k_cross=kp, cells_per_deg=1200,
+        lat_hint_deg=34.0, interpret=False)
+    cell_n_m = geometry.EARTH_RADIUS_M * math.pi / 180.0 / 1200.0
+    cell_e_m = cell_n_m * math.cos(math.radians(34.0))
+    az_np = np.asarray(az_p)
+    g = (a_sl * np.sin(az_np) / cell_e_m + b_sl * np.cos(az_np) / cell_n_m)
+    L = tanp.shape[1]
+    idx = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), (512, L))
+    d_np = np.asarray(dists_p.d_of(idx))
+    t_np = np.asarray(tanp)
+    valid = (t_np > -1e30) & (d_np >= 100.0)
+    ana = g[:, None] - dz0 / np.maximum(d_np, 1.0)
+    err_p = float(np.abs((t_np - ana) * valid).max())
+    # 4e-3 budget: the near patch rounds elevations to the 0.5 m class
+    # (0.25 m / znear=100 m = 2.5e-3) + f32 slack; the bf16 corruption
+    # mode measures 0.02-0.05
+    if err_p > 4e-3:
+        print(f"TPU_SMOKE_FAIL: planar-DEM analytic tangent err {err_p}")
+        return 1
+    print(f"planar-DEM analytic oracle: max tangent err {err_p:.2e}",
+          file=sys.stderr)
+
     # ---- on-chip regression wall for the pure-XLA paths (VERDICT r4
     # missing #1): these only ever ran on real hardware via hand-run
     # benches before; the reference's GL pipeline is hardware-exercised
