@@ -1162,6 +1162,14 @@ def viewshed_count(dem, viewpoints_ij, *, out_center_ij, out_halfwidth,
     "batch" mesh axis; the per-device partial counts combine with one
     psum (counts, not rasters, ride the ICI).
     """
+    # TRIED AND REJECTED (r5): aligned=False for the scan. A chained
+    # single-raster probe measured the aligned march a small net loss at
+    # this workload (0.919 vs 0.841 ms/raster same-session on v5e), but
+    # in the scan context dropping the aligned scene measured WORSE
+    # (1191 vs 1028 us/observer) -- XLA keeps the per-observer table
+    # builds live across the scan body far less efficiently than the
+    # chain -- and the unrolled per-observer builds ballooned the compile
+    # to ~12 min. The prebuilt aligned tables stay.
     (dem_fmt, pts, vz, nsteps, lat_hint_deg, al_scene,
      cos_viewer_lat) = _sweep_prep(
         dem, viewpoints_ij, viewer_height_m, sampler=sampler, nsteps=nsteps,
